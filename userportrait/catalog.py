@@ -1,0 +1,85 @@
+"""Catalog: explicit schemas + loaders for the ten driver tables.
+
+Schemas mirror the parquet physical types recorded in FIXTURES.md (read from
+the files themselves at survey time). We never ``inferSchema`` (SURVEY §1.2):
+fixed ``StructType``s make column pruning and predicate pushdown verifiable
+and keep the 100 TB read path deterministic.
+
+The one source-boundary fix-up lives here: ``events.ts`` is parquet
+TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark
+reads it as a raw int64 nanosecond count, which ``load()`` converts ONCE via
+``timestamp_micros(ts div 1000)`` (integer division — a double-path division
+would lose precision at ~1.7e18 ns). Downstream operators only ever see a
+proper µs TimestampType column. DuckDB oracles use ``CAST(ts AS TIMESTAMP)``
+for the same truncation (SURVEY §2.0 rule 3).
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# DDL schemas matching the parquet physical types (FIXTURES.md).
+SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    ),
+    # ts declared bigint: raw nanosecond count under nanosAsLong (converted in load()).
+    "events": "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table with its explicit schema; fix events.ts ns->us."""
+    apply_session_confs(spark)
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """All ten tables as attributes: ``t = load(...); t.orders.join(...)``."""
+    return SimpleNamespace(**{name: read_table(spark, sf_dir, name) for name in TABLES})
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """Register every table as a temp view (post ts-fix) and return them.
+
+    This is the SQL entry surface (SURVEY §3.2): ops that are SQL-shaped run
+    ``spark.sql`` over these views with near-1:1 text vs their DuckDB oracle.
+    """
+    t = load(spark, sf_dir)
+    for name in TABLES:
+        getattr(t, name).createOrReplaceTempView(name)
+    return t

@@ -1,0 +1,154 @@
+"""§2.A — scans, sources, sinks.
+
+Reference analog [R, SURVEY §0.1]: the reference reads HBase rows through a
+custom Spark-SQL ``BaseRelation`` (TableScan with a per-tag column set) and
+Hive/file ingestion; we read columnar parquet with fixed StructTypes so
+Catalyst's parquet source gives pushdown + pruning for free (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, TABLES, load, read_table, register_views
+from ..registry import op
+
+# Scratch area for sink/roundtrip ops. Kept inside the repo (the driver
+# sandbox forbids writes elsewhere); gitignored.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_scratch")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(SCRATCH, name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@op(
+    "scan_parquet",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM {t}" for t in TABLES
+    ),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read all ten tables (full projection) and count each."""
+    t = load(spark, sf_dir)
+    counts = None
+    for name in TABLES:
+        one = getattr(t, name).select(
+            F.lit(name).alias("table_name")
+        ).groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+        counts = one if counts is None else counts.unionAll(one)
+    return counts
+
+
+@op(
+    "scan_events_ns",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row check of the ns->us timestamp convention (SURVEY §1.2).
+
+    The whole table passes through so any row where Spark's
+    ``timestamp_micros(ts div 1000)`` disagrees with DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` fails the hash.
+    """
+    return read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+_CSV_SAMPLE = "l_orderkey % 50 = 0"
+
+@op(
+    "scan_csv_roundtrip",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
+    FROM lineitem WHERE {_CSV_SAMPLE}
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem sample to CSV (header), read back with explicit schema.
+
+    The oracle compares against the parquet source, proving the CSV writer ->
+    reader path is lossless for ints, doubles, strings and timestamps.
+    """
+    path = _scratch("csv_roundtrip")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    sample = read_table(spark, sf_dir, "lineitem").filter(F.expr(_CSV_SAMPLE)).select(*cols)
+    sample.write.mode("overwrite").option("header", True).csv(path)
+    schema = "l_orderkey bigint, l_linenumber int, l_quantity double, l_extendedprice double, l_returnflag string, l_shipdate timestamp"
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+_JSON_SAMPLE = "o_orderkey % 50 = 0"
+
+@op(
+    "scan_json_roundtrip",
+    oracle=f"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders WHERE {_JSON_SAMPLE}",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same roundtrip via JSON-lines."""
+    path = _scratch("json_roundtrip")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    sample = read_table(spark, sf_dir, "orders").filter(F.expr(_JSON_SAMPLE)).select(*cols)
+    sample.write.mode("overwrite").json(path)
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp"
+    return spark.read.schema(schema).json(path)
+
+
+@op(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total
+    FROM orders GROUP BY yr
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (100 TB layout, SURVEY §2.A).
+
+    Writes orders partitioned by order year, reads the tree back and
+    aggregates per partition — exercising partition discovery and (at scale)
+    partition pruning.
+    """
+    path = _scratch("orders_by_year")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy("yr").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("yr").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("total"),
+    )
+
+
+@op(
+    "catalog_views",
+    oracle="""
+    SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region_name
+    """,
+)
+def catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register all ten tables as temp views; query through spark.sql.
+
+    Analog of the reference's Hive-metastore-backed SQL surface [R].
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY region_name
+        """
+    )

@@ -1,0 +1,65 @@
+"""SparkSession conventions (SURVEY.md §7-M0).
+
+Two paths:
+
+* ``get_spark()`` builds a session for local runs (tests, bench) with the
+  required configs baked in at build time.
+* ``apply_session_confs(spark)`` applies the *runtime-settable* subset to a
+  session we did not create (the driver passes its own ``SparkSession`` into
+  ``queries()`` callables). All three critical confs are SQLConfs and are
+  runtime-settable, which is what makes the driver contract workable:
+
+  - ``spark.sql.legacy.parquet.nanosAsLong=true`` — Spark 4.1.2 rejects
+    parquet TIMESTAMP(NANOS) (``events.ts``) outright without it
+    (SURVEY §1.2, reproduced).
+  - ``spark.sql.session.timeZone=UTC`` — keeps Spark's timestamp rendering
+    aligned with DuckDB's tz-naive timestamps so date functions agree.
+  - AQE on (default in 4.x, asserted anyway) — runtime shuffle coalescing and
+    skew-join handling are part of the 100 TB story (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def apply_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conventions to an externally created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this build — session.py builder already set it
+    return spark
+
+
+def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session with engine conventions applied.
+
+    ``shuffle_partitions`` defaults to the local core count: at sf<=0.1 the
+    data is small enough that AQE coalesces down anyway; on a real cluster
+    this would be sized to ~2-3x total cores (SURVEY §4).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_session_confs(spark)
