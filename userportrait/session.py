@@ -57,6 +57,7 @@ def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = N
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():
