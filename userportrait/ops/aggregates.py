@@ -1,1 +1,275 @@
-"""placeholder — filled in this round."""
+"""§2.D — aggregations.
+
+Reference analog [R, SURVEY §0.1]: the "statistical tag" family — grouped
+sums/avgs/counts of order amounts, login/activity counts, top-by-count
+preferences. All expressed as hash aggregates with map-side partial
+aggregation (Catalyst default), decimal-cast per SURVEY §2.0 rule 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..registry import op
+
+
+@op(
+    "agg_groupby_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the statistical-tag workhorse.
+
+    avg is derived from the exact decimal sum cast to double (bitwise-equal
+    across engines) rather than a float avg (order-dependent).
+    """
+    li = load(spark, sf_dir).lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(38,4)").alias("sum_disc_price"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@op(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (activity tags [R])."""
+    return (
+        load(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@op(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one pass (Expand-based plan)."""
+    e = load(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias("n_days"),
+    )
+
+
+@op("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type — sketch differs across engines so
+    the oracle is ROWS-only (SURVEY §2.0 rule 5); tests assert ±5% vs exact."""
+    e = load(spark, sf_dir).events
+    return e.groupBy("event_type").agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+
+
+@op(
+    "agg_filter_clause",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(38,4)) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count-when)."""
+    e = load(spark, sf_dir).events
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(38,4)")))
+        .cast("decimal(38,4)")
+        .alias("purchase_value"),
+    )
+
+
+@op(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")).filter(F.col("n_orders") > 15)
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, n_name, CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation (cube analytics, EXT)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name, CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical margins: region → nation → grand total."""
+    t = load(spark, sf_dir)
+    joined = t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id("r_name", "n_name").cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+    ).select("r_name", "n_name", "gid", "n_customers")
+
+
+@op(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus)."""
+    li = load(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id("l_returnflag", "l_linestatus").cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("decimal(38,4)").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_lines", "sum_qty")
+
+
+@op(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collected list, deterministic via sort_array (SURVEY §2.0 rule 4) —
+    the reference's profile-assembly accumulation [R]."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy("o_custkey").agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+
+
+@op(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a FIXED value list (no value-discovery job — required at
+    scale; discovery would be a full extra scan)."""
+    e = load(spark, sf_dir).events
+    piv = e.groupBy("user_id").pivot("event_type", ["click", "view", "purchase", "signup", "error"]).count()
+    # pivot-count yields nulls for absent combos; FILTER-count semantics give 0
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@op(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_quantity) AS sd_qty,
+           var_samp(l_quantity) AS var_qty,
+           round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+              - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE))
+           / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                    - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))
+                 * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                    - CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE))), 6)
+           AS corr_price_qty,
+           median(l_quantity) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments + exact percentiles.
+
+    stddev/var on these small-cardinality doubles agree bitwise across
+    engines; corr does NOT (single-pass Welford vs two-pass differ in the
+    last bits), so it is derived from decimal-exact moment sums with an
+    identical double-arithmetic expression on both sides — deterministic by
+    construction (SURVEY §2.0 rule 1).
+    """
+    li = load(spark, sf_dir).lineitem
+    d18 = lambda c: F.col(c).cast("decimal(19,4)")
+    d38 = lambda c: F.col(c).cast("decimal(38,4)")
+    n = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(d18("l_extendedprice") * d18("l_quantity")).cast("double")
+    sx = F.sum(d38("l_extendedprice")).cast("double")
+    sy = F.sum(d38("l_quantity")).cast("double")
+    sxx = F.sum(d18("l_extendedprice") * d18("l_extendedprice")).cast("double")
+    syy = F.sum(d18("l_quantity") * d18("l_quantity")).cast("double")
+    corr = F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        corr.alias("corr_price_qty"),
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    )
