@@ -1,1 +1,316 @@
-"""placeholder — filled in this round."""
+"""§2.I — user-portrait composite products: the reference's real workload
+[R, SURVEY §0.1], ported from MySQL-rule-driven Scala tag subclasses to
+composable DataFrame functions over the driver star schema.
+
+Tag families: match/rule tags (broadcast join against an inline rules dim),
+statistical tags (recency buckets, top-1 preference, RFM/RFE/PSM scoring),
+and the profile assembly (the reference's HBase full-outer merge, here a
+hash-partitioned multi-join rendered to a canonical sorted tag string —
+raw map columns hash unstably, SURVEY §2.0).
+
+Scale note: the ntile(5) scoring windows are global (unpartitioned) — on a
+real cluster the same scores come from approxQuantile thresholds + CASE,
+trading exactness of bucket edges for full parallelism; the exact form is
+kept here because the oracle contract demands bit-stable buckets. Everything
+upstream of the scoring window is pre-aggregated to one row per customer, so
+the single-partition sort touches #customers rows, not #orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import op
+
+ANCHOR = "2001-09-01"  # just past max(o_orderdate) (FIXTURES.md)
+EVENT_ANCHOR = "2024-02-01"  # just past max(events.ts)
+
+SEGMENT_RULES = [
+    ("AUTOMOBILE", "car_owner"),
+    ("BUILDING", "construction"),
+    ("FURNITURE", "home_decor"),
+    ("HOUSEHOLD", "family"),
+    ("MACHINERY", "industrial"),
+]
+
+_SEGMENT_RULES_SQL = "(VALUES " + ", ".join(f"('{k}', '{v}')" for k, v in SEGMENT_RULES) + ") AS rules(seg, tag)"
+
+
+@op(
+    "tag_match_rule",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment, rules.tag AS segment_tag
+    FROM customer c JOIN {_SEGMENT_RULES_SQL} ON c.c_mktsegment = rules.seg
+    """,
+)
+def tag_match_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match/rule tag: user attribute ⋈ broadcast rules dim.
+
+    The reference parses `key=value##...` rule strings from MySQL per tag
+    [R]; here the rules are an inline DataFrame — same join shape, and the
+    broadcast keeps it shuffle-free at any fact size."""
+    t = load(spark, sf_dir)
+    rules = spark.createDataFrame(SEGMENT_RULES, "seg string, tag string")
+    return (
+        t.customer.join(F.broadcast(rules), t.customer.c_mktsegment == rules.seg)
+        .select("c_custkey", "c_mktsegment", F.col("tag").alias("segment_tag"))
+    )
+
+
+_AGE_BUCKET_CASE = """
+    CASE WHEN c_acctbal >= 8000 THEN 'tier_1_premium'
+         WHEN c_acctbal >= 5000 THEN 'tier_2_high'
+         WHEN c_acctbal >= 2000 THEN 'tier_3_mid'
+         WHEN c_acctbal >= 0    THEN 'tier_4_low'
+         ELSE 'tier_5_negative' END
+"""
+
+
+@op(
+    "tag_age_bucket",
+    oracle=f"SELECT c_custkey, c_acctbal, {_AGE_BUCKET_CASE} AS balance_tier FROM customer",
+)
+def tag_age_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucket tag (the reference's age-bracket-from-birthday-ranges
+    analog [R], over acctbal in the driver schema)."""
+    c = load(spark, sf_dir).customer
+    tier = (
+        F.when(F.col("c_acctbal") >= 8000, "tier_1_premium")
+        .when(F.col("c_acctbal") >= 5000, "tier_2_high")
+        .when(F.col("c_acctbal") >= 2000, "tier_3_mid")
+        .when(F.col("c_acctbal") >= 0, "tier_4_low")
+        .otherwise("tier_5_negative")
+    )
+    return c.select("c_custkey", "c_acctbal", tier.alias("balance_tier"))
+
+
+_CYCLE_SQL = f"""
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') AS INT) AS days_since,
+           CASE WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') <= 30  THEN 'active_30d'
+                WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') <= 90  THEN 'active_quarter'
+                WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') <= 180 THEN 'active_half_year'
+                WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') <= 365 THEN 'active_year'
+                ELSE 'dormant' END AS cycle
+    FROM orders GROUP BY o_custkey
+"""
+
+
+@op("tag_consumption_cycle", oracle=_CYCLE_SQL)
+def tag_consumption_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumption-cycle tag: datediff(anchor, max(order_time)) bucketed [R]."""
+    o = load(spark, sf_dir).orders
+    days = F.datediff(F.lit(ANCHOR).cast("date"), F.max("o_orderdate").cast("date")).cast("int")
+    per = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(days.alias("days_since"))
+    cycle = (
+        F.when(F.col("days_since") <= 30, "active_30d")
+        .when(F.col("days_since") <= 90, "active_quarter")
+        .when(F.col("days_since") <= 180, "active_half_year")
+        .when(F.col("days_since") <= 365, "active_year")
+        .otherwise("dormant")
+    )
+    return per.select("c_custkey", "days_since", cycle.alias("cycle"))
+
+
+@op(
+    "tag_preference_top1",
+    oracle="""
+    SELECT user_id, event_type AS preferred_type, CAST(n AS BIGINT) AS n_events FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def tag_preference_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-by-count preference tag (the reference's payment-preference [R]):
+    groupBy + row_number()=1, tie-broken by type name."""
+    e = load(spark, sf_dir).events
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("preferred_type"), F.col("n").alias("n_events"))
+    )
+
+
+_RFM_BASE_SQL = f"""
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') AS INT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS monetary
+    FROM orders GROUP BY o_custkey
+"""
+
+_RFM_SQL = f"""
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, c_custkey) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS INT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) * 100
+              + ntile(5) OVER (ORDER BY frequency ASC, c_custkey) * 10
+              + ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS INT) AS rfm_score
+    FROM ({_RFM_BASE_SQL})
+"""
+
+
+def rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared R/F/M aggregate (also feeds the ML ops and bench)."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.lit(ANCHOR).cast("date"), F.max("o_orderdate").cast("date")).cast("int").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("monetary"),
+    )
+
+
+def rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = rfm_base(spark, sf_dir)
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("c_custkey"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("c_custkey"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("c_custkey"))
+    r, f_, m = (F.ntile(5).over(w) for w in (w_r, w_f, w_m))
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r_score"),
+        f_.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        (r * 100 + f_ * 10 + m).cast("int").alias("rfm_score"),
+    )
+
+
+@op("tag_rfm", oracle=_RFM_SQL)
+def tag_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM mining-tag features + 1–5 quintile scores (custkey tie-break) [R]."""
+    return rfm_scored(spark, sf_dir)
+
+
+@op(
+    "tag_rfe",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE), DATE '{EVENT_ANCHOR}') AS INT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(count(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT) AS engagement_days
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, engagement_days,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY engagement_days ASC, user_id) AS INT) AS e_score
+    FROM base
+    """,
+)
+def tag_rfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFE over the click/event stream: recency, frequency, engagement
+    (= distinct active days), quintile-scored [R]."""
+    e = load(spark, sf_dir).events
+    base = e.groupBy("user_id").agg(
+        F.datediff(F.lit(EVENT_ANCHOR).cast("date"), F.max("ts").cast("date")).cast("int").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias("engagement_days"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    w_e = Window.orderBy(F.asc("engagement_days"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "engagement_days",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_e).cast("int").alias("e_score"),
+    )
+
+
+_PSM_SQL = """
+    SELECT o.o_custkey AS c_custkey,
+           CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS discount_ratio,
+           CASE WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.07 THEN 'very_sensitive'
+                WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.05 THEN 'sensitive'
+                WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.03 THEN 'neutral'
+                ELSE 'insensitive' END AS psm_tier
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+"""
+
+
+@op("tag_psm", oracle=_PSM_SQL)
+def tag_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-sensitivity (PSM) tag: discount-weighted spend ratio, bucketed
+    [R]. Ratio = exact decimal sums cast to double -> bitwise cross-engine."""
+    t = load(spark, sf_dir)
+    j = t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+    disc = F.sum(F.col("l_discount").cast("decimal(19,4)") * F.col("l_extendedprice").cast("decimal(19,4)")).cast("double")
+    base = F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double")
+    per = j.groupBy(F.col("o_custkey").alias("c_custkey")).agg((disc / base).alias("discount_ratio"))
+    tier = (
+        F.when(F.col("discount_ratio") >= 0.07, "very_sensitive")
+        .when(F.col("discount_ratio") >= 0.05, "sensitive")
+        .when(F.col("discount_ratio") >= 0.03, "neutral")
+        .otherwise("insensitive")
+    )
+    return per.select("c_custkey", "discount_ratio", tier.alias("psm_tier"))
+
+
+@op(
+    "profile_assemble",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c.c_custkey, rules.tag AS segment_tag
+      FROM customer c JOIN {_SEGMENT_RULES_SQL} ON c.c_mktsegment = rules.seg
+    ),
+    tier AS (SELECT c_custkey, {_AGE_BUCKET_CASE} AS balance_tier FROM customer),
+    cyc AS ({_CYCLE_SQL}),
+    rfm AS ({_RFM_SQL})
+    SELECT c.c_custkey,
+           concat('cycle=', coalesce(cyc.cycle, 'none'),
+                  ';rfm=', coalesce(CAST(rfm.rfm_score AS VARCHAR), 'none'),
+                  ';segment=', coalesce(seg.segment_tag, 'none'),
+                  ';tier=', coalesce(tier.balance_tier, 'none')) AS profile
+    FROM customer c
+    LEFT JOIN seg ON c.c_custkey = seg.c_custkey
+    LEFT JOIN tier ON c.c_custkey = tier.c_custkey
+    LEFT JOIN cyc ON c.c_custkey = cyc.c_custkey
+    LEFT JOIN rfm ON c.c_custkey = rfm.c_custkey
+    """,
+)
+def profile_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide profile: one row per customer, all tags merged.
+
+    The reference full-outer-joins each new tag into an HBase profile row via
+    a string-merge UDF [R]; here it is a hash-partitioned multi-join on
+    c_custkey (every tag output is already keyed and pre-aggregated, so each
+    join is a same-key shuffle — AQE coalesces them) rendered to a canonical
+    sorted `k=v;...` string, because raw map columns hash unstably."""
+    t = load(spark, sf_dir)
+    seg = tag_match_rule(spark, sf_dir).select("c_custkey", "segment_tag")
+    tier = tag_age_bucket(spark, sf_dir).select("c_custkey", "balance_tier")
+    cyc = tag_consumption_cycle(spark, sf_dir).select("c_custkey", "cycle")
+    rfm = rfm_scored(spark, sf_dir).select("c_custkey", "rfm_score")
+    prof = (
+        t.customer.select("c_custkey")
+        .join(seg, "c_custkey", "left")
+        .join(tier, "c_custkey", "left")
+        .join(cyc, "c_custkey", "left")
+        .join(rfm, "c_custkey", "left")
+    )
+    render = F.concat(
+        F.lit("cycle="), F.coalesce(F.col("cycle"), F.lit("none")),
+        F.lit(";rfm="), F.coalesce(F.col("rfm_score").cast("string"), F.lit("none")),
+        F.lit(";segment="), F.coalesce(F.col("segment_tag"), F.lit("none")),
+        F.lit(";tier="), F.coalesce(F.col("balance_tier"), F.lit("none")),
+    )
+    return prof.select("c_custkey", render.alias("profile"))
