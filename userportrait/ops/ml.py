@@ -1,1 +1,89 @@
-"""placeholder — filled in this round."""
+"""§2.I (mining tags) — the reference's MLlib "mining" tag family [R, SURVEY
+§0.1]: KMeans customer-value segmentation over RFM features and a decision-tree
+classifier (the USG shopping-gender analog), rebuilt on pyspark.ml with pinned
+seeds.
+
+Oracle = ROWS (SURVEY §2.0 rule 5): KMeans/tree internals differ across
+engines, so the driver records the weaker rows-only check. Determinism within
+Spark is still enforced: fixed seeds, fixed initMode, and cluster ids
+relabeled by each center's distance-from-origin rank so the output is stable
+across runs regardless of kmeans' internal center ordering.
+
+Scale: features are one row per customer (pre-aggregated upstream), so the ML
+fit touches #customers rows, not #orders. KMeans/tree fit on a 100 TB corpus
+would run on the same aggregated frame — the expensive part (the RFM agg) is
+a single map-side-combinable shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import op
+from .portrait import rfm_base
+
+SEED = 20260813
+
+
+def _rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM features assembled + min-max scaled to [0,1] vectors."""
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+
+    base = rfm_base(spark, sf_dir).select(
+        "c_custkey",
+        F.col("recency_days").cast("double").alias("r"),
+        F.col("frequency").cast("double").alias("f"),
+        F.col("monetary").cast("double").alias("m"),
+    )
+    assembled = VectorAssembler(inputCols=["r", "f", "m"], outputCol="features_raw").transform(base)
+    scaler = MinMaxScaler(inputCol="features_raw", outputCol="features")
+    return scaler.fit(assembled).transform(assembled)
+
+
+@op("ml_kmeans_rfm", oracle=None)
+def ml_kmeans_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=5 on scaled RFM -> customer-value level (the reference's RFM
+    mining tag [R]). Clusters relabeled 0..4 by center L2-norm rank
+    (value_level 0 = center nearest origin) so labels are run-stable."""
+    from pyspark.ml.clustering import KMeans
+
+    feats = _rfm_features(spark, sf_dir)
+    model = KMeans(k=5, seed=SEED, initMode="k-means||", maxIter=40, featuresCol="features").fit(feats)
+    # Relabel: raw cluster id -> rank of its center's distance from origin.
+    norms = sorted(
+        (float(sum(x * x for x in c)) ** 0.5, i) for i, c in enumerate(model.clusterCenters())
+    )
+    relabel = {raw: rank for rank, (_, raw) in enumerate(norms)}
+    mapping = F.create_map(*[F.lit(x) for kv in relabel.items() for x in kv])
+    pred = model.transform(feats)
+    return pred.select(
+        "c_custkey",
+        mapping[F.col("prediction")].cast("int").alias("value_level"),
+    ).orderBy("c_custkey")
+
+
+@op("ml_tree_segment", oracle=None)
+def ml_tree_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecisionTreeClassifier (seeded, maxDepth=4) predicting c_mktsegment
+    from RFM features — the reference's USG shopping-gender tag shape [R]:
+    supervised tree over per-user aggregates, emitting a predicted label."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import StringIndexer
+
+    from ..catalog import load
+
+    feats = _rfm_features(spark, sf_dir)
+    cust = load(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    data = feats.join(cust, "c_custkey")
+    idx_model = StringIndexer(inputCol="c_mktsegment", outputCol="label", stringOrderType="alphabetAsc").fit(data)
+    data = idx_model.transform(data)
+    tree = DecisionTreeClassifier(seed=SEED, maxDepth=4, featuresCol="features", labelCol="label").fit(data)
+    pred = tree.transform(data)
+    labels = idx_model.labels
+    back = F.create_map(*[x for i, lab in enumerate(labels) for x in (F.lit(float(i)), F.lit(lab))])
+    return pred.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("actual_segment"),
+        back[F.col("prediction")].alias("predicted_segment"),
+    ).orderBy("c_custkey")
