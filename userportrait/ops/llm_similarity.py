@@ -1,1 +1,227 @@
-"""placeholder — filled in this round."""
+"""§2.K (similarity half) — embedding similarity search over ``embeddings``.
+
+EXT ops mandated by BASELINE.json:6. The naive Spark shape (higher-order-fn
+dot product inside a crossJoin) costs 27.2 s at sf0.1 (BASELINE.md:26);
+these ops use the broadcast-index pattern instead: the (bounded) index side
+is normalized into one numpy float64 matrix, broadcast to executors, and
+each partition of query vectors computes a blocked matrix product via
+``mapInPandas`` (Arrow batches, no per-row Python). That is the classic
+brute-force-but-blocked ANN baseline; at real 100 TB scale the index no
+longer fits one broadcast and the same code becomes the per-cell kernel of
+an IVF layout (route queries to coarse cells, broadcast one cell's matrix
+per task) — or switch to the LSH-bucketed candidate path already built for
+``dedup_near_minhash`` (band signatures → bucket join → exact rescore).
+
+Determinism: all math in float64; similarities rounded to 4dp Spark-side
+(F.round, same policy as fn_math); ties broken by neighbor id ascending in
+both engines. The index matrix is sorted by vec_id so numpy's stable
+argsort yields the id-asc tie-break for free.
+
+Threshold note: SURVEY §2.K specs ``cosine >= 0.8`` but the driver's
+embeddings are near-orthogonal random vectors — max pairwise cosine is 0.51
+at sf0.01 / 0.60 at sf0.1, so 0.8 selects the empty set at every SF. The
+threshold here is 0.45 (≈10 pairs at sf0.01), which actually exercises the
+op; the nearest observed cosine is >5e-3 away from the cut, far beyond any
+cross-engine ulp wobble.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import op
+
+K_NEIGHBORS = 5
+SIM_THRESHOLD = 0.45
+
+_ORACLE_SIMS_CTE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    )
+"""
+
+
+def _broadcast_index(spark: SparkSession, sf_dir: str):
+    """Normalized float64 index matrix (sorted by vec_id) as a broadcast var.
+
+    This is the build side of a broadcast join: bounded (#vectors × dim), it
+    ships once per executor. ~1 MB at sf0.1 (2000×64×8B)."""
+    import numpy as np
+
+    pdf = (
+        load(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return spark.sparkContext.broadcast((ids, mat))
+
+
+def _query_batches(bc, fn):
+    """mapInPandas kernel: per Arrow batch, normalize queries, one blocked
+    matmul against the broadcast index, then delegate row emission to fn."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        aids, amat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["vec_id"].to_numpy(np.int64)
+            qmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+            sims = qmat @ amat.T  # (batch × index)
+            yield fn(np, pd, qids, aids, sims)
+
+    return gen
+
+
+@op(
+    "sim_cosine_knn",
+    oracle=_ORACLE_SIMS_CTE
+    + """
+    , ranked AS (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    )
+    SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors per vector (self excluded), broadcast-index
+    blocked matmul — the optimization target flagged in BASELINE.md:26
+    (naive crossJoin form: 27.2 s at sf0.1)."""
+    bc = _broadcast_index(spark, sf_dir)
+
+    def emit(np, pd, qids, aids, sims):
+        self_mask = qids[:, None] == aids[None, :]
+        sims = np.where(self_mask, -np.inf, sims)
+        # stable argsort on -sim over an id-ascending index == tie-break id asc
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :K_NEIGHBORS]
+        rows = np.arange(len(qids))[:, None]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qids, K_NEIGHBORS),
+                "neighbor_id": aids[top].ravel(),
+                "sim": sims[rows, top].ravel(),
+            }
+        )
+
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    out = q.mapInPandas(_query_batches(bc, emit), "vec_id bigint, neighbor_id bigint, sim double")
+    return out.select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+
+
+@op(
+    "sim_threshold_pairs",
+    oracle=_ORACLE_SIMS_CTE
+    + """
+    SELECT vec_id AS vec_a, neighbor_id AS vec_b, round(sim, 4) AS sim
+    FROM sims WHERE vec_id < neighbor_id AND sim >= 0.45
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.45 (a < b). Same blocked kernel;
+    emits only above-threshold entries so output stays tiny even though the
+    scan is dense."""
+    bc = _broadcast_index(spark, sf_dir)
+
+    def emit(np, pd, qids, aids, sims):
+        keep = (qids[:, None] < aids[None, :]) & (sims >= SIM_THRESHOLD)
+        qi, ai = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": qids[qi], "vec_b": aids[ai], "sim": sims[qi, ai]}
+        )
+
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    out = q.mapInPandas(_query_batches(bc, emit), "vec_a bigint, vec_b bigint, sim double")
+    return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+
+
+@op(
+    "embed_label_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT label, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), m AS (
+      SELECT label, pos,
+             CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_val
+      FROM x GROUP BY label, pos
+    )
+    SELECT label, list(mean_val ORDER BY pos) AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label: posexplode → (label, pos) decimal
+    sum (exact, order-independent — SURVEY §2.0 rule 1) → one double division
+    → re-assembled position-sorted. Two map-side-combinable shuffles, both on
+    well-distributed keys; never collects a vector to the driver."""
+    e = load(spark, sf_dir).embeddings
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
+        .cast("double")
+        .alias("mean_val")
+    )
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.mean_val).alias("centroid"))
+    )
+
+
+@op(
+    "embed_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(CAST(sum(CAST(nrm AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_norm
+    FROM n GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector (4dp) then min/max/decimal-avg per label — all
+    higher-order array functions, JVM-side, no explode needed for the norm."""
+    e = load(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.round(
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 4
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (F.sum(F.col("nrm").cast("decimal(38,4)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("avg_norm"),
+        )
+    )
