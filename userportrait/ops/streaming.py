@@ -1,1 +1,281 @@
-"""placeholder — filled in this round."""
+"""§2.J — Structured Streaming over the events table.
+
+The reference's event pipeline is daily batch (SURVEY §2.J basis: no true
+streaming in the reference); these five ops are the EXT streaming surface:
+tumbling/sliding/session windows, watermark dedup, and an out-of-order
+replay — each run as a REAL streaming query (``readStream`` → watermark →
+stateful op → memory sink) with ``Trigger.AvailableNow`` so the finite
+input yields a deterministic final table, which the oracle checks against
+the equivalent batch SQL (the "final state == batch answer" gate,
+SURVEY §5.3).
+
+Harness design — making append-mode emission deterministic on finite input:
+- The staged stream directory re-chunks ``events.parquet`` into ordered
+  files (mtime-sequenced, ``maxFilesPerTrigger=1`` → one file per
+  microbatch) plus a final SENTINEL file whose single row sits far beyond
+  every real event. Processing the sentinel advances the watermark past all
+  real window ends, so the no-data finalization batch emits every real
+  window; the sentinel's own window stays open and is never emitted.
+- The watermark delay D = (event-time span + 1 h) exceeds any disorder the
+  replay can produce, so no real row is ever dropped as late → the final
+  state provably equals the batch answer regardless of chunk order.
+- Staging is driver-side pyarrow over the (test-scale) events table — it is
+  test scaffolding for a finite replay, not the data path; on a cluster the
+  stream source is the real event bus / file drop and this module's query
+  bodies are unchanged.
+
+Scale notes (100 TB / continuous): all five queries keyed state by
+(window × type), (window), (session × user), or event_id within watermark —
+state size is bounded by key cardinality × watermark horizon, not stream
+length; RocksDB state store + watermark eviction is the production config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS
+from ..registry import op
+
+_STAGE_ROOT = "/tmp/userportrait_streaming"
+_NS = 1_000_000_000
+_SENTINEL_TYPE = "__flush__"
+_query_seq = 0
+
+
+def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
+    """Stage events.parquet as an ordered multi-file stream dir; returns
+    (dir, watermark_delay_seconds). Variants:
+      flush    — one real chunk + sentinel (ordered replay)
+      shuffled — four hash-shuffled chunks + sentinel (out-of-order replay)
+      dups     — real chunk, then a duplicate-subset chunk, then sentinel
+    Idempotent per (sf, variant): a marker file written last makes a
+    finished staging reusable across processes.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_STAGE_ROOT, os.path.basename(os.path.normpath(sf_dir)), variant)
+    marker = os.path.join(out, "_staged.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return out, json.load(f)["delay_s"]
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = pc.cast(t["ts"], pa.int64())
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    delay_s = (hi - lo) // _NS + 3600
+    sentinel_ns = hi + (delay_s + 7200) * _NS
+
+    chunks: list[pa.Table] = []
+    if variant == "flush":
+        chunks = [t]
+    elif variant == "shuffled":
+        import numpy as np
+
+        order = np.argsort((np.array(t["event_id"]) * 2654435761) % (2**32), kind="stable")
+        shuffled = t.take(pa.array(order))
+        n = len(shuffled)
+        chunks = [shuffled.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4) for i in range(4)]
+    elif variant == "dups":
+        dup = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 7), 0))
+        chunks = [t, dup]
+    else:
+        raise ValueError(variant)
+
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([sentinel_ns], t.schema.field("ts").type),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array([_SENTINEL_TYPE]),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    for i, chunk in enumerate([*chunks, sentinel.cast(t.schema)]):
+        path = os.path.join(out, f"chunk_{i:02d}.parquet")
+        pq.write_table(chunk, path)
+        os.utime(path, (1000 + 100 * i, 1000 + 100 * i))
+    with open(marker, "w") as f:
+        json.dump({"delay_s": delay_s}, f)
+    return out, delay_s
+
+
+def _stream_events(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
+    """Streaming events source: explicit schema, ns→µs ts fix (the batch
+    catalog's workaround applied on the stream path — SURVEY §2.J note),
+    one staged file per microbatch, watermark attached."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+        .select(
+            "event_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .withWatermark("ts", f"{delay_s} seconds")
+    )
+
+
+def _run_to_table(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+    """Run the streaming query to completion into a memory sink; return the
+    final table. AvailableNow + the staged sentinel => deterministic output."""
+    global _query_seq
+    _query_seq += 1
+    qname = f"up_{name}_{os.getpid()}_{_query_seq}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def _windowed(spark: SparkSession, sf_dir: str, variant: str, name: str) -> DataFrame:
+    """Shared body of stream_tumbling / stream_late_data: 1-hour tumbling
+    window × event_type, count + decimal-exact sum(value)."""
+    stage_dir, delay_s = _stage(sf_dir, variant)
+    src = _stream_events(spark, stage_dir, delay_s)
+    agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+    )
+    out = _run_to_table(spark, agg, name)
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+_TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@op("stream_tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window × event_type over the event stream, append
+    mode: windows are emitted only once the watermark passes their end —
+    the sentinel flush closes all real windows, so the final table equals
+    the batch date_trunc('hour') group-by."""
+    return _windowed(spark, sf_dir, "flush", "tumbling")
+
+
+@op("stream_late_data", oracle=_TUMBLING_ORACLE)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation as stream_tumbling but replayed OUT OF ORDER (input
+    hash-shuffled into 4 microbatches): event time regresses across batches,
+    yet because the watermark delay exceeds the replay disorder, no row is
+    dropped and the final counts still match the batch answer — the
+    watermark-correctness proof of SURVEY §2.J."""
+    return _windowed(spark, sf_dir, "shuffled", "late")
+
+
+@op(
+    "stream_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) AS bucket FROM events
+    ), w AS (
+      SELECT TIMESTAMP '1970-01-01' + (bucket - k.k) * 900 * INTERVAL 1 SECOND AS window_start
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS cnt
+    FROM w GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 overlapping
+    windows (Spark emits one row per containing window). Oracle reconstructs
+    the epoch-aligned slide grid arithmetically."""
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+    agg = src.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    out = _run_to_table(spark, agg, "sliding")
+    return out.select(F.col("window.start").alias("window_start"), "cnt")
+
+
+@op(
+    "stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), d AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``session_window`` — dynamic merging state), emitting session bounds
+    and event counts. Oracle is the batch gaps-and-islands rewrite; session
+    end = last event + gap in both."""
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+    agg = src.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    out = _run_to_table(spark, agg, "session")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    ).where(F.col("user_id") >= 0)
+
+
+@op(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-drop within the watermark horizon: the staged replay
+    re-emits every 8th event in a later microbatch;
+    ``dropDuplicatesWithinWatermark`` on event_id removes the replays, so
+    the output equals the original (already-unique) event set."""
+    stage_dir, delay_s = _stage(sf_dir, "dups")
+    src = _stream_events(spark, stage_dir, delay_s)
+    dedup = src.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _run_to_table(spark, dedup, "dedup")
+    return out.where(F.col("event_type") != _SENTINEL_TYPE)
