@@ -1,0 +1,76 @@
+"""Unit invariants for the ops whose oracle is weaker than value-equality
+(SURVEY §5.3): seeded-ML run-stability, sketch accuracy bounds, and
+algebraic identities between op families on the real tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from userportrait.catalog import load
+from userportrait.registry import load_all_ops
+
+from .conftest import SF_DIR
+
+OPS = load_all_ops()
+
+
+def test_kmeans_is_run_stable(spark):
+    """Fixed seed + center-norm relabeling => identical output across runs."""
+    a = sorted(map(tuple, OPS["ml_kmeans_rfm"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["ml_kmeans_rfm"].fn(spark, SF_DIR).collect()))
+    assert a == b
+    clusters = {r[1] for r in a}
+    assert clusters <= set(range(5)) and len(clusters) >= 2
+
+
+def test_tree_predictions_use_known_labels(spark):
+    rows = OPS["ml_tree_segment"].fn(spark, SF_DIR).collect()
+    segments = {r.actual_segment for r in rows}
+    assert {r.predicted_segment for r in rows} <= segments
+    # a depth-4 tree on separable-ish features must beat the 1/5 base rate
+    acc = sum(r.actual_segment == r.predicted_segment for r in rows) / len(rows)
+    assert acc > 0.2, acc
+
+
+def test_approx_distinct_within_5pct(spark):
+    e = load(spark, SF_DIR).events
+    exact = e.select(F.countDistinct("user_id").cast("bigint").alias("n")).collect()[0].n
+    approx = e.select(F.approx_count_distinct("user_id", 0.02).alias("n")).collect()[0].n
+    assert abs(approx - exact) <= max(1, 0.05 * exact), (approx, exact)
+
+
+def test_semi_union_anti_partitions_keys(spark):
+    """join_semi keys ∪ join_anti keys == all customer keys, disjoint."""
+    t = load(spark, SF_DIR)
+    all_keys = {r.c_custkey for r in t.customer.select("c_custkey").collect()}
+    semi = {r.c_custkey for r in OPS["join_semi"].fn(spark, SF_DIR).select("c_custkey").collect()}
+    anti = {r.c_custkey for r in OPS["join_anti"].fn(spark, SF_DIR).select("c_custkey").collect()}
+    assert semi | anti == all_keys
+    assert not (semi & anti)
+
+
+def test_rollup_total_equals_reaggregation(spark):
+    """The rollup grand-total row must equal re-aggregating the leaf rows."""
+    rows = OPS["agg_rollup"].fn(spark, SF_DIR).collect()
+    grand = [r for r in rows if r.gid == 3]  # grouping_id 3 = both cols rolled up
+    leaves = [r for r in rows if r.gid == 0]
+    assert len(grand) == 1
+    assert sum(r.n_customers for r in leaves) == grand[0].n_customers
+
+
+def test_window_top1_equals_groupby_max(spark):
+    """win_topk_per_group at rank 1 must agree with a groupBy max."""
+    t = load(spark, SF_DIR)
+    top = (
+        OPS["win_topk_per_group"].fn(spark, SF_DIR)
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("top_price"))
+        .collect()
+    )
+    want = {
+        r.o_custkey: r.mx
+        for r in t.orders.groupBy("o_custkey").agg(F.max("o_totalprice").alias("mx")).collect()
+    }
+    assert len(top) > 0
+    for r in top:
+        assert r.top_price == want[r.o_custkey], r.o_custkey

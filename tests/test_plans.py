@@ -1,0 +1,52 @@
+"""Physical-plan assertions (SURVEY §5.5): the scale-critical plan choices
+must be visible in ``explain``, not assumed — a correct-but-weak plan is a
+regression even when values match (VERDICT r1 standing rules)."""
+
+from __future__ import annotations
+
+from userportrait.registry import load_all_ops
+
+from .conftest import SF_DIR
+
+OPS = load_all_ops()
+
+
+def _plan(spark, name: str) -> str:
+    return OPS[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_dim_uses_broadcast_hash_join(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "join_broadcast_dim")
+
+
+def test_filter_simple_pushes_predicates_to_parquet(spark):
+    plan = _plan(spark, "filter_simple")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate reached the scan (not just the empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed to the parquet scan"
+
+
+def test_scan_prunes_columns(spark):
+    # proj_select_rename reads 2 of 5 customer columns; ReadSchema must show
+    # the pruned projection, not the full table schema.
+    plan = _plan(spark, "proj_select_rename")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "c_acctbal" not in read_schema
+
+
+def test_knn_has_no_cartesian_product(spark):
+    # the broadcast-index kNN must never fall back to a join-based n² plan
+    plan = _plan(spark, "sim_cosine_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sortmerge_big_is_sort_merge(spark):
+    assert "SortMergeJoin" in _plan(spark, "join_sortmerge_big")
+
+
+def test_minhash_join_is_hash_based_not_nested_loop(spark):
+    plan = _plan(spark, "dedup_near_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

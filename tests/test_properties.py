@@ -1,0 +1,68 @@
+"""Property-based spot checks (SURVEY §5.4): algebraic identities that must
+hold for ANY input, exercised on small hypothesis-generated frames. Kept to
+few examples per property — each example is a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=30)
+pairs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=-1000, max_value=1000)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(left=keys, right=keys)
+@settings(**SETTINGS)
+def test_semi_union_anti_is_identity(spark, left, right):
+    l_df = spark.createDataFrame([(k,) for k in left] or [(None,)], "k int").where(F.col("k").isNotNull())
+    r_df = spark.createDataFrame([(k,) for k in right] or [(None,)], "k int").where(F.col("k").isNotNull())
+    semi = {r.k for r in l_df.join(r_df, "k", "left_semi").collect()}
+    anti = {r.k for r in l_df.join(r_df, "k", "left_anti").collect()}
+    assert semi | anti == set(left)
+    assert not (semi & anti)
+    assert semi == set(left) & set(right)
+
+
+@given(rows=pairs)
+@settings(**SETTINGS)
+def test_window_top1_equals_groupby_max(spark, rows):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    top1 = {
+        (r.k, r.v)
+        for r in df.withColumn("rn", F.row_number().over(w)).where("rn = 1").select("k", "v").collect()
+    }
+    gmax = {(r.k, r.mx) for r in df.groupBy("k").agg(F.max("v").alias("mx")).collect()}
+    assert top1 == gmax
+
+
+@given(rows=pairs)
+@settings(**SETTINGS)
+def test_rollup_margin_equals_reaggregation(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = df.rollup("k").agg(F.sum("v").alias("s")).collect()
+    grand = [r.s for r in out if r.k is None and True]
+    # k is never None in input, so exactly one all-None margin row exists
+    assert sum(v for _, v in rows) in grand
+
+
+@given(a=keys, b=keys)
+@settings(**SETTINGS)
+def test_union_all_vs_distinct_counts(spark, a, b):
+    a_df = spark.createDataFrame([(k,) for k in a] or [(None,)], "k int").where(F.col("k").isNotNull())
+    b_df = spark.createDataFrame([(k,) for k in b] or [(None,)], "k int").where(F.col("k").isNotNull())
+    assert a_df.unionAll(b_df).count() == len(a) + len(b)
+    assert a_df.union(b_df).distinct().count() == len(set(a) | set(b))

@@ -1,0 +1,31 @@
+"""Driver-contract smoke checks (SURVEY §5.2): entry() runs on sf0.001 with
+rows > 0 and a stable schema; queries()/oracle_sql() stay key-consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+EXPECTED_ENTRY_COLS = None  # pinned below on first use within the run
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
+def test_registry_contract(spark):
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 87, f"expected >=87 registered ops, got {len(qs)}"
+    # every oracle key must have a matching query; no orphans
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    # ROWS-only ops are the known non-SQL-expressible trio
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"agg_approx_distinct", "ml_kmeans_rfm", "ml_tree_segment"}, rows_only
+
+
+def test_entry_schema_stable(spark):
+    cols1 = E.entry(spark).columns
+    cols2 = E.entry(spark).columns
+    assert cols1 == cols2
