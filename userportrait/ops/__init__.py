@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     llm_text,
     llm_dedup,
     llm_similarity,
+    multimodal,
     streaming,
     udfs,
 )
@@ -33,6 +34,7 @@ ALL_MODULES = [
     llm_text,
     llm_dedup,
     llm_similarity,
+    multimodal,
     streaming,
     udfs,
 ]

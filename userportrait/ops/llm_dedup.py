@@ -115,3 +115,177 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= N_SHARED_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions: SimHash near-dup and LSH-candidate exact-Jaccard
+# verification — the remaining members of the dedup family a training-data
+# pipeline needs (exact / MinHash-LSH / SimHash / n-gram Jaccard).
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits → candidates share ≥1 identical band
+SIMHASH_MAX_HAMMING = 6
+
+
+@op(
+    "dedup_simhash",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), contrib AS (
+      SELECT doc_id, i.i,
+             sum(w * (2 * ((strpos('0123456789abcdef', substring(md5(token), i.i, 1)) - 1) % 2) - 1)) AS s
+      FROM tf CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) i
+      GROUP BY doc_id, i.i
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.b, (simhash >> ((b.b - 1) * 8)) & 255 AS band_val
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit token-frequency-weighted signature (bit i =
+    sign of Σ tf·(±1) where ±1 is the parity of md5(token)'s i-th hex digit
+    — the md5-derived hash family keeps both engines bit-identical), banded
+    4×8 bits for LSH candidate generation, exact Hamming ≤ 6 as the verdict.
+
+    Scale: signatures are one explode(32)→groupBy pipeline; candidates join
+    through (band, band_value) buckets — n never appears squared. Hamming
+    distance on 32-bit ints is a single xor+bit_count, trivially cheap at
+    rescore time."""
+    d = load(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("w"))
+    )
+    digit = F.expr("instr('0123456789abcdef', substring(md5(token), i, 1)) - 1")
+    contrib = (
+        tf.select("doc_id", "token", "w", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"))
+        .select("doc_id", "i", (F.col("w") * (2 * (digit % 2) - 1)).alias("c"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum("c").alias("s"))
+    )
+    sh = contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i - 1)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BANDS))).alias("b"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, (b - 1) * 8) & 255"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)").cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
+    )
+
+
+@op(
+    "dedup_jaccard_verify",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                                 i -> substring(text, i, 5)))) AS shingle
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 6
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-then-verify pattern: MinHash candidates (≥6/16 shared sigs —
+    a looser net than dedup_near_minhash's ≥8) get their EXACT 5-gram-shingle
+    Jaccard computed, keeping pairs ≥ 0.5. This is the 100 TB shape for
+    n-gram-Jaccard dedup: the exact set intersection runs only on
+    LSH-surfaced candidates (thousands), never all n² pairs."""
+    d = load(spark, sf_dir).documents
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = minhash_signatures(d)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 6)
+        .select("doc_a", "doc_b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -225,3 +225,143 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extension: the LSH-bucketed ANN scale path. sim_cosine_knn's
+# broadcast index assumes the index side fits one broadcast; this op is the
+# shape that survives when it doesn't — signs of random-hyperplane
+# projections bucket the vectors, candidates come from bucket joins, and
+# the exact cosine runs only on candidates. The hyperplane family is
+# md5-derived (w(j,d) = hexpair(md5(j||'_'||d)) - 127.5) so both engines
+# build bit-identical planes and even the *approximation* is EXACT-oracled.
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 4
+LSH_BITS = 6  # per table → 64 buckets/table
+
+
+@op(
+    "sim_knn_lsh",
+    oracle="""
+    WITH w AS (
+      SELECT j.j, d.d,
+             CAST((strpos('0123456789abcdef', substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 2, 1)) - 1)
+                - 127.5 AS DOUBLE) AS wt
+      FROM (SELECT unnest(generate_series(1, 24)) AS j) j
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ), elems AS (
+      SELECT vec_id, p.pos - 1 AS d, CAST(embedding[p.pos] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), proj AS (
+      SELECT e.vec_id, w.j, sum(CAST(e.val * w.wt AS DECIMAL(38,8))) AS s
+      FROM elems e JOIN w ON e.d = w.d
+      GROUP BY e.vec_id, w.j
+    ), buckets AS (
+      SELECT vec_id, (j - 1) // 6 AS t,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << ((j - 1) % 6) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, (j - 1) // 6
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v
+    ), scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM cand c JOIN n a ON a.vec_id = c.vec_id JOIN n b ON b.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via random-hyperplane LSH: 4
+    tables × 6 sign-bits bucket the vectors; candidates share a bucket in
+    ≥1 table; exact cosine rescoring (sequential fold, both engines) ranks
+    them. Hyperplane weights are md5-derived so the bucketing is
+    reproducible cross-engine; projections sum DECIMAL(38,8) products so
+    every sign bit is order-independent.
+
+    Scale: per-table bucket joins replace the dense n×n scan — cost is
+    Σ bucket² per table. Recall tunes with (tables, bits); the full-scale
+    deployment re-uses this exact plan with bigger L and per-cell
+    broadcast rescoring (see sim_cosine_knn docstring)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir).embeddings
+    one = spark.range(1)
+    weights = (
+        one.select(F.explode(F.sequence(F.lit(1), F.lit(LSH_TABLES * LSH_BITS))).alias("j"))
+        .select("j", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("d"))
+        .withColumn(
+            "wt",
+            F.expr(
+                "cast((instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 1, 1)) - 1) * 16"
+                " + (instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 2, 1)) - 1)"
+                " - 127.5 as double)"
+            ),
+        )
+    )
+    elems = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
+        "vec_id", "d", F.col("val").cast("double").alias("val")
+    )
+    proj = (
+        elems.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("val") * F.col("wt")).cast("decimal(38,8)")).alias("s"))
+    )
+    buckets = (
+        proj.select(
+            "vec_id",
+            ((F.col("j") - 1) / LSH_BITS).cast("int").alias("t"),
+            F.when(F.col("s") > 0, F.expr(f"shiftleft(cast(1 as bigint), (j - 1) % {LSH_BITS})"))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "t")
+        .agg(F.sum("bit").cast("bigint").alias("bucket"))
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    norms = e.select(
+        "vec_id", v.alias("v"), F.sqrt(agg_sum(F.transform(v, lambda x: x * x))).alias("nrm")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    c = cand.alias("c")
+    scored = (
+        c.join(na, F.col("na.vec_id") == F.col("c.vec_id"))
+        .join(nb, F.col("nb.vec_id") == F.col("c.neighbor_id"))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.neighbor_id").alias("neighbor_id"),
+            (
+                agg_sum(F.zip_with(F.col("na.v"), F.col("nb.v"), lambda x, y: x * y))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("sim"),
+        )
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

@@ -176,3 +176,197 @@ def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions (the training-data-pipeline text toolkit beyond SURVEY
+# §2.K's original four): language-ID, quality scoring, token counting,
+# document fingerprinting. All pure DataFrame/SQL — no Python on the data
+# path — and all EXACT-oracled.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("a", "the", "and", "of", "to")
+
+
+@op(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer ([a-z]+ | digit runs | single other) — the unit-economics
+    pre-check of every training-data pipeline. Pure string functions,
+    fully pushed into whole-stage codegen."""
+    d = load(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("int").alias("re_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+@op(
+    "text_quality_score",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             (n_chars - (len(toks) - 1)) / len(toks) AS mean_token_len,
+             CAST(len(list_filter(toks, x -> x = 'a' OR x = 'the' OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+             n_alpha / n_chars AS alpha_ratio
+      FROM q
+    )
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+           CASE WHEN n_tokens >= 50 AND stopword_ratio >= 0.02 AND mean_token_len >= 3 THEN 'good'
+                WHEN n_tokens >= 20 THEN 'fair'
+                ELSE 'poor' END AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token length, stopword
+    ratio, alphabetic ratio, bucketed into good/fair/poor — the classic
+    pre-training corpus filter (length/punct/stopword heuristics). Every
+    ratio is one exact-integer division, so doubles match cross-engine."""
+    d = load(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text").cast("double")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    mean_tok = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    quality = (
+        F.when(
+            (n_tokens >= 50) & (stop_hits.cast("double") / n_tokens >= 0.02) & (mean_tok >= 3),
+            "good",
+        )
+        .when(n_tokens >= 20, "fair")
+        .otherwise("poor")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@op(
+    "text_lang_id",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, length(text) - 2),
+                                   i -> substring(text, i, 3))) AS tg
+      FROM documents
+    ), profile AS (
+      SELECT lang, tg FROM (
+        SELECT lang, tg, row_number() OVER (PARTITION BY lang
+                                            ORDER BY count(*) DESC, tg ASC) AS rn
+        FROM tri GROUP BY lang, tg
+      ) WHERE rn <= 20
+    ), doc_tg AS (
+      SELECT DISTINCT doc_id, tg FROM tri
+    ), scores AS (
+      SELECT d.doc_id, p.lang AS cand_lang, count(*) AS hits
+      FROM doc_tg d JOIN profile p USING (tg)
+      GROUP BY d.doc_id, p.lang
+    ), best AS (
+      SELECT doc_id, cand_lang, CAST(hits AS BIGINT) AS hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+      FROM scores
+    )
+    SELECT b.doc_id, b.cand_lang AS predicted_lang, b.hits,
+           d2.lang AS actual_lang
+    FROM best b JOIN documents d2 ON b.doc_id = d2.doc_id
+    WHERE b.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by character-trigram profile: learn each
+    language's top-20 trigrams from the corpus, score every doc by profile
+    overlap, predict the best-scoring language (hits desc, lang asc).
+
+    Scale shape: the profile is vocabulary-bounded (20 rows × #langs) →
+    broadcast; docs never pairwise-compare. The trigram explode is the only
+    wide stage and combines map-side."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir).documents
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tg"),
+    )
+    w_p = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tg").asc())
+    profile = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_p))
+        .where(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    doc_tg = tri.select("doc_id", "tg").distinct()
+    scores = doc_tg.join(F.broadcast(profile), "tg").groupBy("doc_id", "cand_lang").agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    w_b = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang").asc())
+    best = scores.withColumn("rn", F.row_number().over(w_b)).where(F.col("rn") == 1)
+    return best.join(d.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id").select(
+        "doc_id", F.col("cand_lang").alias("predicted_lang"), "hits", "actual_lang"
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash,
+           min(md5s.h) AS min_shingle_md5
+    FROM documents,
+         LATERAL (SELECT md5(unnest(list_distinct(
+                    list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                   i -> substring(text, i, 5))))) AS h) md5s
+    GROUP BY doc_id, text
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: a Rabin-Karp-style rolling hash of the full
+    character stream (base-31 fold mod 1e9+7 — sequential ``F.aggregate``
+    fold, bit-identical to DuckDB's list_reduce) plus the winnowing-style
+    minimum shingle-md5. Content-defined identity for cheap re-crawl
+    dedup; one narrow map stage, no shuffle at all."""
+    d = load(spark, sf_dir).documents
+    chars = F.expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))")
+    rolling = F.aggregate(chars, F.lit(0).cast("bigint"), lambda a, c: (a * 31 + c) % 1000000007)
+    shingle_md5s = F.expr(
+        "transform(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> substring(text, i, 5))), s -> md5(s))"
+    )
+    return d.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.array_min(shingle_md5s).alias("min_shingle_md5"),
+    )

@@ -1,0 +1,142 @@
+"""Multimodal-column plumbing — opaque binary payloads with typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns plus typed metadata, decoding only inside Arrow-batched
+Python (SURVEY's EXT multimodal mandate). The real media codecs (PIL,
+librosa, av) are NOT in this container, so the decode step is a
+deterministic fake (`_fake_decode`) behind the same ``mapInPandas``
+plumbing a real decoder would use — schema, partitioning, batch shape, and
+Arrow binary transfer are all real and differentially tested; swapping in a
+real codec changes only the numpy body.
+
+The payload here is ``encode(documents.text, 'utf-8')`` — an ASCII byte
+stream, which lets the DuckDB oracle recompute every "decoded" feature via
+character arithmetic, making even the UDF-backed op EXACT-oracled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import op
+
+FRAME_STRIDE = 32  # every 32nd byte is a "frame" for the sampling demo
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic binary payload and media-kind metadata."""
+    d = load(spark, sf_dir).documents
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        kind.alias("media_kind"),
+    )
+
+
+@op(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the opaque payload, computed entirely JVM-side:
+    byte length, 4-byte header hex (the magic-number sniff), content md5.
+    No decode, no Python — the cheap metadata pass that runs before any
+    expensive media decoding in a real pipeline."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "media_kind",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 4)"))).alias("header_hex"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@op(
+    "mm_decode_stub",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_kind
+      FROM documents
+    ), frames AS (
+      SELECT d.doc_id, ascii(substring(d.text, p.pos, 1)) AS byte_val
+      FROM documents d CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS pos) p
+      WHERE (p.pos - 1) % 32 = 0 AND p.pos <= length(d.text)
+    ), fstats AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+             CAST(CAST(sum(byte_val) AS DOUBLE) / count(*) AS DOUBLE) AS frame_mean
+      FROM frames GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.media_kind,
+           CAST(b.n % 640 AS INT) AS width,
+           CAST(b.n % 480 AS INT) AS height,
+           f.n_frames, f.frame_mean
+    FROM b JOIN fstats f ON b.doc_id = f.doc_id
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched "decode": ``mapInPandas`` receives the binary payloads,
+    frame-samples every 32nd byte via numpy, and emits decoded features
+    (dims, frame count, frame-byte mean). ``_fake_decode`` is the
+    deterministic stand-in for the real codec (PIL/librosa/av are not in
+    this container — a real decoder raises NotImplementedError until one is
+    installed); everything around it — Arrow binary transfer, batch
+    iteration, output schema — is the production plumbing.
+
+    Integer byte sums → one double division, so the UDF output is exactly
+    reproducible by the oracle's character arithmetic."""
+
+    def _fake_decode(np, buf: bytes, kind: str) -> tuple[int, int, int, float]:
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        frames = arr[::FRAME_STRIDE]
+        # a real codec would dispatch on kind here:
+        #   if kind == "image": raise NotImplementedError("PIL not available")
+        return (
+            len(arr) % 640,
+            len(arr) % 480,
+            len(frames),
+            float(int(frames.sum(dtype=np.int64))) / len(frames),
+        )
+
+    def decode(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _fake_decode(np, buf, kind)
+                for buf, kind in zip(pdf["payload"], pdf["media_kind"])
+            ]
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "n_frames", "frame_mean"]
+            )
+            out.insert(0, "media_kind", pdf["media_kind"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    p = _payloads(spark, sf_dir)
+    return p.mapInPandas(
+        decode,
+        "doc_id bigint, media_kind string, width int, height int, n_frames int, frame_mean double",
+    )
