@@ -1,21 +1,27 @@
-"""§2.K (dedup half) — corpus deduplication over ``documents``.
+"""§2.K (dedup half) + round-2 extensions — corpus deduplication.
 
-EXT ops (the reference has no corpus tooling): exact dedup by content hash
-and near-dup candidate generation by MinHash-LSH. Both follow the
-cross-engine determinism convention of SURVEY §2.K: hashes are md5/sha2 of
-UTF-8 strings, identical bit-for-bit in Spark and DuckDB, so even the
-"approximate" MinHash op has an EXACT oracle.
+EXT ops (the reference has no corpus tooling): exact-hash dedup,
+MinHash-LSH near-dup, SimHash near-dup, and LSH-candidate exact-Jaccard
+verification. All follow the cross-engine determinism convention of SURVEY
+§2.K: hash families are md5/sha2 of UTF-8 strings, identical bit-for-bit
+in Spark and DuckDB, so even the "approximate" ops have EXACT oracles.
 
 Scale notes (100 TB):
 - dedup_exact is one groupBy on a 256-bit hash — perfectly distributed
-  shuffle key, map-side combine collapses most duplicates before the wire.
-- dedup_near_minhash is deliberately the LSH-bucketed shape, not pairwise
-  Jaccard: docs are joined through their (seed, min-signature) buckets, so
-  cost is Σ bucket² over matching signatures, not n² over the corpus
-  (SURVEY §2.K / ADVICE r1 — an all-pairs form is graded weak even when it
-  matches). Buckets are md5 values → uniformly distributed join keys; a
-  popular shingle set (boilerplate) shows up as a hot bucket, which AQE's
-  skew-join split handles at scale.
+  shuffle key, map-side combine collapses duplicates before the wire.
+- MinHash signatures are computed ARRAY-SIDE per document (no explode;
+  ``array_min`` is duplicate-insensitive so no O(k²) ``array_distinct``
+  either), after a hash-repartition that spreads the interpreted md5
+  lambdas across cores.
+- Candidate generation is BANDED (4 bands × 4 sigs hashed to one band
+  key), not per-seed bucket joins: a single hyper-common shingle makes one
+  seed's min collide across thousands of docs (a 3866-doc bucket at sf0.1
+  → 15M join rows); requiring 4 simultaneous mins to agree collapses those
+  degenerate buckets while keeping true near-dup families. This is the
+  standard LSH answer to hot buckets, and the op's DEFINITION (oracle
+  included) is the banded one.
+- Verification never fans out: shared-signature counts compare the two
+  16-column signature rows directly; Jaccard runs only on band candidates.
 """
 
 from __future__ import annotations
@@ -27,7 +33,97 @@ from ..catalog import load
 from ..registry import op
 
 N_HASHES = 16  # MinHash signature length
-N_SHARED_MIN = 8  # pair threshold: ≥8/16 signatures shared
+N_BANDS = 4  # 4 bands × 4 sigs each
+N_SHARED_MIN = 8  # near-dup verdict: ≥8/16 signatures shared
+JACCARD_MIN = 0.5
+
+_SHINGLE_SQL_SPARK = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"
+_SHINGLE_SQL_DUCK = "list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"
+
+# The shared signature/band/candidate construction, mirrored in both
+# dialects and assembled programmatically so the two stay in lockstep.
+_SIG_COLS_DUCK = ",\n             ".join(
+    f"list_aggregate(list_transform({_SHINGLE_SQL_DUCK}, x -> md5('{s}|' || x)), 'min') AS s{s}"
+    for s in range(N_HASHES)
+)
+_BAND_KEYS_DUCK = " ".join(
+    f"WHEN {b} THEN md5(" + " || '|' || ".join(f"s{4 * b + j}" for j in range(4)) + ")"
+    for b in range(N_BANDS)
+)
+_N_SHARED_DUCK = " + ".join(f"(CASE WHEN a.s{s} = b.s{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES))
+
+_CAND_CTE_DUCK = f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_SIG_COLS_DUCK}
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, b.b, CASE b.b {_BAND_KEYS_DUCK} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+"""
+
+
+def minhash_sig_wide(doc_df: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): the 16 MinHash signatures, computed array-side.
+
+    The input is hash-repartitioned first: higher-order md5 lambdas are
+    CodegenFallback (interpreted), and the documents scan arrives as a
+    single partition at test scale — without the repartition all ~24M md5
+    evaluations (sf0.1) land on one core. On a real corpus the scan has
+    thousands of splits and the exchange is cheap insurance."""
+    sig_exprs = [
+        f"array_min(transform({_SHINGLE_SQL_SPARK}, x -> md5(concat('{s}|', x)))) AS s{s}"
+        for s in range(N_HASHES)
+    ]
+    return doc_df.repartition(64, "doc_id").selectExpr("doc_id", *sig_exprs)
+
+
+def minhash_signatures(doc_df: DataFrame) -> DataFrame:
+    """(doc_id, seed, sig) long form of minhash_sig_wide (via ``stack``)."""
+    stack_args = ", ".join(f"{s}, s{s}" for s in range(N_HASHES))
+    return minhash_sig_wide(doc_df).selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack_args}) as (seed, sig)"
+    )
+
+
+def minhash_candidates(doc_df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, s-columns of both) — distinct pairs sharing ≥1 of 4
+    band keys (each key = md5 of 4 consecutive sigs). Bucket join on the
+    band key; Σ bucket² stays small because all 4 mins must agree."""
+    wide = minhash_sig_wide(doc_df)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"s{4 * b + j}") for j in range(4)]))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = wide.select(
+        "doc_id",
+        *[f"s{s}" for s in range(N_HASHES)],
+        F.posexplode(band_keys).alias("b", "band_key"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            *[F.col(f"x.s{s}").alias(f"a_s{s}") for s in range(N_HASHES)],
+            *[F.col(f"y.s{s}").alias(f"b_s{s}") for s in range(N_HASHES)],
+        )
+        .distinct()
+    )
 
 
 @op(
@@ -50,187 +146,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(doc_df: DataFrame) -> DataFrame:
-    """(doc_id, seed, sig): 16 MinHash signatures over the doc's distinct
-    5-char shingles, sig = min over shingles of md5(seed || '|' || shingle).
-
-    The shingle set is built array-side (sequence+transform+array_distinct,
-    no python), exploded once, fanned out ×16 seeds, and min-aggregated —
-    a single explode→groupBy pipeline with map-side combine.
-    """
-    shingles = F.expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-    )
-    return (
-        doc_df.select("doc_id", F.explode(shingles).alias("shingle"))
-        .select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
-    )
-
-
 @op(
     "dedup_near_minhash",
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-                                                 i -> substring(text, i, 5)))) AS shingle
-      FROM documents
-    ), sig AS (
-      SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS sig
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
-      GROUP BY doc_id, s.seed
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-    FROM sig a JOIN sig b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= 8
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    SELECT c.doc_a, c.doc_b, CAST({_N_SHARED_DUCK} AS BIGINT) AS n_shared
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    WHERE {_N_SHARED_DUCK} >= {N_SHARED_MIN}
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates: pairs of docs sharing ≥8 of 16 MinHash signatures
-    (5-char shingles, md5 hash family — SURVEY §2.K convention).
-
-    LSH-bucketed: the self-join runs on (seed, sig) buckets, never on doc
-    pairs, so corpus-size n never appears squared. At sf0.01 this yields 81
-    candidate pairs out of 124,750 possible."""
+    """Near-dup pairs by banded MinHash-LSH: candidates share ≥1 of 4 band
+    keys (md5 of 4 consecutive sigs), verified by ≥8/16 total shared
+    signatures — counted by comparing the two signature rows directly, no
+    per-seed fan-out. 5-char shingles, md5 hash family (SURVEY §2.K)."""
     d = load(spark, sf_dir).documents
-    sig = minhash_signatures(d)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    cand = minhash_candidates(d)
+    n_shared = sum(
+        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        cand.withColumn("n_shared", n_shared.cast("bigint"))
         .where(F.col("n_shared") >= N_SHARED_MIN)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-2 extensions: SimHash near-dup and LSH-candidate exact-Jaccard
-# verification — the remaining members of the dedup family a training-data
-# pipeline needs (exact / MinHash-LSH / SimHash / n-gram Jaccard).
-# ---------------------------------------------------------------------------
-
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 4 bands × 8 bits → candidates share ≥1 identical band
-SIMHASH_MAX_HAMMING = 6
-
-
-@op(
-    "dedup_simhash",
-    oracle="""
-    WITH tf AS (
-      SELECT doc_id, token, count(*) AS w
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-      GROUP BY doc_id, token
-    ), contrib AS (
-      SELECT doc_id, i.i,
-             sum(w * (2 * ((strpos('0123456789abcdef', substring(md5(token), i.i, 1)) - 1) % 2) - 1)) AS s
-      FROM tf CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) i
-      GROUP BY doc_id, i.i
-    ), sh AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS simhash
-      FROM contrib GROUP BY doc_id
-    ), banded AS (
-      SELECT doc_id, simhash, b.b, (simhash >> ((b.b - 1) * 8)) & 255 AS band_val
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b) b
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS ha, b.simhash AS hb
-      FROM banded a JOIN banded b
-        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit token-frequency-weighted signature (bit i =
-    sign of Σ tf·(±1) where ±1 is the parity of md5(token)'s i-th hex digit
-    — the md5-derived hash family keeps both engines bit-identical), banded
-    4×8 bits for LSH candidate generation, exact Hamming ≤ 6 as the verdict.
-
-    Scale: signatures are one explode(32)→groupBy pipeline; candidates join
-    through (band, band_value) buckets — n never appears squared. Hamming
-    distance on 32-bit ints is a single xor+bit_count, trivially cheap at
-    rescore time."""
-    d = load(spark, sf_dir).documents
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("w"))
-    )
-    digit = F.expr("instr('0123456789abcdef', substring(md5(token), i, 1)) - 1")
-    contrib = (
-        tf.select("doc_id", "token", "w", F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("i"))
-        .select("doc_id", "i", (F.col("w") * (2 * (digit % 2) - 1)).alias("c"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum("c").alias("s"))
-    )
-    sh = contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i - 1)")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BANDS))).alias("b"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, (b - 1) * 8) & 255"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.expr("bit_count(ha ^ hb)").cast("int")
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= SIMHASH_MAX_HAMMING
+        .select("doc_a", "doc_b", "n_shared")
     )
 
 
 @op(
     "dedup_jaccard_verify",
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
-                                                 i -> substring(text, i, 5)))) AS shingle
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    , sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL_DUCK}) AS shingle
       FROM documents
-    ), sig AS (
-      SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS sig
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
-      GROUP BY doc_id, s.seed
-    ), cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) >= 6
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -245,33 +195,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {JACCARD_MIN}
     """,
 )
 def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH-then-verify pattern: MinHash candidates (≥6/16 shared sigs —
-    a looser net than dedup_near_minhash's ≥8) get their EXACT 5-gram-shingle
-    Jaccard computed, keeping pairs ≥ 0.5. This is the 100 TB shape for
-    n-gram-Jaccard dedup: the exact set intersection runs only on
-    LSH-surfaced candidates (thousands), never all n² pairs."""
+    """The LSH-then-verify pattern: banded-MinHash candidates get their
+    EXACT 5-gram-shingle Jaccard computed (shingle-set intersection via
+    join), keeping pairs ≥ 0.5 — the 100 TB shape for n-gram-Jaccard dedup:
+    the exact set intersection runs only on LSH-surfaced candidates,
+    never all n² pairs. Shingle sets are explode+``.distinct()`` (shuffle
+    dedup), not O(k²) ``array_distinct``."""
     d = load(spark, sf_dir).documents
-    shingles = F.expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = minhash_signatures(d)
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 6)
-        .select("doc_a", "doc_b")
+    cand = minhash_candidates(d).select("doc_a", "doc_b")
+    sh = (
+        d.repartition(64, "doc_id")
+        .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
+        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     x, y = sh.alias("x"), sh.alias("y")
@@ -286,6 +225,127 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
         .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .where(jac >= 0.5)
+        .where(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, two md5s per token, 4×16-bit band LSH)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 6
+
+
+@op(
+    "dedup_simhash",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), contrib AS (
+      SELECT doc_id, i.i,
+             sum(w * (2 * ((strpos('0123456789abcdef',
+                     CASE WHEN i.i <= 32 THEN substring(md5(token), i.i, 1)
+                          ELSE substring(md5('x' || token), i.i - 32, 1) END) - 1) % 2) - 1)) AS s
+      FROM tf CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY doc_id, i.i
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 AND i <= 32 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN s > 0 AND i > 32 THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS w2
+      FROM contrib GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, w1, w2, b.b,
+             CASE b.b WHEN 1 THEN w1 & 65535 WHEN 2 THEN w1 >> 16
+                      WHEN 3 THEN w2 & 65535 ELSE w2 >> 16 END AS band_val
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.w1 AS w1a, a.w2 AS w2a, b.w1 AS w1b, b.w2 AS w2b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(w1a, w1b)) + bit_count(xor(w2a, w2b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(w1a, w1b)) + bit_count(xor(w2a, w2b)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit token-frequency-weighted signature (bit i =
+    sign of Σ tf·(±1), where ±1 is the parity of the i-th hex digit of
+    md5(token) for bits 1-32 and of md5('x'||token) for bits 33-64 — the
+    md5 family keeps both engines bit-identical), stored as two 32-bit
+    words, banded 4×16 bits for LSH candidates, exact Hamming ≤ 6.
+
+    Plan shape (the 100 TB concern): per-token sign vectors are computed
+    ONCE for the (small) vocabulary and broadcast-joined to the tf table;
+    the 64 bit-sums are 64 aggregate columns over the tf rows — map-side
+    combine, no ×64 row fan-out, no shuffle wider than #docs rows.
+    Candidates come from (band, value) bucket joins, never n²; Hamming on
+    two 32-bit words is two xor+bit_count ops at rescore."""
+    d = load(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("w"))
+    )
+    signs = F.expr(
+        "transform(sequence(1, 64), i -> CASE WHEN i <= 32"
+        " THEN 2 * ((instr('0123456789abcdef', substring(md5(token), i, 1)) - 1) % 2) - 1"
+        " ELSE 2 * ((instr('0123456789abcdef', substring(md5(concat('x', token)), i - 32, 1)) - 1) % 2) - 1 END)"
+    )
+    tokbits = tf.select("token").distinct().select("token", signs.alias("signs"))
+    joined = tf.join(F.broadcast(tokbits), "token").select("doc_id", "w", "signs")
+    wide = joined.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("w") * F.element_at("signs", i + 1)).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    w1_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    w2_expr = " + ".join(
+        f"(CASE WHEN s{i + 32} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    sh = wide.selectExpr("doc_id", f"({w1_expr}) AS w1", f"({w2_expr}) AS w2")
+    banded = sh.select(
+        "doc_id",
+        "w1",
+        "w2",
+        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BANDS))).alias("b"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE b WHEN 1 THEN w1 & 65535 WHEN 2 THEN shiftright(w1, 16)"
+            " WHEN 3 THEN w2 & 65535 ELSE shiftright(w2, 16) END"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.w1").alias("w1a"),
+            F.col("a.w2").alias("w2a"),
+            F.col("b.w1").alias("w1b"),
+            F.col("b.w2").alias("w2b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(w1a ^ w1b) + bit_count(w2a ^ w2b)").cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
     )

@@ -296,7 +296,9 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast rescoring (see sim_cosine_knn docstring)."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir).embeddings
+    # repartition: posexplode + interpreted folds off a one-split scan at
+    # test scale would otherwise run single-core
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
     one = spark.range(1)
     weights = (
         one.select(F.explode(F.sequence(F.lit(1), F.lit(LSH_TABLES * LSH_BITS))).alias("j"))

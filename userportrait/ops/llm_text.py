@@ -308,7 +308,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide stage and combines map-side."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir).documents
+    # repartition: trigram explode is generated single-core off a one-split
+    # scan at test scale (see minhash_sig_wide note)
+    d = load(spark, sf_dir).documents.repartition(64, "doc_id")
     tri = d.select(
         "doc_id",
         "lang",
@@ -358,7 +360,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, bit-identical to DuckDB's list_reduce) plus the winnowing-style
     minimum shingle-md5. Content-defined identity for cheap re-crawl
     dedup; one narrow map stage, no shuffle at all."""
-    d = load(spark, sf_dir).documents
+    # repartition: the per-char fold is interpreted (CodegenFallback) and the
+    # scan is one split at test scale — spread it across cores
+    d = load(spark, sf_dir).documents.repartition(64, "doc_id")
     chars = F.expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))")
     rolling = F.aggregate(chars, F.lit(0).cast("bigint"), lambda a, c: (a * 31 + c) % 1000000007)
     shingle_md5s = F.expr(
