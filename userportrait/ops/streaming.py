@@ -279,3 +279,60 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(spark, dedup, "dedup")
     return out.where(F.col("event_type") != _SENTINEL_TYPE)
+
+
+@op(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, exact decimal sum) state, one emission per key per
+    microbatch. The staged replay delivers all real events in one batch, so
+    the final table is one row per user with full totals — equal to the
+    batch group-by oracle.
+
+    Exactness across engines: values are cast DECIMAL(38,4) Spark-side
+    (arriving in pandas as ``Decimal`` objects), summed exactly in Python,
+    carried in state as a string, and converted to double ONCE at emission
+    — SURVEY §2.0 rule 1 threaded through arbitrary user state. State size
+    is O(#users), evicted by the state store at scale; this is the escape
+    hatch for streaming semantics the built-in window/dedup operators
+    can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+
+    def track(key, pdfs, state: GroupState):
+        from decimal import Decimal
+
+        n, s = state.get if state.exists else (0, "0")
+        total = Decimal(s)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += sum(pdf["v"], Decimal(0))
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
+        )
+
+    grouped = src.select(
+        "user_id", F.col("value").cast("decimal(38,4)").alias("v")
+    ).groupBy("user_id")
+    out = grouped.applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, s string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_table(spark, out, "custom_state")
+    return result.where(F.col("user_id") >= 0)
