@@ -50,3 +50,10 @@ def test_minhash_join_is_hash_based_not_nested_loop(spark):
     plan = _plan(spark, "dedup_near_minhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    # range-binned interval join: bucket equi-key => BroadcastHashJoin
+    plan = _plan(spark, "join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

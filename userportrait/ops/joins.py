@@ -289,16 +289,23 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment join: orders into derived quarter windows.
 
-    The interval side is tiny (≤27 quarters) so Spark broadcasts it and the
-    range predicate is evaluated stream-side — the right plan at scale too
-    (calendar dims stay small no matter the fact size)."""
+    Range-only join conditions force BroadcastNestedLoopJoin (every stream
+    row probes every interval). The scale-safe rewrite is range BINNING:
+    add a redundant bucket equi-key — here ``date_trunc('quarter', ts) ==
+    q_start``, exact because the intervals are quarter-aligned — so the
+    plan becomes a BroadcastHashJoin (asserted in tests/test_plans.py) with
+    the range predicate as a residual filter. For OVERLAPPING intervals the
+    same pattern explodes each interval into the bins it covers first; the
+    probe side still hash-routes to one bucket."""
     t = load(spark, sf_dir)
     # q derives from orders and joins back to orders: alias both sides so the
     # range predicate resolves against the correct lineage (self-join trap).
     q = t.orders.select(F.date_trunc("quarter", "o_orderdate").alias("q_start")).distinct().alias("q")
     o = t.orders.alias("o")
-    cond = (F.col("o.o_orderdate") >= F.col("q.q_start")) & (
-        F.col("o.o_orderdate") < F.col("q.q_start") + F.expr("INTERVAL 3 MONTH")
+    cond = (
+        (F.date_trunc("quarter", F.col("o.o_orderdate")) == F.col("q.q_start"))
+        & (F.col("o.o_orderdate") >= F.col("q.q_start"))
+        & (F.col("o.o_orderdate") < F.col("q.q_start") + F.expr("INTERVAL 3 MONTH"))
     )
     return (
         F.broadcast(q)
