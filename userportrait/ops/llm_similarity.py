@@ -367,3 +367,157 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+@op(
+    "dedup_embed_cosine",
+    oracle=_ORACLE_SIMS_CTE
+    + """
+    SELECT vec_id FROM e
+    WHERE vec_id NOT IN (
+      SELECT vec_id FROM sims WHERE neighbor_id < vec_id AND sim >= 0.45
+    )
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: a vector survives unless a
+    SMALLER-id vector lies within cosine ≥ 0.45 (min-id survivor per
+    near-dup relation — the semantic-dedup step of a training-data
+    pipeline, run on embeddings instead of text). Same broadcast-index
+    blocked matmul as sim_cosine_knn; each batch emits only its surviving
+    ids. The LSH/IVF variants bound the scan when the index outgrows a
+    broadcast."""
+    bc = _broadcast_index(spark, sf_dir)
+
+    def emit(np, pd, qids, aids, sims):
+        dominated = ((aids[None, :] < qids[:, None]) & (sims >= SIM_THRESHOLD)).any(axis=1)
+        return pd.DataFrame({"vec_id": qids[~dominated]})
+
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    return q.mapInPandas(_query_batches(bc, emit), "vec_id bigint")
+
+
+_IVF_NPROBE = 2
+
+_ORACLE_IVF = """
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), cx AS (  -- decimal-exact label centroids (same construction as embed_label_centroid)
+      SELECT label, p.pos,
+             CAST(CAST(sum(CAST(v[p.pos] AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_val
+      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      GROUP BY label, p.pos
+    ), cent AS (
+      SELECT label AS cell, list(mean_val ORDER BY pos) AS c FROM cx GROUP BY label
+    ), vn AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), cn AS (
+      SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cent
+    ), vc AS (  -- vector-to-centroid cosine
+      SELECT vn.vec_id, cn.cell,
+             list_sum(list_transform(list_zip(vn.v, cn.c), p -> p[1] * p[2])) / (vn.nrm * cn.cnrm) AS csim
+      FROM vn CROSS JOIN cn
+    ), assign AS (  -- each vector lives in its nearest cell
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM vc
+      ) WHERE rn = 1
+    ), probes AS (  -- each query searches its 2 nearest cells
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM vc
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    ), scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM cand c JOIN vn a ON a.vec_id = c.vec_id JOIN vn b ON b.vec_id = c.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@op("sim_knn_ivf", oracle=_ORACLE_IVF)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via an IVF layout: coarse
+    centroids are the (decimal-exact, deterministic) per-label mean
+    vectors, every vector is assigned to its nearest cell, and each query
+    probes its 2 nearest cells — exact cosine rescoring within the probed
+    cells only. Complements sim_knn_lsh: IVF for clustered corpora, LSH
+    for unstructured ones; both oracle-EXACT because the quantizer itself
+    is deterministic.
+
+    Scale: candidates per query ≈ nprobe × (n/cells); centroids stay tiny
+    (cells × dim) → broadcast; the cell join is a hash join on cell id.
+    At 100 TB the cells come from a seeded KMeans instead of labels and
+    each cell's members are co-partitioned by cell id — the plan is
+    unchanged."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.mean_val).alias("c"),
+        )
+        .withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+    )
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    vc = vn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cell")
+    probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("vec_id", "cell")
+
+    p, a = probes.alias("p"), assign.alias("a")
+    cand = p.join(
+        a, (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vec_id") != F.col("p.vec_id"))
+    ).select(F.col("p.vec_id").alias("vec_id"), F.col("a.vec_id").alias("neighbor_id"))
+
+    na, nb = vn.alias("na"), vn.alias("nb")
+    c = cand.alias("c")
+    scored = (
+        c.join(na, F.col("na.vec_id") == F.col("c.vec_id"))
+        .join(nb, F.col("nb.vec_id") == F.col("c.neighbor_id"))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.neighbor_id").alias("neighbor_id"),
+            (
+                agg_sum(F.zip_with(F.col("na.v"), F.col("nb.v"), lambda x, y: x * y))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("sim"),
+        )
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
