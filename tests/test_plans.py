@@ -57,3 +57,10 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     plan = _plan(spark, "join_interval")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    # both sides bucketed by the join key => SortMergeJoin with ZERO Exchange
+    plan = _plan(spark, "sink_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -152,3 +152,64 @@ def catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY region_name
         """
     )
+
+
+@op(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write supplier to ORC, read back with explicit schema — the
+    third columnar format of the source surface (parquet/CSV/JSON/ORC).
+    Oracle compares against the parquet original: lossless roundtrip."""
+    path = _scratch("orc_roundtrip")
+    read_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return spark.read.schema(SCHEMAS["supplier"]).orc(path)
+
+
+@op(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB shuffle-elimination layout.
+
+    Both fact tables are written bucketed (16 buckets) AND sorted by the
+    join key via ``bucketBy().sortBy().saveAsTable``; reading them back,
+    the join plans with NO Exchange and NO Sort on either side (asserted in
+    tests/test_plans.py) — bucket-to-bucket merge join, and the groupBy on
+    the same key needs no further shuffle. At warehouse scale this is how
+    repeated fact-fact joins amortize their shuffle once at write time."""
+    warehouse = _scratch("bucketed")
+    for table, src, key in (
+        ("orders_bucketed", "orders", "o_orderkey"),
+        ("lineitem_bucketed", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            read_table(spark, sf_dir, src)
+            .write.mode("overwrite")
+            .option("path", os.path.join(warehouse, table))
+            .bucketBy(16, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+    o = spark.table("orders_bucketed")
+    li = spark.table("lineitem_bucketed")
+    # hint("merge"): at test scale AQE would broadcast the small side, hiding
+    # the property under test; at warehouse scale SMJ is the natural choice.
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("revenue"),
+        )
+    )
