@@ -79,7 +79,10 @@ def main() -> int:
             fn(spark, SF_DIR).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-    sf = float(os.path.basename(os.path.normpath(SF_DIR)).removeprefix("sf") or "0.1")
+    import re
+
+    m = re.match(r"sf([0-9.]+)", os.path.basename(os.path.normpath(SF_DIR)))
+    sf = float(m.group(1)) if m else -1.0
     print(
         json.dumps(
             {

@@ -72,7 +72,9 @@ def _broadcast_index(spark: SparkSession, sf_dir: str):
 
 def _query_batches(bc, fn):
     """mapInPandas kernel: per Arrow batch, normalize queries, one blocked
-    matmul against the broadcast index, then delegate row emission to fn."""
+    matmul against the broadcast index, then delegate row emission to fn.
+    Callers repartition the query side first — a single-file scan is one
+    partition, which would serialize the whole matmul into one worker."""
     import numpy as np
     import pandas as pd
 
@@ -122,7 +124,7 @@ def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding").repartition(64, "vec_id")
     out = q.mapInPandas(_query_batches(bc, emit), "vec_id bigint, neighbor_id bigint, sim double")
     return out.select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
 
@@ -148,7 +150,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": qids[qi], "vec_b": aids[ai], "sim": sims[qi, ai]}
         )
 
-    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding").repartition(64, "vec_id")
     out = q.mapInPandas(_query_batches(bc, emit), "vec_a bigint, vec_b bigint, sim double")
     return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
 
@@ -393,7 +395,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominated = ((aids[None, :] < qids[:, None]) & (sims >= SIM_THRESHOLD)).any(axis=1)
         return pd.DataFrame({"vec_id": qids[~dominated]})
 
-    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding").repartition(64, "vec_id")
     return q.mapInPandas(_query_batches(bc, emit), "vec_id bigint")
 
 
