@@ -60,12 +60,23 @@ SCHEMAS: dict[str, str] = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table with its explicit schema; fix events.ts ns->us."""
+    """Read one driver table with its explicit schema; fix events.ts ns->us.
+
+    events.ts appears in the wild in two physical layouts: the driver's raw
+    int64 nanosecond count (surfaced as bigint under nanosAsLong), and a
+    plain parquet timestamp (e.g. data this engine wrote back out). Sniff
+    one footer and branch so both load identically.
+    """
     apply_session_confs(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema.fields}
+        if inferred.get("ts") == "bigint":
+            df = spark.read.schema(SCHEMAS[name]).parquet(path)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        schema = SCHEMAS[name].replace("ts bigint", "ts timestamp")
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
