@@ -74,3 +74,42 @@ def test_window_top1_equals_groupby_max(spark):
     assert len(top) > 0
     for r in top:
         assert r.top_price == want[r.o_custkey], r.o_custkey
+
+
+def test_cc_clusters_contain_every_neardup_pair(spark):
+    """Connected components must be a coarsening of the near-dup pair
+    relation: both endpoints of every dedup_near_minhash pair share a
+    cluster_id, and cluster_size is consistent with the label counts."""
+    labels = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in OPS["dedup_cc_clusters"].fn(spark, SF_DIR).collect()
+    }
+    pairs = OPS["dedup_near_minhash"].fn(spark, SF_DIR).collect()
+    for p in pairs:
+        assert labels[p.doc_a][0] == labels[p.doc_b][0], (p.doc_a, p.doc_b)
+    from collections import Counter
+
+    by_cluster = Counter(cid for cid, _ in labels.values())
+    for cid, size in labels.values():
+        assert by_cluster[cid] == size
+
+
+def test_embed_quantize_bounds_and_stratified_rates(spark):
+    """Quantized codes stay in [-127, 127]; stratified sample rates land
+    near their md5-cutoff expectations per stratum."""
+    q = OPS["embed_quantize"].fn(spark, SF_DIR).collect()
+    assert len(q) > 0
+    for r in q:
+        assert all(-127 <= v <= 127 for v in r.qvec), r.vec_id
+    t = load(spark, SF_DIR)
+    total = {r.o_orderstatus: r.n for r in t.orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.o_orderstatus: r.n
+        for r in OPS["sample_stratified"].fn(spark, SF_DIR).groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    from userportrait.ops.pipeline_ext import _STRATA_CUTS
+
+    for status, cut in _STRATA_CUTS.items():
+        if status in total and total[status] >= 50:
+            rate = kept.get(status, 0) / total[status]
+            assert abs(rate - cut / 256) < 0.2, (status, rate)

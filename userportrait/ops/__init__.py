@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     multimodal,
     streaming,
     udfs,
+    pipeline_ext,
 )
 
 ALL_MODULES = [
@@ -37,4 +38,5 @@ ALL_MODULES = [
     multimodal,
     streaming,
     udfs,
+    pipeline_ext,
 ]

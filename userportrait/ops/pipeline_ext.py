@@ -1,0 +1,470 @@
+"""Round-2 pipeline extensions, batch 2 — the remaining operations a
+large-scale training-data / analytics pipeline needs beyond §2.A–§2.M:
+batch sessionization, deterministic stratified sampling, unpivot,
+correlated subqueries, salted skew joins, duplicate-cluster connected
+components, PII redaction, document chunking, embedding quantization, and
+edit-distance near-dup verification.
+
+All ops follow the SURVEY §2.0 determinism rules (md5 hash family shared
+across engines, decimal-exact sums, unique-key tie-breaks) and carry EXACT
+DuckDB oracles.
+
+Scale notes (100 TB):
+- sessionize_events is ONE shuffle on user_id (window + groupBy share the
+  partitioning; Catalyst reuses the exchange).
+- sample_stratified is a pure map-side filter on an md5-derived uniform
+  hash — no shuffle, no RNG divergence between plan retries (deterministic
+  sampling is what you want at scale: re-running a failed stage must not
+  change the sample).
+- join_skew_salted shows the standard hot-key mitigation: the skewed probe
+  side gets a deterministic salt, the build side is exploded ×SALT, so one
+  hot orderkey spreads over SALT reducers instead of one.
+- dedup_cc_clusters is iterative min-label propagation (the distributed
+  connected-components shape); each round is one join + one groupBy on
+  doc_id, lineage cut by localCheckpoint so plans stay O(1) per round.
+- text_pii_redact / doc_chunking are single-pass narrow maps (regex /
+  slice) — they pipeline with the scan, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import op
+from .llm_dedup import N_HASHES, N_SHARED_MIN, _CAND_CTE_DUCK, _N_SHARED_DUCK, minhash_candidates
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@op(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), marked AS (
+      SELECT user_id, event_id, value, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, value, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30 min inactivity
+    (lag + running-sum-of-boundaries), then per-session rollup. The batch
+    twin of stream_session. One shuffle: the user_id window partitioning is
+    reused by the groupBy."""
+    e = load(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select("user_id", "event_id", "value", us.alias("us")).withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+    )
+
+
+# Per-stratum keep-cutoffs out of 256 (md5-uniform byte): F 25%, O 50%, P ~91%.
+_STRATA_CUTS = {"F": 64, "O": 128, "P": 232}
+
+
+@op(
+    "sample_stratified",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS hb
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM h
+    WHERE hb < CASE o_orderstatus WHEN 'F' THEN {_STRATA_CUTS["F"]}
+                                  WHEN 'O' THEN {_STRATA_CUTS["O"]}
+                                  ELSE {_STRATA_CUTS["P"]} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-status rates via the first
+    md5 byte of the key (uniform in 0..255). Hash-based, not rand()-based:
+    the sample is stable under stage retries and engine changes — a hard
+    requirement for reproducible training-data splits. Pure map, no
+    shuffle."""
+    o = load(spark, sf_dir).orders
+    hb = F.expr(
+        "(instr('0123456789abcdef', substring(md5(cast(o_orderkey as string)), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(cast(o_orderkey as string)), 2, 1)) - 1)"
+    )
+    cut = (
+        F.when(F.col("o_orderstatus") == "F", _STRATA_CUTS["F"])
+        .when(F.col("o_orderstatus") == "O", _STRATA_CUTS["O"])
+        .otherwise(_STRATA_CUTS["P"])
+    )
+    return o.filter(hb < cut).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@op(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of agg_pivot) via the native
+    ``DataFrame.unpivot`` — narrow ×k row fan-out, no shuffle."""
+    p = load(spark, sf_dir).part
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+@op(
+    "subq_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance), written as real SQL so Catalyst's subquery decorrelation is
+    exercised — the optimizer rewrites it to the aggregate+join we'd write
+    by hand. Decimal-exact sum / bigint count → bitwise-stable double."""
+    load(spark, sf_dir).customer.createOrReplaceTempView("customer_subq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer_subq c
+        WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+          FROM customer_subq c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+SALT = 8
+
+
+@op(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated big-big join: the fact side carries a deterministic
+    salt (l_linenumber % 8), the other side is exploded ×8, and the join
+    key becomes (orderkey, salt) — a hot orderkey now spreads over 8
+    reducers instead of hot-spotting one. Semantics identical to the plain
+    equi-join (the oracle IS the plain join). At 100 TB this is the manual
+    fallback when AQE skew-join can't split a single key."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.withColumn("salt", (F.col("l_linenumber") % SALT).cast("int"))
+    o = t.orders.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt")
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("sum_qty"),
+        )
+    )
+
+
+@op(
+    "dedup_cc_clusters",
+    oracle=_CAND_CTE_DUCK.replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+      WHERE {_N_SHARED_DUCK} >= {N_SHARED_MIN}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+    ), labels AS (
+      SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (banded-MinHash pairs with ≥8/16 shared sigs, the
+    dedup_near_minhash edge set), labels = min doc_id per component via
+    iterative min-label propagation to fixpoint. This is the step after
+    pairwise dedup that real corpus pipelines need — transitive families
+    A~B~C collapse to one cluster even when A,C were never a candidate
+    pair. Oracle: DuckDB recursive-CTE transitive closure (exact same
+    fixpoint).
+
+    Scale shape: each round = join(labels, edges) + groupBy(min) — two
+    shuffles on doc_id, convergence in O(component diameter) rounds (dup
+    families are shallow; ≤20 capped). localCheckpoint cuts lineage so
+    round N's plan doesn't replay rounds 1..N-1; the convergence probe is
+    a scalar agg, not a collect of data rows."""
+    d = load(spark, sf_dir).documents
+    n_shared = sum(
+        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
+    pairs = (
+        minhash_candidates(d)
+        .withColumn("n_shared", n_shared)
+        .where(F.col("n_shared") >= N_SHARED_MIN)
+        .select("doc_a", "doc_b")
+    )
+    # Materialize the (small) edge list once so the per-round plans below
+    # reference a cached leaf, not the 16-signature LSH plan. persist(), not
+    # localCheckpoint(): checkpointing this plan forces an RDD conversion of
+    # the whole LSH self-join, which blows up plan analysis.
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst").persist()
+    edges.count()
+    # Iterate only over nodes that appear in the dup graph — at corpus scale
+    # that's ≪ the corpus; untouched docs join back as singletons at the end.
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn("lab", F.col("doc_id"))
+    prev_sum = None
+    for _ in range(20):
+        neighbor = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "lab")
+        )
+        labels = (
+            labels.union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    singletons = (
+        d.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("lab", F.col("doc_id"))
+    )
+    all_labels = labels.union(singletons)
+    sizes = all_labels.groupBy("lab").agg(F.count("*").cast("bigint").alias("cluster_size"))
+    return (
+        all_labels.join(F.broadcast(sizes), "lab")
+        .select("doc_id", F.col("lab").cast("bigint").alias("cluster_id"), "cluster_size")
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@op(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count + redact email / phone patterns
+    (deterministic synthetic PII is appended first — the corpus is
+    word-salad — so the regexes have real work to do). Single-pass narrow
+    map; regex family restricted to syntax with identical Java/RE2
+    semantics. Output carries md5(redacted) so the full redacted text is
+    verified without shipping it."""
+    d = load(spark, sf_dir).documents
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@op(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS BIGINT) AS chunk_len,
+           md5(array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training data: 64-token chunks at
+    stride 48 (16-token overlap), emitted via posexplode over the stride
+    grid — a narrow ×⌈n/48⌉ fan-out that pipelines with the scan. Chunk
+    text verified by md5 (oracle computes identical slices)."""
+    d = load(spark, sf_dir).documents
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")).alias("chunk_idx", "start"),
+    )
+    chunk = F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})")
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@op(
+    "embed_quantize",
+    oracle="""
+    WITH mm AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+             ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END) AS qvec,
+           round(mn, 4) AS scale_min, round(mx, 4) AS scale_max
+    FROM mm
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (per-vector min/max affine
+    map to [-127, 127]) — the standard 4× storage shrink before ANN
+    indexing. All arithmetic forced to double in the same operation order
+    on both engines → bitwise-identical rounding. Narrow map, no
+    shuffle."""
+    e = load(spark, sf_dir).embeddings
+    mm = e.select(
+        "vec_id",
+        "embedding",
+        F.expr("CAST(array_min(embedding) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(array_max(embedding) AS DOUBLE)").alias("mx"),
+    )
+    return mm.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CASE WHEN mx = mn THEN 0"
+            " ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END)"
+        ).alias("qvec"),
+        F.round("mn", 4).alias("scale_min"),
+        F.round("mx", 4).alias("scale_max"),
+    )
+
+
+EDIT_MAX = 12
+_LEN_BUCKET = 24
+_PREFIX = 40
+
+
+@op(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lang, n_chars // {_LEN_BUCKET} AS lb, substring(text, 1, {_PREFIX}) AS pre
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= {EDIT_MAX}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification with length/lang blocking:
+    candidate pairs come from equi-joinable blocks (lang, n_chars/24) —
+    never n² — and only 40-char prefixes feed the O(k²)-per-pair
+    levenshtein. The blocked-verify shape is what keeps char-level dedup
+    feasible at corpus scale; both engines share identical edit-distance
+    semantics."""
+    d = load(spark, sf_dir).documents
+    p = d.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {_LEN_BUCKET}").alias("lb"),
+        F.substring("text", 1, _PREFIX).alias("pre"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.pre"), F.col("b.pre"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= EDIT_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -314,3 +314,100 @@ def profile_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(";tier="), F.coalesce(F.col("balance_tier"), F.lit("none")),
     )
     return prof.select("c_custkey", render.alias("profile"))
+
+
+_US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+@op(
+    "tag_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), v AS (
+      SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.us) AS c_us
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.us) AS p_us
+      FROM e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    )
+    """,
+)
+def tag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp must follow the previous stage's FIRST occurrence (the
+    classic strictly-ordered funnel, not mere event presence). Three
+    same-key aggregations on user_id — the exchanges are reused, so at
+    scale this is one shuffle of the events table, and the final counts
+    are three scalar aggregates."""
+    e = (
+        load(spark, sf_dir)
+        .events.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("v_us"))
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    rows = [
+        v.agg(F.count("*").cast("bigint").alias("n_users")).select(F.lit("view").alias("stage"), "n_users"),
+        c.agg(F.count("*").cast("bigint").alias("n_users")).select(F.lit("view>click").alias("stage"), "n_users"),
+        p.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit("view>click>purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+@op(
+    "tag_retention",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_WEEK} AS week FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+    )
+    SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN cohort c ON c.user_id = w.user_id
+    GROUP BY c.cohort_week, w.week - c.cohort_week
+    """,
+)
+def tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by their first-activity
+    week (absolute epoch-week index — pure integer arithmetic, no
+    calendar-dialect drift), counted distinct per (cohort, weeks-since).
+    Cohort assignment and the retention groupBy both shuffle on user_id
+    first — one reusable partitioning — and the final (cohort, offset)
+    grid is tiny at any scale."""
+    e = load(spark, sf_dir).events.select(
+        "user_id", (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -336,3 +336,41 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = _run_to_table(spark, out, "custom_state")
     return result.where(F.col("user_id") >= 0)
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+    SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start, n.n_name,
+           CAST(count(*) AS BIGINT) AS cnt,
+           sum(CAST(e.value AS DECIMAL(38,4))) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a broadcast
+    customer⋈nation dimension BEFORE the windowed aggregation — the
+    standard streaming-enrichment topology (dim lookup per microbatch, no
+    stream-stream state). The sentinel row's user_id (-1) has no customer,
+    so the inner join drops it while its event time still advances the
+    watermark and flushes every real window. Oracle: the equivalent batch
+    star join + hourly rollup."""
+    from ..catalog import load
+
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+    t = load(spark, sf_dir)
+    dim = (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.window("ts", "1 hour"), "n_name").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+    )
+    out = _run_to_table(spark, agg, "static_join")
+    return out.select(F.col("window.start").alias("window_start"), "n_name", "cnt", "sum_value")
