@@ -468,3 +468,86 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_dist"),
         )
     )
+
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unroll PR_ITERS weighted-PageRank steps as DuckDB CTEs (contrib_k →
+    r_{k+1}); the Spark loop below computes the identical recurrence."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, sum(w) AS tw FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT n FROM (SELECT src AS n FROM edges UNION SELECT dst FROM edges)
+    ), r0 AS (
+      SELECT n, CAST(1.0 AS DOUBLE) AS r FROM nodes
+    )"""
+    ]
+    for k in range(PR_ITERS):
+        parts.append(f"""
+    , c{k} AS (
+      SELECT e.dst AS n, sum(r.r * e.w / o.tw) AS c
+      FROM edges e JOIN r{k} r ON r.n = e.src JOIN outw o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{k + 1} AS (
+      SELECT nodes.n, {1 - PR_DAMP} + {PR_DAMP} * coalesce(c{k}.c, 0) AS r
+      FROM nodes LEFT JOIN c{k} ON c{k}.n = nodes.n
+    )""")
+    parts.append(f"""
+    SELECT nat.n_nationkey, nat.n_name, round(r{PR_ITERS}.r, 6) AS pagerank
+    FROM r{PR_ITERS} JOIN nation nat ON nat.n_nationkey = r{PR_ITERS}.n
+    """)
+    return "".join(parts)
+
+
+@op("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 fixed iterations, d=0.85) over the nation
+    trade graph: edge (customer-nation → supplier-nation) weighted by
+    lineitem count. The expensive part at 100 TB is the edge extraction —
+    a 3-join rollup of the full fact table into a tiny graph; the
+    iterations then run on #nations rows. Double arithmetic diverges
+    between engines only at ~1e-15, absorbed by the final round(6); the
+    oracle unrolls the same recurrence as CTEs."""
+    t = load(spark, sf_dir)
+    edges = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, F.col("o_custkey") == t.customer.c_custkey)
+        .join(t.supplier, F.col("l_suppkey") == t.supplier.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist()
+    )
+    r = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r, edges.src == r.n)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("tw")).alias("c"))
+        )
+        r = nodes.join(contrib, nodes.n == contrib.dst, "left").select(
+            "n", (F.lit(1 - PR_DAMP) + F.lit(PR_DAMP) * F.coalesce("c", F.lit(0.0))).alias("r")
+        )
+    nat = load(spark, sf_dir).nation
+    return r.join(F.broadcast(nat), r.n == nat.n_nationkey).select(
+        "n_nationkey", "n_name", F.round("r", 6).alias("pagerank")
+    )

@@ -411,3 +411,56 @@ def tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@op(
+    "tag_audience_bitmap",
+    oracle="""
+    SELECT 'status_priority' AS grain, o_orderstatus, o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    UNION ALL
+    SELECT 'status', o_orderstatus, NULL,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def tag_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience sizing via bitmap indexes — the crowd-selection primitive
+    of a portrait engine. Customer ids are bucketed
+    (``bitmap_bucket_number``) and each (status, priority, bucket) group
+    builds a roaring-style bitmap; exact distinct = Σ per-bucket
+    ``bitmap_count``. The coarser per-status audience is derived by
+    ``bitmap_or_agg`` of the SAME level-1 bitmaps — no second scan of the
+    fact table, which is the whole point at 100 TB: distinct counts at
+    every rollup grain from one pass over raw ids. Oracle: plain
+    COUNT(DISTINCT) at both grains."""
+    o = load(spark, sf_dir).orders
+    lvl1 = o.groupBy(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    fine = (
+        lvl1.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers"))
+        .select(
+            F.lit("status_priority").alias("grain"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_customers",
+        )
+    )
+    coarse = (
+        lvl1.groupBy("o_orderstatus", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers"))
+        .select(
+            F.lit("status").alias("grain"),
+            "o_orderstatus",
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            "n_customers",
+        )
+    )
+    return fine.union(coarse)
