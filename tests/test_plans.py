@@ -64,3 +64,21 @@ def test_bucketed_join_eliminates_shuffle(spark):
     plan = _plan(spark, "sink_bucketed_join")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_stratified_has_no_shuffle(spark):
+    # deterministic sampling is a pure map pass: any Exchange is a regression
+    assert "Exchange" not in _plan(spark, "sample_stratified")
+
+
+def test_sessionize_events_has_exactly_one_exchange(spark):
+    # the user_id partitioning must be shared by both windows AND the
+    # per-session aggregate: one shuffle total
+    assert _plan(spark, "sessionize_events").count("Exchange hashpartitioning") == 1
+
+
+def test_skew_salted_join_key_includes_salt(spark):
+    # the whole point: the join key is (orderkey, salt), not orderkey alone
+    plan = _plan(spark, "join_skew_salted")
+    joins = [ln for ln in plan.splitlines() if "Join [" in ln or "Join keys" in ln or "HashJoin" in ln]
+    assert any("salt" in ln for ln in joins), plan[:2000]

@@ -551,3 +551,46 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(nat), r.n == nat.n_nationkey).select(
         "n_nationkey", "n_name", F.round("r", 6).alias("pagerank")
     )
+
+
+SEQ_LEN = 1024
+
+
+@op(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_tok,
+           start_tok // {SEQ_LEN} AS seq_first,
+           (start_tok + n_tokens - 1) // {SEQ_LEN} AS seq_last
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing accounting: documents are concatenated
+    in doc_id order and split into fixed {SEQ_LEN}-token training
+    sequences; each doc gets its global token offset and the first/last
+    sequence it lands in (concat-then-chunk — docs may straddle a
+    boundary, exactly like pretraining data loaders). The global running
+    sum is a single-partition window over one row per document — fine up
+    to ~10⁸ docs; beyond that the same offsets come from per-partition
+    sums + a broadcast prefix (the scan stays parallel either way since
+    token counting pre-aggregates to one row per doc)."""
+    d = load(spark, sf_dir).documents
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}").alias("seq_last"),
+    )
