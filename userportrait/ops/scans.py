@@ -213,3 +213,65 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("revenue"),
         )
     )
+
+
+@op(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_custkey AS k, round(max(o_totalprice), 2) AS new_bal
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), inserts AS (
+      SELECT s_suppkey + 10000000 AS k, s_name AS name, s_acctbal AS bal
+      FROM supplier
+    ), merged AS (
+      SELECT coalesce(c.c_custkey, u.k) AS c_custkey,
+             c.c_name,
+             coalesce(u.new_bal, c.c_acctbal) AS c_acctbal,
+             CASE WHEN u.k IS NULL THEN 'kept' ELSE 'updated' END AS action
+      FROM customer c LEFT JOIN updates u ON u.k = c.c_custkey
+      UNION ALL
+      SELECT k, name, bal, 'inserted' FROM inserts
+    )
+    SELECT c_custkey, c_name, c_acctbal, action FROM merged
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet (no table format needed):
+    matched keys update (acctbal refreshed from a deterministic change
+    feed), unmatched source keys insert, untouched target rows carry over
+    — SCD-1 upsert as one left join + union, rewritten atomically to the
+    sink and read back. At 100 TB the join shuffles on the merge key; with
+    a bucketed target (see sink_bucketed_join) the shuffle is one-sided.
+    Oracle computes the identical merged state."""
+    t = load(spark, sf_dir)
+    updates = (
+        t.orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.round(F.max("o_totalprice"), 2).alias("new_bal"))
+    )
+    inserts = t.supplier.select(
+        (F.col("s_suppkey") + 10_000_000).alias("k"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    merged = (
+        t.customer.join(updates, t.customer.c_custkey == updates.k, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("new_bal", "c_acctbal").alias("c_acctbal"),
+            F.when(F.col("k").isNull(), "kept").otherwise("updated").alias("action"),
+        )
+        .unionByName(
+            inserts.select(
+                F.col("k").alias("c_custkey"),
+                F.col("name").alias("c_name"),
+                F.col("bal").alias("c_acctbal"),
+                F.lit("inserted").alias("action"),
+            )
+        )
+    )
+    path = _scratch("merged_customer")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
