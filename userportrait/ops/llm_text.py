@@ -374,3 +374,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("rolling_hash"),
         F.array_min(shingle_md5s).alias("min_shingle_md5"),
     )
+
+
+@op(
+    "text_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch, length(text) AS n
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, ch, n, count(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch, n
+    ), ent AS (
+      SELECT doc_id, round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 4) AS entropy
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, entropy,
+           CASE WHEN entropy < 3.5 THEN 'low' WHEN entropy < 4.2 THEN 'mid' ELSE 'high' END AS entropy_band
+    FROM ent
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    quality/garbage signal (boilerplate and key-mashing sit far from
+    natural-language entropy). explode to chars → per-doc char histogram →
+    -Σ p·log2 p, banded. Two same-key shuffles on doc_id (histogram +
+    entropy sum) that combine map-side; log2 ulp drift between libm and
+    the JVM is absorbed by round-4."""
+    d = load(spark, sf_dir).documents
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch", "n").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = freq.groupBy("doc_id").agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+    return ent.select(
+        "doc_id",
+        "entropy",
+        F.when(F.col("entropy") < 3.5, "low")
+        .when(F.col("entropy") < 4.2, "mid")
+        .otherwise("high")
+        .alias("entropy_band"),
+    )

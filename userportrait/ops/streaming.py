@@ -374,3 +374,58 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(spark, agg, "static_join")
     return out.select(F.col("window.start").alias("window_start"), "n_name", "cnt", "sum_value")
+
+
+@op(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: clicks joined to
+    the purchases that follow them within 1 hour for the same user — the
+    attribution-join topology. Both sides are real watermarked streams;
+    the time-range condition lets Spark evict click state once the
+    purchase watermark passes click.ts + 1 h, so state is bounded by the
+    join horizon, not stream length. Inner join emits matches as both
+    sides arrive; the finite replay's final table equals the batch join
+    (the oracle)."""
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    clicks = (
+        _stream_events(spark, stage_dir, delay_s)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        _stream_events(spark, stage_dir, delay_s)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_to_table(spark, joined, "stream_stream")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
