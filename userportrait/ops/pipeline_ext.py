@@ -594,3 +594,95 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_tok div {SEQ_LEN}").alias("seq_first"),
         F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}").alias("seq_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation + skew diagnostics
+# ---------------------------------------------------------------------------
+
+from ..registry import OPS as _OPS  # populated: llm_similarity imports before this module
+
+
+def _recall_oracle() -> str:
+    """Compose the LSH and exact-kNN oracles (each a self-contained SELECT,
+    embedded as CTE bodies) into a recall@5 histogram."""
+    lsh = _OPS["sim_knn_lsh"].oracle
+    ex = _OPS["sim_cosine_knn"].oracle
+    return f"""
+    WITH lsh AS ({lsh}), ex AS ({ex}), hits AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ex e LEFT JOIN lsh l
+        ON l.vec_id = e.vec_id AND l.neighbor_id = e.neighbor_id
+      GROUP BY e.vec_id
+    )
+    SELECT n_hits, CAST(count(*) AS BIGINT) AS n_vecs FROM hits GROUP BY n_hits
+    """
+
+
+@op("sim_knn_recall", oracle=_recall_oracle())
+def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH kNN against
+    the exact broadcast-index kNN, reported as a histogram (how many query
+    vectors recovered 0..5 of their true top-5). The eval every ANN
+    deployment needs before trading exactness for speed; at 100 TB this
+    runs on a deterministic hash-sample of queries (sample_stratified's
+    pattern) rather than all of them."""
+    from .llm_similarity import sim_cosine_knn, sim_knn_lsh
+
+    ex = sim_cosine_knn(spark, sf_dir).alias("e")
+    lsh = sim_knn_lsh(spark, sf_dir).alias("l")
+    hits = (
+        ex.join(
+            lsh,
+            (F.col("l.vec_id") == F.col("e.vec_id"))
+            & (F.col("l.neighbor_id") == F.col("e.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.vec_id"))
+        .agg(
+            F.sum(F.when(F.col("l.neighbor_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    return hits.groupBy("n_hits").agg(F.count("*").cast("bigint").alias("n_vecs"))
+
+
+@op(
+    "diag_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(avg(cnt) AS DOUBLE) AS mean FROM counts
+    )
+    SELECT c.user_id, c.cnt,
+           round(c.cnt / t.total, 6) AS share,
+           round(c.cnt / t.mean, 4) AS skew_x
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.cnt DESC, c.user_id LIMIT 10
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: top-10 heaviest events.user_id keys
+    with their share of rows and multiple-of-mean — the profiling step
+    that decides whether a join needs salting (join_skew_salted) or AQE
+    skew handling. One groupBy + a scalar-aggregate cross join; the top-10
+    sort is on #distinct-keys rows, not raw data."""
+    e = load(spark, sf_dir).events
+    counts = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("total"), F.avg("cnt").cast("double").alias("mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("mean"), 4).alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -429,3 +429,44 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
+
+
+@op("stream_foreachbatch_sink", oracle=_TUMBLING_ORACLE)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming-sink pattern: ``foreachBatch`` writing each
+    micro-batch of closed windows to a parquet lake directory (append), the
+    final table read back from the files. foreachBatch is how streaming
+    jobs reach sinks without native streaming writers (JDBC, MERGE
+    targets, multi-sink fan-out); batch ids give exactly-once replay
+    semantics on retry. Emitted rows are identical to stream_tumbling, so
+    the batch oracle is shared."""
+    import shutil as _sh
+
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+    agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+    )
+    sink_dir = os.path.join(_STAGE_ROOT, "fb_sink", os.path.basename(os.path.normpath(sf_dir)))
+    _sh.rmtree(sink_dir, ignore_errors=True)
+    os.makedirs(sink_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)

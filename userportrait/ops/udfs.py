@@ -203,3 +203,25 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.token, s.pos FROM documents, LATERAL split_doc(doc_id, text) s"
     )
+
+
+@op(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) || '/' || CAST(p_size AS VARCHAR) AS brand_size
+    FROM part
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): row-at-a-time Python
+    semantics but Arrow-batch transfer instead of pickle — the Spark ≥3.5
+    middle ground between legacy Python UDFs (~100× slow path) and pandas
+    UDFs. Surface demo like udf_python_scalar; real pipelines still prefer
+    the builtin-expression equivalent (the oracle)."""
+
+    @udf(returnType="string", useArrow=True)
+    def brand_size(brand: str, size: int) -> str:
+        return f"{brand.upper()}/{size}"
+
+    p = load(spark, sf_dir).part
+    return p.select("p_partkey", brand_size("p_brand", "p_size").alias("brand_size"))
