@@ -302,3 +302,34 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
         F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p50_disc"),
     )
+
+
+_HIST_BUCKET = (
+    "CAST(CASE WHEN o_totalprice < 0 THEN 0"
+    " WHEN o_totalprice >= 400000 THEN 21"
+    " ELSE floor(o_totalprice / 20000) + 1 END AS INT)"
+)
+
+
+@op(
+    "agg_histogram",
+    oracle=f"""
+    SELECT {_HIST_BUCKET} AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (width_bucket semantics: 20
+    buckets over [0, 400k] plus under/overflow buckets 0 and 21) — the
+    data-profiling primitive behind skew detection and bucket-edge
+    choices. The bucket expression is shared verbatim with the oracle
+    (DuckDB 1.0 has no width_bucket) so boundary rounding is identical.
+    Map-side bucketing + one tiny groupBy."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy(F.expr(_HIST_BUCKET).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -275,3 +275,46 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("merged_customer")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@op(
+    "scan_schema_evolution",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_channel
+      FROM orders WHERE year(o_orderdate) < 1995
+    ), new AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE year(o_orderdate) >= 1995
+    ), unioned AS (
+      SELECT * FROM old UNION ALL SELECT * FROM new
+    )
+    SELECT coalesce(o_channel, 'unknown') AS channel,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+    FROM unioned GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet lake: 'old' files lack a column that
+    'new' files carry; ``mergeSchema=true`` reconciles the footers and the
+    missing column reads as NULL — the add-a-column migration every
+    long-lived 100 TB table goes through (and why scans pin explicit
+    schemas everywhere else: merge-on-read costs a footer pass per file).
+    Old/new splits are derived deterministically from o_orderdate."""
+    o = read_table(spark, sf_dir, "orders")
+    path = _scratch("schema_evolution")
+    old = o.where(F.year("o_orderdate") < 1995).select("o_orderkey", "o_totalprice")
+    new = o.where(F.year("o_orderdate") >= 1995).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store").alias("o_channel"),
+    )
+    old.write.mode("overwrite").parquet(f"{path}/v1")
+    new.write.mode("overwrite").parquet(f"{path}/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{path}/v1", f"{path}/v2")
+    return back.groupBy(F.coalesce("o_channel", F.lit("unknown")).alias("channel")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+    )
