@@ -82,3 +82,11 @@ def test_skew_salted_join_key_includes_salt(spark):
     plan = _plan(spark, "join_skew_salted")
     joins = [ln for ln in plan.splitlines() if "Join [" in ln or "Join keys" in ln or "HashJoin" in ln]
     assert any("salt" in ln for ln in joins), plan[:2000]
+
+
+def test_partition_pruning_reaches_scan(spark):
+    # the yr filter must prune partitions at the file index, not post-scan
+    plan = _plan(spark, "scan_partition_pruning")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "yr" in pf, f"no partition filter pushed: [{pf}]"

@@ -318,3 +318,75 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
     )
+
+
+@op(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+    FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on a hive-layout lake: orders written partitioned
+    by year, read back with a partition-column filter — the scan must
+    touch only the two matching yr= directories (PartitionFilters in the
+    plan, asserted in tests/test_plans.py). At 100 TB this is the
+    difference between reading 2 years and reading 30."""
+    path = _scratch("orders_by_year")
+    orders = read_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+            "yr"
+        ).parquet(path)
+    back = spark.read.parquet(path).where(F.col("yr").isin(1994, 1995))
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+    )
+
+
+@op(
+    "scan_corrupt_records",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i)
+    SELECT CASE WHEN i % 10 = 3 THEN 'corrupt' ELSE 'good' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN i % 10 = 3 THEN 0 ELSE i END) AS BIGINT) AS id_sum
+    FROM ids GROUP BY 1
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input resilience: a JSONL feed where every 10th-ish line is
+    malformed, read in PERMISSIVE mode with ``columnNameOfCorruptRecord``
+    — bad lines land in the quarantine column instead of failing the job,
+    and the op reports good/corrupt counts. The 100 TB reality: crawl and
+    log feeds ALWAYS contain garbage, and a scan that dies on line 3
+    billion is not an option. Input staged deterministically (ids 0..199,
+    i%10==3 corrupted)."""
+    import json as _json
+
+    path = _scratch("corrupt_jsonl")
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "feed.jsonl")
+    if not os.path.exists(fpath):
+        with open(fpath + ".tmp", "w") as f:
+            for i in range(200):
+                if i % 10 == 3:
+                    f.write(f'{{"id": {i}, "broken": \n')
+                else:
+                    f.write(_json.dumps({"id": i, "val": i * 2}) + "\n")
+        os.rename(fpath + ".tmp", fpath)
+    df = (
+        spark.read.schema("id bigint, val bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(fpath)
+    )
+    return df.groupBy(
+        F.when(F.col("_bad").isNotNull(), "corrupt").otherwise("good").alias("status")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.coalesce("id", F.lit(0))).cast("bigint").alias("id_sum"),
+    )

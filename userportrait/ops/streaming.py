@@ -470,3 +470,42 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+@op(
+    "stream_complete_counts",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode: unwindowed running totals per event_type —
+    the live-dashboard topology where every trigger re-emits the full
+    state table. The final emission after the last micro-batch equals the
+    batch groupBy (sentinel row filtered out of the result). State is one
+    row per key, so complete mode is safe exactly when key cardinality is
+    dashboard-sized — the inverse tradeoff of append+watermark."""
+    stage_dir, delay_s = _stage(sf_dir, "flush")
+    src = _stream_events(spark, stage_dir, delay_s)
+    agg = (
+        src.where(F.col("event_type") != _SENTINEL_TYPE)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        )
+    )
+    global _query_seq
+    _query_seq += 1
+    qname = f"up_complete_{os.getpid()}_{_query_seq}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
