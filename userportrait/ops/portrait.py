@@ -464,3 +464,52 @@ def tag_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fine.union(coarse)
+
+
+@op(
+    "tag_crowd_select",
+    oracle=f"""
+    WITH rfm AS ({_RFM_SQL}), asia AS (
+      SELECT c.c_custkey, n.n_name
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), noisy AS (
+      SELECT user_id FROM events WHERE event_type = 'error'
+      GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT rfm.c_custkey, rfm.m_score, rfm.monetary, a.n_name
+    FROM rfm JOIN asia a ON a.c_custkey = rfm.c_custkey
+    WHERE rfm.m_score >= 4
+      AND rfm.c_custkey NOT IN (SELECT user_id FROM noisy)
+    """,
+)
+def tag_crowd_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crowd selection — the reference's end-product operation [R]: boolean
+    algebra over tag outputs. Crowd = (monetary quintile ≥ 4) ∩ (ASIA
+    customers) ∖ (users with ≥3 error events), composed as semi/anti joins
+    over the RFM tag frame. Dim joins broadcast; the error-user exclusion
+    is a broadcast anti join (the exclusion list is tiny at any scale)."""
+    t = load(spark, sf_dir)
+    rfm = rfm_scored(spark, sf_dir).where(F.col("m_score") >= 4)
+    asia = (
+        t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    noisy = (
+        t.events.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_err"))
+        .where(F.col("n_err") >= 3)
+        .select("user_id")
+    )
+    return (
+        rfm.join(asia, "c_custkey")
+        .join(F.broadcast(noisy), rfm.c_custkey == noisy.user_id, "left_anti")
+        .select("c_custkey", "m_score", "monetary", "n_name")
+    )

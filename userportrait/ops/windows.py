@@ -159,3 +159,42 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderpriority").over(w).alias("first_priority"),
         F.last("o_orderpriority").over(w).alias("last_priority"),
     ).distinct()
+
+
+@op(
+    "win_trailing_time",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    )
+    SELECT event_id, user_id, sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           sum(CAST(value AS DECIMAL(38,4))) OVER w AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time window: per event, count + decimal-exact sum of
+    the same user's activity in the preceding hour (RANGE frame over epoch
+    seconds) — the rate-limit / fraud-velocity primitive. One shuffle on
+    user_id; peers at the same second are included identically in both
+    engines (RANGE, not ROWS, so no tie-break needed)."""
+    e = load(spark, sf_dir).events.select(
+        "event_id", "user_id", "value", (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,4)")).over(w).alias("sum_1h"),
+    )
