@@ -390,3 +390,43 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.coalesce("id", F.lit(0))).cast("bigint").alias("id_sum"),
     )
+
+
+@op(
+    "sink_incremental_agg",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS cnt,
+           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the daily rollup is kept as parquet
+    state; a new batch (here: the last ~20% of events by event_id) is
+    aggregated alone and MERGED into the state by re-aggregating the
+    union of partial aggregates — count and decimal-sum are decomposable,
+    so the merge touches only (key × days-in-delta) rows, never the raw
+    history. The incremental-ETL shape every 100 TB nightly pipeline uses;
+    oracle = the full-history aggregate it must stay equal to."""
+    e = load(spark, sf_dir).events
+    cutoff = int(e.agg(F.expr("percentile(event_id, 0.8)")).collect()[0][0])
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        )
+
+    state_path = _scratch("incr_agg_state")
+    rollup(e.where(F.col("event_id") <= cutoff)).write.mode("overwrite").parquet(state_path)
+    delta = rollup(e.where(F.col("event_id") > cutoff))
+    state = spark.read.parquet(state_path)
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
+        )
+    )
