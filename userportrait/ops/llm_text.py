@@ -417,3 +417,56 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("entropy_band"),
     )
+
+
+N_EVAL_DOCS = 20  # doc_id < 20 plays the held-out benchmark set
+CONTAM_NGRAM = 8
+
+
+@op(
+    "text_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - {CONTAM_NGRAM} + 1, 0)),
+                    i -> array_to_string(list_slice(toks, i, i + {CONTAM_NGRAM} - 1), ' '))) AS g
+      FROM tok
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {N_EVAL_DOCS}
+    ), hits AS (
+      SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared_grams
+      FROM grams gr JOIN eval_grams e ON e.g = gr.g
+      WHERE gr.doc_id >= {N_EVAL_DOCS}
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams
+    FROM hits
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: flags training documents sharing
+    any {CONTAM_NGRAM}-gram with the held-out eval set (doc_id < 20 plays
+    the benchmark), reporting how many distinct eval n-grams each
+    contaminated doc contains — the decontamination pass every serious
+    pretraining pipeline runs. The eval n-gram set is tiny and BROADCAST;
+    the corpus side streams its n-grams through a broadcast hash join, so
+    cost is one narrow pass over the corpus regardless of its size."""
+    d = load(spark, sf_dir).documents
+    grams = d.repartition(64, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {CONTAM_NGRAM} + 1, 0)),"
+                f" i -> array_join(slice(split(text, ' '), i, {CONTAM_NGRAM}), ' '))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.where(F.col("doc_id") < N_EVAL_DOCS).select("g").distinct()
+    return (
+        grams.where(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_shared_grams"))
+    )

@@ -513,3 +513,60 @@ def tag_crowd_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(noisy), rfm.c_custkey == noisy.user_id, "left_anti")
         .select("c_custkey", "m_score", "monetary", "n_name")
     )
+
+
+@op(
+    "tag_lookalike",
+    oracle=f"""
+    WITH rfm AS ({_RFM_SQL}), seed AS (
+      SELECT c_custkey FROM rfm WHERE rfm_score >= 555
+    ), centroid AS (
+      SELECT CAST(sum(CAST(r.recency_days AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS cr,
+             CAST(sum(CAST(r.frequency AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS cf,
+             CAST(sum(r.monetary) AS DOUBLE) / count(*) AS cm
+      FROM rfm r JOIN seed s ON s.c_custkey = r.c_custkey
+    ), scored AS (
+      SELECT r.c_custkey,
+             round((r.recency_days - c.cr) * (r.recency_days - c.cr) / 10000.0
+                 + (r.frequency - c.cf) * (r.frequency - c.cf)
+                 + (CAST(r.monetary AS DOUBLE) - c.cm) * (CAST(r.monetary AS DOUBLE) - c.cm) / 1000000000.0,
+                   6) AS dist2
+      FROM rfm r CROSS JOIN centroid c
+      WHERE r.c_custkey NOT IN (SELECT c_custkey FROM seed)
+    )
+    SELECT c_custkey, dist2 FROM scored ORDER BY dist2, c_custkey LIMIT 20
+    """,
+)
+def tag_lookalike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-alike audience expansion: the RFM centroid of a seed crowd
+    (rfm_score = 555, the best quintile triple) ranks all non-seed
+    customers by scale-normalized squared distance; top-20 become the
+    expansion audience. The marketing twin of ANN: find-me-more-like-these
+    over behavioral features. Centroid is a broadcast scalar (decimal-exact
+    means cast to double); scoring is one narrow map over the RFM frame +
+    a top-k — no pairwise joins anywhere."""
+    rfm = rfm_scored(spark, sf_dir)
+    seed = rfm.where(F.col("rfm_score") >= 555).select("c_custkey")
+    cen = (
+        rfm.join(seed, "c_custkey")
+        .agg(
+            (F.sum(F.col("recency_days").cast("decimal(38,4)")).cast("double") / F.count("*")).alias("cr"),
+            (F.sum(F.col("frequency").cast("decimal(38,4)")).cast("double") / F.count("*")).alias("cf"),
+            (F.sum("monetary").cast("double") / F.count("*")).alias("cm"),
+        )
+    )
+    dist2 = F.round(
+        (F.col("recency_days") - F.col("cr")) * (F.col("recency_days") - F.col("cr")) / 10000.0
+        + (F.col("frequency") - F.col("cf")) * (F.col("frequency") - F.col("cf"))
+        + (F.col("monetary").cast("double") - F.col("cm"))
+        * (F.col("monetary").cast("double") - F.col("cm"))
+        / 1000000000.0,
+        6,
+    )
+    return (
+        rfm.join(seed, "c_custkey", "left_anti")
+        .crossJoin(F.broadcast(cen))
+        .select("c_custkey", dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("c_custkey"))
+        .limit(20)
+    )
