@@ -90,3 +90,27 @@ def test_partition_pruning_reaches_scan(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "yr" in pf, f"no partition filter pushed: [{pf}]"
+
+
+# Ops allowed to contain nested-loop/cartesian shapes, or whose fn() runs
+# side effects (streams, sinks, iterative loops) that make a plan-only
+# audit expensive or meaningless.
+_CARTESIAN_OK = {"join_cross_small"}
+_PLAN_AUDIT_SKIP_PREFIXES = ("stream_", "sink_", "scan_csv", "scan_json", "scan_orc",
+                             "scan_schema", "scan_corrupt", "scan_partition",
+                             "dedup_cc", "ml_", "udf_", "udtf_", "mm_decode")
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Global regression net: no registered op may silently plan a
+    CartesianProduct. BroadcastNestedLoopJoin is tolerated only when tiny
+    (the broadcast side is a scalar/centroid frame); CartesianProduct of
+    two real tables is always a bug."""
+    bad = []
+    for name in sorted(OPS):
+        if name in _CARTESIAN_OK or name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
+            continue
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"accidental cartesian in: {bad}"
