@@ -334,7 +334,9 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch only the two matching yr= directories (PartitionFilters in the
     plan, asserted in tests/test_plans.py). At 100 TB this is the
     difference between reading 2 years and reading 30."""
-    path = _scratch("orders_by_year")
+    # Scratch path keyed by sf: a write-once cache shared with a different
+    # scale factor would silently serve stale partitions.
+    path = _scratch(f"orders_by_year_{os.path.basename(os.path.normpath(sf_dir))}")
     orders = read_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         orders.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
