@@ -432,3 +432,49 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
         )
     )
+
+
+@op(
+    "scan_custom_datasource",
+    oracle="""
+    SELECT i AS id, md5(CAST(i AS VARCHAR)) AS h,
+           CAST(i % 4 AS INT) AS part
+    FROM (SELECT unnest(generate_series(0, 3999)) AS i)
+    """,
+)
+def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark ≥4): a
+    deterministic generator source that plans 4 input partitions, each
+    yielding its own id range — the extension point for sources Spark has
+    no built-in reader for (internal APIs, exotic formats). Partition
+    planning happens driver-side; each partition's read() runs distributed
+    as an Arrow-fed Python task. Oracle regenerates the same rows
+    arithmetically."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    N_PARTS, ROWS_PER_PART = 4, 1000
+
+    class RangeMd5Reader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(N_PARTS)]
+
+        def read(self, partition):
+            import hashlib
+
+            base = partition.value * ROWS_PER_PART
+            for i in range(base, base + ROWS_PER_PART):
+                yield (i, hashlib.md5(str(i).encode()).hexdigest(), i % N_PARTS)
+
+    class RangeMd5Source(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_md5"
+
+        def schema(self):
+            return "id bigint, h string, part int"
+
+        def reader(self, schema):
+            return RangeMd5Reader()
+
+    spark.dataSource.register(RangeMd5Source)
+    return spark.read.format("range_md5").load()
