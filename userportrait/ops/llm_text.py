@@ -470,3 +470,66 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("g").cast("bigint").alias("n_shared_grams"))
     )
+
+
+@op(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram,
+             unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1
+      FROM tok WHERE len(toks) >= 2
+    ), bgc AS (
+      SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram
+    ), ugc AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    )
+    SELECT b.doc_id,
+           round(sum(log2(CAST(bc.c12 AS DOUBLE) / uc.c1)) / count(*), 4) AS avg_log2_p,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg b
+    JOIN bgc bc ON bc.bigram = b.bigram
+    JOIN ugc uc ON uc.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality score (the n-gram cousin of CCNet's LM
+    filter): every document is scored by the mean log2 of its bigrams'
+    corpus MLE probability P(w2|w1) = c(w1 w2)/c(w1) — fluent text scores
+    near the corpus distribution, garbage scores far below. Corpus bigram
+    and unigram-context counts are map-side-combined aggregates; scoring
+    is two hash joins back onto the bigram stream. log2 ulp drift between
+    engines is absorbed by round-4 on the per-doc mean."""
+    d = load(spark, sf_dir).documents
+    bg = (
+        d.repartition(64, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(concat(toks[i-1], ' ', toks[i]) AS bigram, toks[i-1] AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    ugc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(bgc, "bigram")
+        .join(ugc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log2(F.col("c12").cast("double") / F.col("c1"))) / F.count("*"), 4
+            ).alias("avg_log2_p"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
