@@ -114,3 +114,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"accidental cartesian in: {bad}"
+
+
+def test_dpp_join_injects_dynamic_pruning(spark):
+    # the fact scan must carry a runtime dynamicpruningexpression, not
+    # read every partition and filter post-join
+    assert "dynamicpruning" in _plan(spark, "scan_dpp_join")

@@ -478,3 +478,43 @@ def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(RangeMd5Source)
     return spark.read.format("range_md5").load()
+
+
+@op(
+    "scan_dpp_join",
+    oracle="""
+    WITH hot AS (
+      SELECT DISTINCT year(o_orderdate) AS dyr FROM orders WHERE o_totalprice > 450000
+    )
+    SELECT CAST(year(o.o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS total
+    FROM orders o JOIN hot h ON year(o.o_orderdate) = h.dyr
+    GROUP BY 1
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partitioned fact tree is joined to a
+    dim whose qualifying years are only known at runtime — Spark injects a
+    ``dynamicpruningexpression(yr IN <broadcast subquery>)`` into the
+    fact scan's PartitionFilters (asserted in tests/test_plans.py), so
+    only the matching yr= directories are read. THE feature that makes
+    star joins over date-partitioned 100 TB facts read days, not decades;
+    it composes with static pruning (scan_partition_pruning) and AQE."""
+    path = _scratch(f"dpp_facts_{os.path.basename(os.path.normpath(sf_dir))}")
+    o = read_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy("yr").parquet(path)
+    facts = spark.read.parquet(path)
+    dim = (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(F.year("o_orderdate").alias("dyr"))
+        .distinct()
+    )
+    return (
+        facts.join(dim, facts.yr == dim.dyr)
+        .groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+        )
+    )
