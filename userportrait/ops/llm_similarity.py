@@ -264,9 +264,15 @@ LSH_BITS = 6  # per table → 64 buckets/table
       SELECT vec_id, (j - 1) // 6 AS t,
              CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << ((j - 1) % 6) ELSE 0 END) AS BIGINT) AS bucket
       FROM proj GROUP BY vec_id, (j - 1) // 6
+    ), capped AS (
+      SELECT t, bucket, vec_id FROM (
+        SELECT t, bucket, vec_id,
+               row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn
+        FROM buckets
+      ) WHERE rn <= 32
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
-      FROM buckets a JOIN buckets b
+      FROM buckets a JOIN capped b
         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ), v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -292,10 +298,13 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible cross-engine; projections sum DECIMAL(38,8) products so
     every sign bit is order-independent.
 
-    Scale: per-table bucket joins replace the dense n×n scan — cost is
-    Σ bucket² per table. Recall tunes with (tables, bits); the full-scale
-    deployment re-uses this exact plan with bigger L and per-cell
-    broadcast rescoring (see sim_cosine_knn docstring)."""
+    Scale: per-table bucket joins replace the dense n×n scan, and the
+    INDEX side of each bucket is capped at its 32 lowest vec_ids (the
+    standard hot-bucket control) so join fan-out is bounded at
+    n × tables × 32 even when a bucket goes degenerate (duplicate-heavy
+    corpora); the query side stays uncapped so every vector keeps full
+    candidate coverage. Recall tunes with (tables, bits, cap) — a real
+    deployment grows bits ~log2(n/target_bucket) with the corpus."""
     from pyspark.sql import Window
 
     # repartition: posexplode + interpreted folds off a one-split scan at
@@ -333,7 +342,11 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "t")
         .agg(F.sum("bit").cast("bigint").alias("bucket"))
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    wb = Window.partitionBy("t", "bucket").orderBy("vec_id")
+    capped = (
+        buckets.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") <= 32).drop("rn")
+    )
+    a, b = buckets.alias("a"), capped.alias("b")
     cand = (
         a.join(
             b,
