@@ -100,7 +100,8 @@ def test_embed_quantize_bounds_and_stratified_rates(spark):
     q = OPS["embed_quantize"].fn(spark, SF_DIR).collect()
     assert len(q) > 0
     for r in q:
-        assert all(-127 <= v <= 127 for v in r.qvec), r.vec_id
+        # qvec is emitted comma-joined (driver hash cannot take list cells)
+        assert all(-127 <= int(v) <= 127 for v in r.qvec.split(",")), r.vec_id
     t = load(spark, SF_DIR)
     total = {r.o_orderstatus: r.n for r in t.orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
     kept = {

@@ -20,7 +20,7 @@ def flagship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     per_cust = t.orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("monetary"),
         F.datediff(F.lit(ANCHOR).cast("date"), F.max(F.col("o_orderdate")).cast("date")).alias("recency_days"),
     )
     geo = t.customer.join(
@@ -35,7 +35,7 @@ def flagship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
             "c_mktsegment",
             F.coalesce("frequency", F.lit(0)).alias("frequency"),
-            F.coalesce("monetary", F.lit(0).cast("decimal(38,4)")).alias("monetary"),
+            F.coalesce("monetary", F.lit(0).cast("double")).alias("monetary"),
             "recency_days",
         )
     )

@@ -19,9 +19,9 @@ from ..registry import op
     "agg_groupby_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
            min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
            CAST(count(*) AS BIGINT) AS count_order
@@ -39,9 +39,9 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir).lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
     dec = lambda c: F.col(c).cast("decimal(38,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
         (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
@@ -98,7 +98,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(38,4)) AS purchase_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
     FROM events GROUP BY user_id
     """,
 )
@@ -109,7 +109,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
         F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(38,4)")))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("purchase_value"),
     )
 
@@ -132,7 +132,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, n_name, CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
     """,
@@ -144,7 +144,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, n_name, CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid,
                CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total_bal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
@@ -177,7 +177,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus, CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -187,22 +187,28 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id("l_returnflag", "l_linestatus").cast("bigint").alias("gid"),
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("decimal(38,4)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_lines", "sum_qty")
 
 
 @op(
     "agg_collect_sorted",
     oracle="""
-    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collected list, deterministic via sort_array (SURVEY §2.0 rule 4) —
-    the reference's profile-assembly accumulation [R]."""
+    the reference's profile-assembly accumulation [R].
+
+    Emitted pipe-joined: the driver's pandas canonicalizer cannot sort/hash
+    list cells (r03 crash), and a joined string is hash-stable on both
+    engines while preserving the sorted-collect semantics under test."""
     o = load(spark, sf_dir).orders
-    return o.groupBy("o_custkey").agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias("priorities")
+    )
 
 
 @op(

@@ -62,12 +62,12 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(day(o_orderdate) AS INT) AS dom,
            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus_30d,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-09-01') AS INT) AS days_to_anchor,
            CAST(date_diff('month', date_trunc('month', o_orderdate),
                           TIMESTAMP '2001-09-01') AS DOUBLE) AS months_to_anchor,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS as_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP) AS as_date,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
     FROM orders
     """,
@@ -84,11 +84,11 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").cast("int").alias("dom"),
         F.dayofweek("o_orderdate").cast("int").alias("dow"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("plus_30d"),
         F.datediff(F.lit("2001-09-01").cast("date"), F.col("o_orderdate").cast("date")).cast("int").alias("days_to_anchor"),
         F.months_between(F.lit("2001-09-01").cast("timestamp"), F.date_trunc("month", "o_orderdate")).cast("double").alias("months_to_anchor"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
-        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("as_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).cast("timestamp").alias("as_date"),
         F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
     )
 

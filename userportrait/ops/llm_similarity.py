@@ -166,7 +166,8 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_val
       FROM x GROUP BY label, pos
     )
-    SELECT label, list(mean_val ORDER BY pos) AS centroid
+    SELECT label,
+           array_to_string(list(CAST(round(mean_val * 1000000) AS BIGINT) ORDER BY pos), ',') AS centroid
     FROM m GROUP BY label
     """,
 )
@@ -184,10 +185,18 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_val")
     )
+    # Emitted as a comma-joined micro-unit (1e6) integer string: the driver's
+    # pandas canonicalizer cannot hash list cells, and integer text is
+    # formatting-identical across engines (double text repr is not).
     return (
         means.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda p: p.mean_val).alias("centroid"))
+        .select(
+            "label",
+            F.array_join(
+                F.transform("pairs", lambda p: F.round(p.mean_val * 1000000).cast("bigint").cast("string")), ","
+            ).alias("centroid"),
+        )
     )
 
 

@@ -56,7 +56,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     )
     SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
            min(us) AS start_us, max(us) AS end_us,
-           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -83,7 +83,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.min("us").alias("start_us"),
         F.max("us").alias("end_us"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
 
 
@@ -176,7 +176,7 @@ SALT = 8
     "join_skew_salted",
     oracle="""
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS sum_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -198,7 +198,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -390,8 +390,8 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
-             ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END) AS qvec,
+           array_to_string(list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+             ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END), ',') AS qvec,
            round(mn, 4) AS scale_min, round(mx, 4) AS scale_max
     FROM mm
     """,
@@ -411,9 +411,10 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mm.select(
         "vec_id",
+        # comma-joined: the driver's pandas canonicalizer cannot hash list cells
         F.expr(
-            "transform(embedding, x -> CASE WHEN mx = mn THEN 0"
-            " ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END)"
+            "array_join(transform(embedding, x -> CAST(CASE WHEN mx = mn THEN 0"
+            " ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 254 / (mx - mn) - 127) AS INT) END AS STRING)), ',')"
         ).alias("qvec"),
         F.round("mn", 4).alias("scale_min"),
         F.round("mx", 4).alias("scale_max"),

@@ -141,7 +141,7 @@ _RFM_BASE_SQL = f"""
     SELECT o_custkey AS c_custkey,
            CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') AS INT) AS recency_days,
            CAST(count(*) AS BIGINT) AS frequency,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS monetary
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS monetary
     FROM orders GROUP BY o_custkey
 """
 
@@ -163,7 +163,7 @@ def rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(F.lit(ANCHOR).cast("date"), F.max("o_orderdate").cast("date")).cast("int").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("monetary"),
     )
 
 

@@ -20,7 +20,7 @@ from ..registry import op
     "proj_select_rename",
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
-           CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS net
+           CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS net
     FROM lineitem
     """,
 )
@@ -31,7 +31,7 @@ def proj_select_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("lineno"),
         (F.col("l_extendedprice").cast("decimal(38,4)") * (F.lit(1) - F.col("l_discount").cast("decimal(38,4)")))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("net"),
     )
 

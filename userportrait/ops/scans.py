@@ -110,7 +110,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet_partitioned",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
     FROM orders GROUP BY yr
     """,
 )
@@ -127,7 +127,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy(F.col("yr").cast("int").alias("yr")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
     )
 
 
@@ -173,7 +173,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_bucketed_join",
     oracle="""
     SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey
     """,
@@ -210,7 +210,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("decimal(38,4)").alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("revenue"),
         )
     )
 
@@ -292,7 +292,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(o_channel, 'unknown') AS channel,
            CAST(count(*) AS BIGINT) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
     FROM unioned GROUP BY 1
     """,
 )
@@ -316,7 +316,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("mergeSchema", "true").parquet(f"{path}/v1", f"{path}/v2")
     return back.groupBy(F.coalesce("o_channel", F.lit("unknown")).alias("channel")).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
     )
 
 
@@ -324,7 +324,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_pruning",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
     FROM orders WHERE year(o_orderdate) IN (1994, 1995)
     """,
 )
@@ -345,7 +345,7 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).where(F.col("yr").isin(1994, 1995))
     return back.agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
     )
 
 
@@ -399,7 +399,7 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
            CAST(count(*) AS BIGINT) AS cnt,
-           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -417,6 +417,8 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
             F.count("*").cast("bigint").alias("cnt"),
+            # partials stay DECIMAL so the merge re-aggregation is exact;
+            # only the merged result is cast to double (driver-hashable)
             F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
         )
 
@@ -429,7 +431,7 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(
             F.sum("cnt").cast("bigint").alias("cnt"),
-            F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
     )
 
@@ -487,7 +489,7 @@ def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT year(o_orderdate) AS dyr FROM orders WHERE o_totalprice > 450000
     )
     SELECT CAST(year(o.o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS total
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
     FROM orders o JOIN hot h ON year(o.o_orderdate) = h.dyr
     GROUP BY 1
     """,
@@ -515,6 +517,6 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("yr").cast("int").alias("yr"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
         )
     )

@@ -70,10 +70,20 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
     os.makedirs(out)
 
     t = pq.read_table(f"{sf_dir}/events.parquet")
-    ts = pc.cast(t["ts"], pa.int64())
-    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
-    delay_s = (hi - lo) // _NS + 3600
-    sentinel_ns = hi + (delay_s + 7200) * _NS
+    # Normalize ts to timestamp[us] whatever the source layout: the driver's
+    # historical raw-int64-nanos column or a native parquet timestamp (any
+    # unit) — same sniff-and-branch as catalog.read_table, applied at stage
+    # time so every staged chunk has ONE canonical layout.
+    ts_type = t.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        ts_us = pc.cast(t["ts"], pa.timestamp("us"))
+    else:  # int64 nanosecond count
+        ts_us = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.timestamp("us"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    lo = pc.min(pc.cast(ts_us, pa.int64())).as_py()
+    hi = pc.max(pc.cast(ts_us, pa.int64())).as_py()
+    delay_s = (hi - lo) // 1_000_000 + 3600
+    sentinel_us = hi + (delay_s + 7200) * 1_000_000
 
     chunks: list[pa.Table] = []
     if variant == "flush":
@@ -94,7 +104,7 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
     sentinel = pa.table(
         {
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([sentinel_ns], t.schema.field("ts").type),
+            "ts": pa.array([sentinel_us], pa.int64()).cast(pa.timestamp("us")),
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array([_SENTINEL_TYPE]),
             "value": pa.array([0.0], pa.float64()),
@@ -111,21 +121,14 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
 
 
 def _stream_events(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
-    """Streaming events source: explicit schema, ns→µs ts fix (the batch
-    catalog's workaround applied on the stream path — SURVEY §2.J note),
-    one staged file per microbatch, watermark attached."""
+    """Streaming events source: explicit schema (ts already normalized to
+    timestamp[us] by _stage), one staged file per microbatch, watermark
+    attached."""
+    schema = SCHEMAS["events"].replace("ts bigint", "ts timestamp")
     return (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
-        .select(
-            "event_id",
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
         .withWatermark("ts", f"{delay_s} seconds")
     )
 
@@ -154,7 +157,7 @@ def _windowed(spark: SparkSession, sf_dir: str, variant: str, name: str) -> Data
     src = _stream_events(spark, stage_dir, delay_s)
     agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").cast("bigint").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
     out = _run_to_table(spark, agg, name)
     return out.select(
@@ -166,7 +169,7 @@ _TUMBLING_ORACLE = """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
-           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
 """
@@ -343,7 +346,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start, n.n_name,
            CAST(count(*) AS BIGINT) AS cnt,
-           sum(CAST(e.value AS DECIMAL(38,4))) AS sum_value
+           CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -370,7 +373,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
     agg = joined.groupBy(F.window("ts", "1 hour"), "n_name").agg(
         F.count("*").cast("bigint").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
     out = _run_to_table(spark, agg, "static_join")
     return out.select(F.col("window.start").alias("window_start"), "n_name", "cnt", "sum_value")
@@ -446,7 +449,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_events(spark, stage_dir, delay_s)
     agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").cast("bigint").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
     sink_dir = os.path.join(_STAGE_ROOT, "fb_sink", os.path.basename(os.path.normpath(sf_dir)))
     _sh.rmtree(sink_dir, ignore_errors=True)
@@ -476,7 +479,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_complete_counts",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-           sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -494,7 +497,7 @@ def stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(38,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
         )
     )
     global _query_seq

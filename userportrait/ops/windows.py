@@ -97,7 +97,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(38,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_spend
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -112,7 +112,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w).cast("decimal(38,4)").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -171,7 +171,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, sec,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           sum(CAST(value AS DECIMAL(38,4))) OVER w AS sum_1h
+           CAST(sum(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_1h
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY sec
                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
@@ -196,5 +196,5 @@ def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "sec",
         F.count("*").over(w).cast("bigint").alias("n_1h"),
-        F.sum(F.col("value").cast("decimal(38,4)")).over(w).alias("sum_1h"),
+        F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias("sum_1h"),
     )

@@ -96,6 +96,19 @@ def compare_op(spark, con, name: str, sf_dir: str) -> dict:
     if sorted(scols) != sorted(dcols):
         out.update(status="SCHEMA_MISMATCH", detail=f"spark={sorted(scols)} duckdb={sorted(dcols)}")
         return out
+    # Driver-replica dtype guard: the driver hashes pandas frames, where
+    # Decimal objects vs float64 (DuckDB .df() downcasts DECIMAL), list/map
+    # cells (unsortable), and datetime.date objects vs datetime64 diverge
+    # even when the values are equal (r03: 17 hash-misses, 1 crash). Outputs
+    # must stick to str/int/float/bool/timestamp columns.
+    bad_types = []
+    for f in sdf.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("decimal", "array", "map", "struct", "date"):
+            bad_types.append(f"{f.name}:{t}")
+    if bad_types:
+        out.update(status="DRIVER_DTYPE", detail=", ".join(bad_types))
+        return out
     if len(srows) != len(drows):
         out.update(status="ROWCOUNT_MISMATCH", detail=f"spark={len(srows)} duckdb={len(drows)}")
         return out
