@@ -140,3 +140,115 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id bigint, media_kind string, width int, height int, n_frames int, frame_mean double",
     )
+
+
+THUMB_SIZE = 64  # resample every payload to a fixed 64-byte "thumbnail"
+
+
+@op(
+    "mm_resize_stub",
+    oracle=f"""
+    WITH idx AS (SELECT unnest(generate_series(0, {THUMB_SIZE - 1})) AS i),
+    sampled AS (
+      SELECT d.doc_id, x.i,
+             ascii(substring(d.text, 1 + (x.i * length(d.text)) // {THUMB_SIZE}, 1)) AS v
+      FROM documents d CROSS JOIN idx x
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS thumb_bytes,
+           string_agg(printf('%02x', v), '' ORDER BY i) AS thumb_hex,
+           CAST(sum(v) AS BIGINT) AS thumb_sum
+    FROM sampled GROUP BY doc_id
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every payload stride-resamples to a fixed 64-byte
+    thumbnail inside ``mapInPandas`` (numpy fancy-indexing — exactly what a
+    real image resize's row/column sampling does, minus the codec). Emits
+    the thumbnail as hex plus its byte sum; the oracle recomputes the same
+    index arithmetic in SQL. Narrow Arrow-batched map, no shuffle; at
+    100 TB this is the shape of the thumbnail/downsample pass that runs
+    before feature extraction."""
+
+    def resize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                idx = (np.arange(THUMB_SIZE, dtype=np.int64) * len(arr)) // THUMB_SIZE
+                thumb = arr[idx]
+                rows.append(
+                    (doc_id, len(thumb), bytes(thumb).hex(), int(thumb.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb_bytes", "thumb_hex", "thumb_sum"])
+
+    return _payloads(spark, sf_dir).mapInPandas(
+        resize, "doc_id bigint, thumb_bytes int, thumb_hex string, thumb_sum bigint"
+    )
+
+
+@op(
+    "mm_feature_extract",
+    oracle="""
+    WITH bytes AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                  WHEN d.doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_kind,
+             ascii(substring(d.text, p.pos, 1)) AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(1, 4000)) AS pos) p
+      WHERE p.pos <= length(d.text)
+    )
+    SELECT doc_id, media_kind,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(count(*) FILTER (WHERE v < 64) AS BIGINT) AS bin0,
+           CAST(count(*) FILTER (WHERE v >= 64 AND v < 128) AS BIGINT) AS bin1,
+           CAST(count(*) FILTER (WHERE v >= 128 AND v < 192) AS BIGINT) AS bin2,
+           CAST(count(*) FILTER (WHERE v >= 192) AS BIGINT) AS bin3,
+           CAST(CAST(sum(v) AS DOUBLE) / count(*) AS DOUBLE) AS mean_byte
+    FROM bytes GROUP BY doc_id, media_kind
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over decoded payloads: 4-bin byte histogram +
+    exact mean byte value per document, computed batch-wise in numpy under
+    ``mapInPandas`` (the stand-in for a real embedding/feature model's
+    preprocessing). Integer counts and an integer-sum/count division keep
+    the UDF output exactly oracle-reproducible. The oracle's 4000-position
+    unnest bounds documents.text length at test scale."""
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, buf in zip(pdf["doc_id"], pdf["media_kind"], pdf["payload"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                hist = np.bincount(arr >> 6, minlength=4)
+                rows.append(
+                    (
+                        doc_id,
+                        kind,
+                        len(arr),
+                        int(hist[0]),
+                        int(hist[1]),
+                        int(hist[2]),
+                        int(hist[3]),
+                        float(int(arr.sum(dtype=np.int64))) / len(arr),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_kind", "n_bytes", "bin0", "bin1", "bin2", "bin3", "mean_byte"],
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(
+        extract,
+        "doc_id bigint, media_kind string, n_bytes bigint, "
+        "bin0 bigint, bin1 bigint, bin2 bigint, bin3 bigint, mean_byte double",
+    )
