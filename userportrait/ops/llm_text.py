@@ -134,10 +134,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, token) is unique in tf, so df = row count per token, computed
+    # as a WINDOW over tf rather than a separate groupBy branch: a second
+    # branch re-derives tf from the raw corpus (Catalyst does not reuse the
+    # subtree across differently-keyed aggregates), doubling the expensive
+    # scan+explode. The window shuffles only the compact (doc,token,tf)
+    # table on token — the corpus itself is scanned exactly once.
+    w_tok = Window.partitionBy("token")
     n = d.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.withColumn("df", F.count("*").over(w_tok))
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4))
     )

@@ -198,3 +198,79 @@ def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@op(
+    "win_rank_distributed",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+             CAST(ntile(5) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS bucket5
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, rnk, bucket5 FROM ranked
+    """,
+)
+def win_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank + ntile WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans as an
+    Exchange SinglePartition — every row through one task, the classic
+    100 TB scale cliff (tag_rfm's ntile(5) pays it too; tolerable there only
+    because its input is one row per customer). This op demonstrates the
+    scalable equivalent, exact to the last tie:
+
+      1. range-repartition on the full sort key (global order across
+         partitions, ties split consistently by the unique tie-break),
+      2. sortWithinPartitions (local order, no global shuffle),
+      3. per-partition row counts (32-row metadata aggregate) -> prefix-sum
+         offsets via a window over that tiny frame -> broadcast join back,
+      4. mapInPandas running counter adds the partition offset to the local
+         position; ntile(k) is then pure arithmetic on (rank, total).
+
+    No row ever passes through a single reducer; the only whole-data moves are
+    the range exchange and the local sorts. Oracle: the ordinary window —
+    bitwise-equal output proves the decomposition is exact.
+    """
+    o = load(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+    parted = o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey")).sortWithinPartitions(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    with_pid = parted.withColumn("pid", F.spark_partition_id())
+
+    counts = with_pid.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("total"),
+    )
+
+    def local_rank(batches):
+        import pandas as pd
+
+        pos = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["local_rank"] = range(pos + 1, pos + n + 1)
+            pos += n
+            yield pdf
+
+    ranked_local = with_pid.mapInPandas(
+        local_rank, "o_orderkey bigint, o_totalprice double, pid int, local_rank bigint"
+    )
+    joined = ranked_local.join(F.broadcast(offsets), "pid")
+    rnk = (F.col("offset") + F.col("local_rank")).cast("bigint")
+    # exact ntile(k): first (total % k) buckets get (total//k + 1) rows
+    k = F.lit(5)
+    base = (F.col("total") / k).cast("bigint")
+    rem = F.col("total") % k
+    big = (base + 1) * rem  # rows covered by the oversized buckets
+    bucket = F.when(rnk <= big, ((rnk - 1) / (base + 1)).cast("int") + 1).otherwise(
+        (rem + (rnk - big - 1) / F.greatest(base, F.lit(1))).cast("int") + 1
+    )
+    return joined.select(
+        "o_orderkey", "o_totalprice", rnk.alias("rnk"), bucket.cast("int").alias("bucket5")
+    )
