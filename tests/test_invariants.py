@@ -114,3 +114,34 @@ def test_embed_quantize_bounds_and_stratified_rates(spark):
         if status in total and total[status] >= 50:
             rate = kept.get(status, 0) / total[status]
             assert abs(rate - cut / 256) < 0.2, (status, rate)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """Sketch estimates land within 1% (relative) of DuckDB's exact quantile."""
+    import duckdb
+
+    rows = {r.l_returnflag: r for r in OPS["agg_approx_percentile"].fn(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY l_returnflag"""
+    ).fetchall()
+    assert rows
+    for flag, p50, p95, p99 in exact:
+        got = rows[flag]
+        for est, ref in ((got.p50, p50), (got.p95, p95), (got.p99, p99)):
+            assert abs(est - ref) / ref < 0.01, (flag, est, ref)
+
+
+def test_lr_propensity_is_monotone_in_activity(spark):
+    """Higher propensity buckets must contain a higher observed active rate
+    (coarse AUC proxy), and scores stay valid probabilities."""
+    rows = OPS["ml_lr_propensity"].fn(spark, SF_DIR).collect()
+    assert all(0.0 <= r.propensity <= 1.0 for r in rows)
+    lo = [r.is_active for r in rows if r.propensity < 0.5]
+    hi = [r.is_active for r in rows if r.propensity >= 0.5]
+    if lo and hi:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)

@@ -20,9 +20,15 @@ def test_registry_contract(spark):
     assert len(qs) >= 87, f"expected >=87 registered ops, got {len(qs)}"
     # every oracle key must have a matching query; no orphans
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    # ROWS-only ops are the known non-SQL-expressible trio
+    # ROWS-only ops are the known non-SQL-expressible set (sketches + seeded ML)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"agg_approx_distinct", "ml_kmeans_rfm", "ml_tree_segment"}, rows_only
+    assert rows_only == {
+        "agg_approx_distinct",
+        "agg_approx_percentile",
+        "ml_kmeans_rfm",
+        "ml_tree_segment",
+        "ml_lr_propensity",
+    }, rows_only
 
 
 def test_entry_schema_stable(spark):

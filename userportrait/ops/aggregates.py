@@ -339,3 +339,21 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@op("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's percentile_approx sketch
+    (Greenwald-Khanna, accuracy 10000) — the constant-memory quantile path
+    for 100 TB columns where exact percentile's full sort is off the table.
+    Sketch internals differ across engines -> ROWS-only oracle (SURVEY
+    §2.0 rule 5); tests/test_invariants.py asserts each estimate lands
+    within 1% of DuckDB's exact quantile."""
+    li = load(spark, sf_dir).lineitem
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(pct, 1).alias("p50"),
+        F.element_at(pct, 2).alias("p95"),
+        F.element_at(pct, 3).alias("p99"),
+        F.count("*").cast("bigint").alias("n"),
+    )

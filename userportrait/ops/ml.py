@@ -87,3 +87,36 @@ def ml_tree_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("actual_segment"),
         back[F.col("prediction")].alias("predicted_segment"),
     ).orderBy("c_custkey")
+
+
+@op("ml_lr_propensity", oracle=None)
+def ml_lr_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogisticRegression propensity score (seeded, L2, 20 iters):
+    probability a customer is recently active (an order in the last 90
+    days of the data window) from frequency/monetary features — the
+    churn/propensity mining-tag shape. Emits the score bucketed to 3dp
+    (decile-stable across LBFGS ulp noise); ROWS-only oracle like the
+    other seeded ML ops; tests assert AUC-proxy monotonicity (active rate
+    rises with score bucket)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = rfm_base(spark, sf_dir).select(
+        "c_custkey",
+        F.col("frequency").cast("double").alias("f"),
+        F.col("monetary").cast("double").alias("m"),
+        (F.col("recency_days") <= 90).cast("double").alias("label"),
+    )
+    data = VectorAssembler(inputCols=["f", "m"], outputCol="features").transform(feats)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=20, regParam=0.01, standardization=True
+    ).fit(data)
+    from pyspark.ml.functions import vector_to_array
+
+    pred = lr.transform(data)
+    p1 = F.element_at(vector_to_array("probability"), 2)
+    return pred.select(
+        "c_custkey",
+        F.col("label").cast("int").alias("is_active"),
+        F.round(p1, 3).alias("propensity"),
+    ).orderBy("c_custkey")

@@ -687,3 +687,84 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@op(
+    "doc_clean_pipeline",
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    , exact AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, sha256(text) AS h FROM documents) GROUP BY h
+    ), survivors AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN exact e ON d.doc_id = e.doc_id
+      WHERE len(string_split(d.text, ' ')) >= 20
+    ), neardup AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+      WHERE {_N_SHARED_DUCK} >= {N_SHARED_MIN}
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens
+    FROM survivors s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM neardup n
+      JOIN survivors sa ON sa.doc_id = n.doc_a
+      WHERE n.doc_b = s.doc_id
+    )
+    """,
+)
+def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE declarative plan — the C4-style
+    chain every pre-training pipeline runs: exact dedup (keep min doc_id
+    per sha256(text)) → quality gate (≥20 whitespace tokens) → near-dup
+    removal (drop any survivor that is the HIGHER id of a verified
+    banded-MinHash pair whose lower id also survived the first two
+    stages; the keep-lowest rule is deterministic and needs no iteration).
+
+    Scale shape: stage 1 is one shuffle on the content hash; stage 2 is a
+    map-side filter; stage 3 materializes the bounded LSH near-dup edge
+    list to parquet (the stage boundary every real dedup pipeline has —
+    and a required one here: feeding the 32-signature comparison
+    expression straight into further joins sends Catalyst's constraint
+    propagation exponential) and anti-joins survivors against that small
+    edge file. Nothing is collected, nothing iterates — at 100 TB the
+    whole pipeline is three shuffles over progressively smaller data.
+    """
+    from .scans import _scratch
+
+    d = load(spark, sf_dir).documents
+    keep_exact = (
+        d.select("doc_id", F.sha2("text", 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("h")
+    )
+    survivors = (
+        d.join(keep_exact, "doc_id")
+        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+        .where(F.col("n_tokens") >= 20)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    n_shared = sum(
+        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
+    import os
+
+    edge_path = _scratch(f"clean_neardup_edges_{os.path.basename(os.path.normpath(sf_dir))}")
+    (
+        minhash_candidates(d)
+        .withColumn("n_shared", n_shared)
+        .where(F.col("n_shared") >= N_SHARED_MIN)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite")
+        .parquet(edge_path)
+    )
+    neardup = spark.read.schema("doc_a bigint, doc_b bigint").parquet(edge_path)
+    drop_ids = neardup.join(
+        survivors.select(F.col("doc_id").alias("doc_a")), "doc_a"
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    return survivors.join(F.broadcast(drop_ids), "doc_id", "left_anti")
