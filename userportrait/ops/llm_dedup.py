@@ -349,3 +349,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= SIMHASH_MAX_HAMMING
     )
+
+
+@op(
+    "dedup_incremental",
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    , cut AS (SELECT CAST(quantile_disc(doc_id, 0.8) AS BIGINT) AS c FROM documents)
+    SELECT c.doc_b AS new_doc, c.doc_a AS dup_of,
+           CAST({_N_SHARED_DUCK} AS BIGINT) AS n_shared
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    CROSS JOIN cut
+    WHERE c.doc_a <= cut.c AND c.doc_b > cut.c
+      AND {_N_SHARED_DUCK} >= {N_SHARED_MIN}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup indexing — the daily-crawl shape: the newest
+    ~20% of documents (doc_id above the 0.8 quantile cutoff) probe the
+    banded-MinHash signature index of the EXISTING corpus, instead of the
+    full self-join re-running over all history. Work per day is
+    O(new × bucket-hit), not O(corpus²); the signature index is exactly
+    what dedup_near_minhash already maintains, so at 100 TB this is an
+    append-only parquet table keyed by band_key that each new crawl batch
+    hash-joins against. Emits (new_doc, dup_of, n_shared) — the rows a
+    pipeline uses to drop already-seen content before it enters training.
+
+    Oracle: the same band-bucket candidates restricted to (index side ≤
+    cutoff < new side), same ≥8/16 signature verification."""
+    d = load(spark, sf_dir).documents
+    cutoff = int(d.approxQuantile("doc_id", [0.8], 0.0)[0])
+    cand = minhash_candidates(d)
+    n_shared = sum(
+        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
+    return (
+        cand.where((F.col("doc_a") <= cutoff) & (F.col("doc_b") > cutoff))
+        .withColumn("n_shared", n_shared.cast("bigint"))
+        .where(F.col("n_shared") >= N_SHARED_MIN)
+        .select(
+            F.col("doc_b").alias("new_doc"),
+            F.col("doc_a").alias("dup_of"),
+            "n_shared",
+        )
+    )
