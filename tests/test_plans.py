@@ -120,3 +120,39 @@ def test_dpp_join_injects_dynamic_pruning(spark):
     # the fact scan must carry a runtime dynamicpruningexpression, not
     # read every partition and filter post-join
     assert "dynamicpruning" in _plan(spark, "scan_dpp_join")
+
+
+def test_distributed_rank_avoids_single_partition_on_data(spark):
+    """win_rank_distributed's point: the DATA path ranks via range
+    repartition + local sort; any SinglePartition exchange may only feed
+    the 32-row offsets frame (window over partition counts), never the
+    orders scan."""
+    plan = _plan(spark, "win_rank_distributed")
+    assert "rangepartitioning" in plan, plan[:500]
+    # The offsets subtree (32-row partition-count aggregate, under the
+    # BroadcastExchange build side) is allowed SinglePartition; the probe
+    # side — scan -> range exchange -> sort -> MapInPandas — is not.
+    probe_side = plan.split("BroadcastExchange", 1)[0]
+    assert "MapInPandas" in probe_side
+    assert "Exchange SinglePartition" not in probe_side
+
+
+def test_clean_pipeline_neardup_drop_is_anti_join(spark):
+    plan = _plan(spark, "doc_clean_pipeline")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_scans_corpus_once(spark):
+    """The df branch must reuse tf (window over the compact aggregate),
+    not re-derive it from the raw corpus."""
+    plan = _plan(spark, "text_tfidf")
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1, (
+        "documents scanned more than once"
+    )
+
+
+def test_incremental_dedup_restricts_probe_side(spark):
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
