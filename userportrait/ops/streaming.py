@@ -124,6 +124,12 @@ def _stream_events(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFra
     """Streaming events source: explicit schema (ts already normalized to
     timestamp[us] by _stage), one staged file per microbatch, watermark
     attached."""
+    from ..session import apply_session_confs
+
+    # batch ops pick the confs up via read_table; the stream path reads the
+    # staged dir directly, so apply them here too (a vanilla driver session
+    # otherwise runs every microbatch with 200 shuffle partitions)
+    apply_session_confs(spark)
     schema = SCHEMAS["events"].replace("ts bigint", "ts timestamp")
     return (
         spark.readStream.schema(schema)
