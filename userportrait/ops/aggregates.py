@@ -357,3 +357,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pct, 3).alias("p99"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+@op(
+    "agg_mode",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY count(*) DESC, o.o_orderpriority ASC) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent order priority per market segment) —
+    the categorical "statistical tag" the reference's preference tags rest
+    on. Built as count + row_number with an explicit tie-break rather than
+    Spark's ``mode()`` (whose tie choice is nondeterministic — useless for
+    reproducible tags). Two map-side-combinable shuffles on small keys."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    counted = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("o_orderpriority").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
