@@ -145,3 +145,15 @@ def test_lr_propensity_is_monotone_in_activity(spark):
     hi = [r.is_active for r in rows if r.propensity >= 0.5]
     if lo and hi:
         assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_distributed_rank_is_a_bijection(spark):
+    """win_rank_distributed must emit each rank 1..N exactly once and
+    agree with the price ordering."""
+    rows = OPS["win_rank_distributed"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r.rnk for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.o_totalprice, -a.o_orderkey) >= (b.o_totalprice, -b.o_orderkey)
+    assert {r.bucket5 for r in rows} == set(range(1, 6))
