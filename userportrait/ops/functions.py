@@ -240,3 +240,36 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
         F.concat(F.lit("k="), F.get_json_object("props", "$.k")).alias("tag_render"),
     )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(l_orderkey >> 1 AS BIGINT) AS shr1,
+           CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(l_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mixed,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INT) AS popcount,
+           CAST(~l_orderkey AS BIGINT) AS flipped
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise kit (shifts, and/or/xor, popcount, complement) — the bucket
+    and bitmap-mask arithmetic under partitioners, bloom filters, and the
+    bitmap audience ops. Integer-exact on both engines by construction."""
+    li = load(spark, sf_dir).lineitem
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 1).cast("bigint").alias("shr1"),
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.col("l_linenumber").cast("bigint")).cast("bigint").alias("mixed"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        F.bitwise_not(k).cast("bigint").alias("flipped"),
+    )
