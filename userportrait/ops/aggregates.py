@@ -19,10 +19,10 @@ from ..registry import op
     "agg_groupby_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS VARCHAR) AS DOUBLE) AS avg_qty,
            min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -98,7 +98,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE) AS purchase_value
     FROM events GROUP BY user_id
     """,
 )
@@ -132,7 +132,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, n_name, CAST(grouping_id(c_mktsegment, n_name) AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_bal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
     """,
@@ -177,7 +177,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus, CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -241,12 +241,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            stddev_samp(l_quantity) AS sd_qty,
            var_samp(l_quantity) AS var_qty,
-           round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
-              - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE))
-           / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                    - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))
-                 * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
-                    - CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE))), 6)
+           round((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))
+           / sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))
+                 * (CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))), 6)
            AS corr_price_qty,
            median(l_quantity) AS median_qty,
            CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty

@@ -39,7 +39,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
     SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type LIKE 'PROMO%'
     GROUP BY brand
@@ -67,7 +67,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sortmerge_big",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey, o.o_totalprice
     """,
@@ -91,7 +91,7 @@ def join_sortmerge_big(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PER_CUST_ORDERS = """
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS spend
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spend
     FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
 """
 
@@ -280,7 +280,7 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start FROM orders)
     SELECT q.q_start, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM q JOIN orders o
       ON o.o_orderdate >= q.q_start AND o.o_orderdate < q.q_start + INTERVAL 3 MONTH
     GROUP BY q.q_start

@@ -163,7 +163,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
     ), m AS (
       SELECT label, pos,
-             CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_val
+             CAST(CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS VARCHAR) AS DOUBLE) AS mean_val
       FROM x GROUP BY label, pos
     )
     SELECT label,
@@ -212,7 +212,7 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_vecs,
            min(nrm) AS min_norm,
            max(nrm) AS max_norm,
-           CAST(CAST(sum(CAST(nrm AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_norm
+           CAST(CAST(CAST(sum(CAST(nrm AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS VARCHAR) AS DOUBLE) AS avg_norm
     FROM n GROUP BY label
     """,
 )
@@ -428,7 +428,7 @@ _ORACLE_IVF = """
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ), cx AS (  -- decimal-exact label centroids (same construction as embed_label_centroid)
       SELECT label, p.pos,
-             CAST(CAST(sum(CAST(v[p.pos] AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_val
+             CAST(CAST(CAST(sum(CAST(v[p.pos] AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS VARCHAR) AS DOUBLE) AS mean_val
       FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
       GROUP BY label, p.pos
     ), cent AS (

@@ -160,7 +160,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars,
+           CAST(CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS VARCHAR) AS DOUBLE) AS avg_chars,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars

@@ -56,7 +56,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     )
     SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
            min(us) AS start_us, max(us) AS end_us,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -147,7 +147,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
     WHERE c_acctbal > (
-      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+      SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / count(*)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
     )
     """,
@@ -176,7 +176,7 @@ SALT = 8
     "join_skew_salted",
     oracle="""
     SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,

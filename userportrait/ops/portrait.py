@@ -141,7 +141,7 @@ _RFM_BASE_SQL = f"""
     SELECT o_custkey AS c_custkey,
            CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '{ANCHOR}') AS INT) AS recency_days,
            CAST(count(*) AS BIGINT) AS frequency,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS monetary
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS monetary
     FROM orders GROUP BY o_custkey
 """
 
@@ -233,14 +233,14 @@ def tag_rfe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSM_SQL = """
     SELECT o.o_custkey AS c_custkey,
-           CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS discount_ratio,
-           CASE WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.07 THEN 'very_sensitive'
-                WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.05 THEN 'sensitive'
-                WHEN CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
-                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >= 0.03 THEN 'neutral'
+           CAST(CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS discount_ratio,
+           CASE WHEN CAST(CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) >= 0.07 THEN 'very_sensitive'
+                WHEN CAST(CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) >= 0.05 THEN 'sensitive'
+                WHEN CAST(CAST(sum(CAST(l.l_discount AS DECIMAL(19,4)) * CAST(l.l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) >= 0.03 THEN 'neutral'
                 ELSE 'insensitive' END AS psm_tier
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_custkey
@@ -521,8 +521,8 @@ def tag_crowd_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rfm AS ({_RFM_SQL}), seed AS (
       SELECT c_custkey FROM rfm WHERE rfm_score >= 555
     ), centroid AS (
-      SELECT CAST(sum(CAST(r.recency_days AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS cr,
-             CAST(sum(CAST(r.frequency AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS cf,
+      SELECT CAST(CAST(sum(CAST(r.recency_days AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / count(*) AS cr,
+             CAST(CAST(sum(CAST(r.frequency AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / count(*) AS cf,
              CAST(sum(r.monetary) AS DOUBLE) / count(*) AS cm
       FROM rfm r JOIN seed s ON s.c_custkey = r.c_custkey
     ), scored AS (

@@ -110,7 +110,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet_partitioned",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY yr
     """,
 )
@@ -173,7 +173,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_bucketed_join",
     oracle="""
     SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey
     """,
@@ -292,7 +292,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(o_channel, 'unknown') AS channel,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM unioned GROUP BY 1
     """,
 )
@@ -324,7 +324,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_pruning",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders WHERE year(o_orderdate) IN (1994, 1995)
     """,
 )
@@ -399,7 +399,7 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -489,7 +489,7 @@ def scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT year(o_orderdate) AS dyr FROM orders WHERE o_totalprice > 450000
     )
     SELECT CAST(year(o.o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders o JOIN hot h ON year(o.o_orderdate) = h.dyr
     GROUP BY 1
     """,

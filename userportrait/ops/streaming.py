@@ -175,7 +175,7 @@ _TUMBLING_ORACLE = """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
 """
@@ -295,7 +295,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -352,7 +352,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start, n.n_name,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -485,7 +485,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_complete_counts",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )

@@ -77,8 +77,8 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            min(l_extendedprice) AS min_price,
-           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
-             / CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wavg_price
+           CAST(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
     """,

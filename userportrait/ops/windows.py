@@ -95,9 +95,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4)))
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -171,7 +171,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, sec,
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_1h
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY sec
                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
