@@ -19,14 +19,17 @@ from userportrait.registry import load_all_ops
 
 def main(paths):
     ops = list(load_all_ops())
-    best: dict[str, str] = {}  # op -> strongest evidence across all rounds
-    for path in paths:
+    best: dict[str, str] = {}  # op -> LATEST driver evidence (newest round wins)
+    # Process oldest->newest and always overwrite, so an op that regressed
+    # after once passing re-enters the window instead of being shadowed by
+    # a stale green (a green must be re-earned after any failure).
+    for path in sorted(paths):
         data = json.load(open(path))
         for k, v in data.items():
             if v.get("hash_match") or v.get("err") == "no_oracle":
                 best[k] = "green"
             else:
-                best.setdefault(k, "failed")
+                best[k] = "failed"
     never = [k for k in ops if k not in best]
     failed = [k for k in ops if best.get(k) == "failed"]
     window = (failed + never)[:50]

@@ -124,17 +124,32 @@ def test_dpp_join_injects_dynamic_pruning(spark):
 
 def test_distributed_rank_avoids_single_partition_on_data(spark):
     """win_rank_distributed's point: the DATA path ranks via range
-    repartition + local sort; any SinglePartition exchange may only feed
-    the 32-row offsets frame (window over partition counts), never the
-    orders scan."""
+    repartition + local sort, pinned by an eager localCheckpoint (ADVICE r4:
+    both the counts branch and the mapInPandas branch must read the SAME
+    materialized partitioning, not two re-evaluations of a nondeterministic
+    range exchange). The final plan therefore reads the checkpointed RDD;
+    any SinglePartition exchange may only feed the 32-row offsets frame
+    (window over partition counts), never the data path."""
     plan = _plan(spark, "win_rank_distributed")
-    assert "rangepartitioning" in plan, plan[:500]
+    assert "ExistingRDD" in plan, plan[:500]  # checkpoint pinned the exchange
     # The offsets subtree (32-row partition-count aggregate, under the
     # BroadcastExchange build side) is allowed SinglePartition; the probe
-    # side — scan -> range exchange -> sort -> MapInPandas — is not.
+    # side — checkpointed scan -> MapInPandas — is not.
     probe_side = plan.split("BroadcastExchange", 1)[0]
     assert "MapInPandas" in probe_side
     assert "Exchange SinglePartition" not in probe_side
+
+
+def test_rfm_rfe_scored_paths_have_no_single_partition_exchange(spark):
+    """tag_rfm / tag_rfe quintile scoring must run the distributed exact-
+    ntile decomposition (userportrait/ranking.py) — a global ntile window
+    would plan Exchange SinglePartition and funnel every customer row
+    through one task at 100 TB."""
+    for name in ("tag_rfm", "tag_rfe"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, f"{name}: {plan[:800]}"
+        # scoring runs as per-bucket windows, hash-partitioned on bucket id
+        assert "hashpartitioning(_b_" in plan, f"{name}: {plan[:800]}"
 
 
 def test_clean_pipeline_neardup_drop_is_anti_join(spark):

@@ -355,7 +355,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle=_CAND_CTE_DUCK
     + f"""
-    , cut AS (SELECT CAST(quantile_disc(doc_id, 0.8) AS BIGINT) AS c FROM documents)
+    , cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents)
     SELECT c.doc_b AS new_doc, c.doc_a AS dup_of,
            CAST({_N_SHARED_DUCK} AS BIGINT) AS n_shared
     FROM cand c
@@ -378,9 +378,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses to drop already-seen content before it enters training.
 
     Oracle: the same band-bucket candidates restricted to (index side ≤
-    cutoff < new side), same ≥8/16 signature verification."""
+    cutoff < new side), same ≥8/16 signature verification. The cutoff is
+    floor(0.8 * max(doc_id)) — an engine-independent arithmetic split
+    (approxQuantile vs DuckDB quantile_disc use different discrete-quantile
+    position conventions and can disagree by one element)."""
     d = load(spark, sf_dir).documents
-    cutoff = int(d.approxQuantile("doc_id", [0.8], 0.0)[0])
+    cutoff = d.agg(
+        F.floor(F.lit(0.8) * F.max("doc_id")).cast("bigint").alias("c")
+    ).collect()[0]["c"]
     cand = minhash_candidates(d)
     n_shared = sum(
         F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)

@@ -8,12 +8,12 @@ and the profile assembly (the reference's HBase full-outer merge, here a
 hash-partitioned multi-join rendered to a canonical sorted tag string —
 raw map columns hash unstably, SURVEY §2.0).
 
-Scale note: the ntile(5) scoring windows are global (unpartitioned) — on a
-real cluster the same scores come from approxQuantile thresholds + CASE,
-trading exactness of bucket edges for full parallelism; the exact form is
-kept here because the oracle contract demands bit-stable buckets. Everything
-upstream of the scoring window is pre-aggregated to one row per customer, so
-the single-partition sort touches #customers rows, not #orders.
+Scale note: the ntile(5) scoring is the distributed exact decomposition
+(userportrait/ranking.py): approx-quantile range buckets for parallelism,
+exact bucket counts + prefix-sum offsets + per-bucket row_number for bit-
+stable 1..5 scores — no ``Exchange SinglePartition`` in the scored plan,
+while the oracle keeps the plain global ``ntile(5) OVER`` form, so the
+equivalence is re-proven on every differential run.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ranking import exact_ntile_scores
 from ..registry import op
 
 ANCHOR = "2001-09-01"  # just past max(o_orderdate) (FIXTURES.md)
@@ -168,20 +169,31 @@ def rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile-scored RFM via the distributed exact-ntile decomposition
+    (userportrait/ranking.py) — no ``Exchange SinglePartition`` anywhere in
+    the scored plan (regression-guarded by tests/test_plans.py), yet
+    bitwise-equal to the oracle's plain ``ntile(5) OVER (ORDER BY ...)``."""
     base = rfm_base(spark, sf_dir)
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("c_custkey"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("c_custkey"))
-    w_m = Window.orderBy(F.asc("monetary"), F.asc("c_custkey"))
-    r, f_, m = (F.ntile(5).over(w) for w in (w_r, w_f, w_m))
-    return base.select(
+    scored = exact_ntile_scores(
+        base,
+        [
+            (-F.col("recency_days"), "c_custkey", "r_score"),
+            (F.col("frequency"), "c_custkey", "f_score"),
+            (F.col("monetary"), "c_custkey", "m_score"),
+        ],
+        k=5,
+    )
+    return scored.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r.cast("int").alias("r_score"),
-        f_.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
-        (r * 100 + f_ * 10 + m).cast("int").alias("rfm_score"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_score"),
     )
 
 
@@ -217,17 +229,18 @@ def tag_rfe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias("engagement_days"),
     )
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    w_e = Window.orderBy(F.asc("engagement_days"), F.asc("user_id"))
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "engagement_days",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_e).cast("int").alias("e_score"),
+    scored = exact_ntile_scores(
+        base,
+        [
+            (-F.col("recency_days"), "user_id", "r_score"),
+            (F.col("frequency"), "user_id", "f_score"),
+            (F.col("engagement_days"), "user_id", "e_score"),
+        ],
+        k=5,
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "engagement_days",
+        "r_score", "f_score", "e_score",
     )
 
 

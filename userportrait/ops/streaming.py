@@ -130,6 +130,13 @@ def _stream_events(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFra
     # staged dir directly, so apply them here too (a vanilla driver session
     # otherwise runs every microbatch with 200 shuffle partitions)
     apply_session_confs(spark)
+    # A silent no-op replace here would read ts as bigint and break the
+    # watermark at runtime — fail loudly if the catalog schema ever drifts.
+    if "ts bigint" not in SCHEMAS["events"]:
+        raise AssertionError(
+            f"events schema no longer contains 'ts bigint'; update the "
+            f"streaming ts swap: {SCHEMAS['events']!r}"
+        )
     schema = SCHEMAS["events"].replace("ts bigint", "ts timestamp")
     return (
         spark.readStream.schema(schema)

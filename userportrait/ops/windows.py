@@ -237,7 +237,13 @@ def win_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     parted = o.repartitionByRange(32, F.col("o_totalprice").desc(), F.col("o_orderkey")).sortWithinPartitions(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    with_pid = parted.withColumn("pid", F.spark_partition_id())
+    # Pin ONE physical evaluation of the range exchange before branching.
+    # RangePartitioner boundaries come from nondeterministic sampling; without
+    # this, the counts branch and the mapInPandas branch would each evaluate
+    # the exchange and correctness would hinge on Spark's exchange-reuse
+    # collapsing the two identical shuffles. localCheckpoint (eager) truncates
+    # lineage so both branches read the SAME materialized partitioning.
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint()
 
     counts = with_pid.groupBy("pid").agg(F.count("*").alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -261,16 +267,19 @@ def win_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_local = with_pid.mapInPandas(
         local_rank, "o_orderkey bigint, o_totalprice double, pid int, local_rank bigint"
     )
-    joined = ranked_local.join(F.broadcast(offsets), "pid")
-    rnk = (F.col("offset") + F.col("local_rank")).cast("bigint")
-    # exact ntile(k): first (total % k) buckets get (total//k + 1) rows
-    k = F.lit(5)
-    base = (F.col("total") / k).cast("bigint")
-    rem = F.col("total") % k
-    big = (base + 1) * rem  # rows covered by the oversized buckets
-    bucket = F.when(rnk <= big, ((rnk - 1) / (base + 1)).cast("int") + 1).otherwise(
-        (rem + (rnk - big - 1) / F.greatest(base, F.lit(1))).cast("int") + 1
+    # exact ntile(k): first (total % k) buckets get (total//k + 1) rows.
+    # All bucket arithmetic is integral (`div`) — float division truncates the
+    # wrong way once products approach 2^53, which a 100 TB rank can reach.
+    joined = (
+        ranked_local.join(F.broadcast(offsets), "pid")
+        .withColumn("rnk", (F.col("offset") + F.col("local_rank")).cast("bigint"))
+        .withColumn("base", F.expr("total div 5"))
+        .withColumn("rem", F.col("total") % 5)
+        .withColumn("big", (F.col("base") + 1) * F.col("rem"))
     )
+    bucket = F.when(
+        F.col("rnk") <= F.col("big"), F.expr("(rnk - 1) div (base + 1)") + 1
+    ).otherwise(F.col("rem") + F.expr("(rnk - big - 1) div greatest(base, 1)") + 1)
     return joined.select(
-        "o_orderkey", "o_totalprice", rnk.alias("rnk"), bucket.cast("int").alias("bucket5")
+        "o_orderkey", "o_totalprice", "rnk", bucket.cast("int").alias("bucket5")
     )
