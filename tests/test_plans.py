@@ -167,6 +167,18 @@ def test_tfidf_scans_corpus_once(spark):
     )
 
 
+def test_dedup_embed_cosine_is_banded_join_not_full_index(spark):
+    """The r4 form collected the whole embedding table to the driver and
+    broadcast it as one numpy matrix; the scale shape is LSH bucket hash
+    joins + exact rescore + left-anti. No Python workers, no cartesian."""
+    plan = _plan(spark, "dedup_embed_cosine")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan  # no broadcast-matmul kernel on this path
+    # candidate generation joins on (t, bucket) — the banded hash join
+    assert "bucket" in plan
+
+
 def test_incremental_dedup_restricts_probe_side(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan

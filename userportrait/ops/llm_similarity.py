@@ -240,27 +240,37 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Round-2 extension: the LSH-bucketed ANN scale path. sim_cosine_knn's
-# broadcast index assumes the index side fits one broadcast; this op is the
-# shape that survives when it doesn't — signs of random-hyperplane
+# broadcast index assumes the index side fits one broadcast; these ops are
+# the shape that survives when it doesn't — signs of random-hyperplane
 # projections bucket the vectors, candidates come from bucket joins, and
 # the exact cosine runs only on candidates. The hyperplane family is
 # md5-derived (w(j,d) = hexpair(md5(j||'_'||d)) - 127.5) so both engines
 # build bit-identical planes and even the *approximation* is EXACT-oracled.
+# The candidate machinery is parametrized on (tables, bits, cap, predicate)
+# and shared between sim_knn_lsh and dedup_embed_cosine.
 # ---------------------------------------------------------------------------
 
 LSH_TABLES = 4
 LSH_BITS = 6  # per table → 64 buckets/table
+LSH_BUCKET_CAP = 32
+# dedup wants recall at sim≈0.45 (p_collide/bit ≈ 0.65): fewer bits per
+# table, more tables → 1-(1-0.65^3)^8 ≈ 0.92 pair recall, still 8 buckets
+# per table of hot-bucket control. Same 24-projection md5 family, regrouped.
+DEDUP_LSH_TABLES = 8
+DEDUP_LSH_BITS = 3
 
 
-@op(
-    "sim_knn_lsh",
-    oracle="""
+def _lsh_cand_cte(tables: int, bits: int, cap: int, pair_pred: str) -> str:
+    """DuckDB CTE chain ending in ``cand(vec_id, neighbor_id)`` — the exact
+    mirror of ``_lsh_candidates`` below, parametrized identically."""
+    nproj = tables * bits
+    return f"""
     WITH w AS (
       SELECT j.j, d.d,
              CAST((strpos('0123456789abcdef', substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1)) - 1) * 16
                 + (strpos('0123456789abcdef', substring(md5(CAST(j.j AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 2, 1)) - 1)
                 - 127.5 AS DOUBLE) AS wt
-      FROM (SELECT unnest(generate_series(1, 24)) AS j) j
+      FROM (SELECT unnest(generate_series(1, {nproj})) AS j) j
       CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
     ), elems AS (
       SELECT vec_id, p.pos - 1 AS d, CAST(embedding[p.pos] AS DOUBLE) AS val
@@ -270,20 +280,115 @@ LSH_BITS = 6  # per table → 64 buckets/table
       FROM elems e JOIN w ON e.d = w.d
       GROUP BY e.vec_id, w.j
     ), buckets AS (
-      SELECT vec_id, (j - 1) // 6 AS t,
-             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << ((j - 1) % 6) ELSE 0 END) AS BIGINT) AS bucket
-      FROM proj GROUP BY vec_id, (j - 1) // 6
+      SELECT vec_id, (j - 1) // {bits} AS t,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << ((j - 1) % {bits}) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, (j - 1) // {bits}
     ), capped AS (
       SELECT t, bucket, vec_id FROM (
         SELECT t, bucket, vec_id,
                row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn
         FROM buckets
-      ) WHERE rn <= 32
+      ) WHERE rn <= {cap}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
       FROM buckets a JOIN capped b
-        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-    ), v AS (
+        ON a.t = b.t AND a.bucket = b.bucket AND {pair_pred}
+    )"""
+
+
+def _lsh_candidates(
+    spark: SparkSession, e: DataFrame, tables: int, bits: int, cap: int, dominators_only: bool
+) -> DataFrame:
+    """Banded-LSH candidate pairs (vec_id, neighbor_id), hash-join shape.
+
+    ``dominators_only`` keeps only neighbor_id < vec_id (the min-id-survivor
+    dedup predicate); otherwise all distinct-id pairs. The index side of each
+    (table, bucket) is capped at its ``cap`` lowest vec_ids — bounded fan-out
+    under degenerate buckets; for dedup the lowest ids are exactly the likely
+    dominators, so the cap spends its budget where survival is decided."""
+    from pyspark.sql import Window
+
+    nproj = tables * bits
+    one = spark.range(1)
+    weights = (
+        one.select(F.explode(F.sequence(F.lit(1), F.lit(nproj))).alias("j"))
+        .select("j", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("d"))
+        .withColumn(
+            "wt",
+            F.expr(
+                "cast((instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 1, 1)) - 1) * 16"
+                " + (instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 2, 1)) - 1)"
+                " - 127.5 as double)"
+            ),
+        )
+    )
+    elems = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
+        "vec_id", "d", F.col("val").cast("double").alias("val")
+    )
+    proj = (
+        elems.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("val") * F.col("wt")).cast("decimal(38,8)")).alias("s"))
+    )
+    buckets = (
+        proj.select(
+            "vec_id",
+            ((F.col("j") - 1) / bits).cast("int").alias("t"),
+            F.when(F.col("s") > 0, F.expr(f"shiftleft(cast(1 as bigint), (j - 1) % {bits})"))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "t")
+        .agg(F.sum("bit").cast("bigint").alias("bucket"))
+    )
+    wb = Window.partitionBy("t", "bucket").orderBy("vec_id")
+    capped = buckets.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") <= cap).drop("rn")
+    a, b = buckets.alias("a"), capped.alias("b")
+    pred = (
+        (F.col("b.vec_id") < F.col("a.vec_id"))
+        if dominators_only
+        else (F.col("a.vec_id") != F.col("b.vec_id"))
+    )
+    return (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bucket") == F.col("b.bucket")) & pred)
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+
+def _agg_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _exact_rescore(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine on candidate pairs only: (vec_id, neighbor_id, sim).
+    Sequential JVM fold over the 64-dim arrays — same evaluation order as the
+    DuckDB list_sum fold, so the doubles are bit-identical cross-engine."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norms = e.select(
+        "vec_id", v.alias("v"), F.sqrt(_agg_sum(F.transform(v, lambda x: x * x))).alias("nrm")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    c = cand.alias("c")
+    return (
+        c.join(na, F.col("na.vec_id") == F.col("c.vec_id"))
+        .join(nb, F.col("nb.vec_id") == F.col("c.neighbor_id"))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.neighbor_id").alias("neighbor_id"),
+            (
+                _agg_sum(F.zip_with(F.col("na.v"), F.col("nb.v"), lambda x, y: x * y))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("sim"),
+        )
+    )
+
+
+@op(
+    "sim_knn_lsh",
+    oracle=_lsh_cand_cte(LSH_TABLES, LSH_BITS, LSH_BUCKET_CAP, "a.vec_id <> b.vec_id")
+    + """
+    , v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v
@@ -319,72 +424,8 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: posexplode + interpreted folds off a one-split scan at
     # test scale would otherwise run single-core
     e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
-    one = spark.range(1)
-    weights = (
-        one.select(F.explode(F.sequence(F.lit(1), F.lit(LSH_TABLES * LSH_BITS))).alias("j"))
-        .select("j", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("d"))
-        .withColumn(
-            "wt",
-            F.expr(
-                "cast((instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 1, 1)) - 1) * 16"
-                " + (instr('0123456789abcdef', substring(md5(concat(cast(j as string), '_', cast(d as string))), 2, 1)) - 1)"
-                " - 127.5 as double)"
-            ),
-        )
-    )
-    elems = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
-        "vec_id", "d", F.col("val").cast("double").alias("val")
-    )
-    proj = (
-        elems.join(F.broadcast(weights), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum((F.col("val") * F.col("wt")).cast("decimal(38,8)")).alias("s"))
-    )
-    buckets = (
-        proj.select(
-            "vec_id",
-            ((F.col("j") - 1) / LSH_BITS).cast("int").alias("t"),
-            F.when(F.col("s") > 0, F.expr(f"shiftleft(cast(1 as bigint), (j - 1) % {LSH_BITS})"))
-            .otherwise(F.lit(0))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "t")
-        .agg(F.sum("bit").cast("bigint").alias("bucket"))
-    )
-    wb = Window.partitionBy("t", "bucket").orderBy("vec_id")
-    capped = (
-        buckets.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") <= 32).drop("rn")
-    )
-    a, b = buckets.alias("a"), capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
-        .distinct()
-    )
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    norms = e.select(
-        "vec_id", v.alias("v"), F.sqrt(agg_sum(F.transform(v, lambda x: x * x))).alias("nrm")
-    )
-    na, nb = norms.alias("na"), norms.alias("nb")
-    c = cand.alias("c")
-    scored = (
-        c.join(na, F.col("na.vec_id") == F.col("c.vec_id"))
-        .join(nb, F.col("nb.vec_id") == F.col("c.neighbor_id"))
-        .select(
-            F.col("c.vec_id").alias("vec_id"),
-            F.col("c.neighbor_id").alias("neighbor_id"),
-            (
-                agg_sum(F.zip_with(F.col("na.v"), F.col("nb.v"), lambda x, y: x * y))
-                / (F.col("na.nrm") * F.col("nb.nrm"))
-            ).alias("sim"),
-        )
-    )
+    cand = _lsh_candidates(spark, e, LSH_TABLES, LSH_BITS, LSH_BUCKET_CAP, dominators_only=False)
+    scored = _exact_rescore(e, cand)
     w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w_rank))
@@ -395,30 +436,48 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "dedup_embed_cosine",
-    oracle=_ORACLE_SIMS_CTE
+    oracle=_lsh_cand_cte(DEDUP_LSH_TABLES, DEDUP_LSH_BITS, LSH_BUCKET_CAP, "b.vec_id < a.vec_id")
     + """
-    SELECT vec_id FROM e
-    WHERE vec_id NOT IN (
-      SELECT vec_id FROM sims WHERE neighbor_id < vec_id AND sim >= 0.45
+    , ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
+    ), en AS (
+      SELECT vec_id, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm FROM ev
+    ), dominated AS (
+      SELECT DISTINCT c.vec_id
+      FROM cand c JOIN en a ON a.vec_id = c.vec_id JOIN en b ON b.vec_id = c.neighbor_id
+      WHERE list_sum(list_transform(list_zip(a.vv, b.vv), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.45
     )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal: a vector survives unless a
-    SMALLER-id vector lies within cosine ≥ 0.45 (min-id survivor per
-    near-dup relation — the semantic-dedup step of a training-data
-    pipeline, run on embeddings instead of text). Same broadcast-index
-    blocked matmul as sim_cosine_knn; each batch emits only its surviving
-    ids. The LSH/IVF variants bound the scan when the index outgrows a
-    broadcast."""
-    bc = _broadcast_index(spark, sf_dir)
+    SMALLER-id candidate vector lies within cosine ≥ 0.45 (min-id survivor
+    per near-dup relation — the semantic-dedup step of a training-data
+    pipeline, run on embeddings instead of text).
 
-    def emit(np, pd, qids, aids, sims):
-        dominated = ((aids[None, :] < qids[:, None]) & (sims >= SIM_THRESHOLD)).any(axis=1)
-        return pd.DataFrame({"vec_id": qids[~dominated]})
-
-    q = load(spark, sf_dir).embeddings.select("vec_id", "embedding").repartition(64, "vec_id")
-    return q.mapInPandas(_query_batches(bc, emit), "vec_id bigint")
+    Candidates come from the banded-LSH machinery (8 tables × 3 sign-bits of
+    the md5-derived hyperplane family, ≈0.92 pair recall at sim 0.45, index
+    side capped at the 32 lowest vec_ids per bucket — exactly the likely
+    dominators), then exact cosine rescoring on candidates only. This is the
+    100 TB shape: bucket hash-joins + a left-anti against dominated ids, no
+    driver-side index collect, no full-corpus broadcast (the r4 form
+    ``.toPandas()``-ed the whole embedding table into one broadcast var).
+    The quantizer is deterministic, and the oracle mirrors the SAME candidate
+    generation — the approximation itself is exact-oracled, like sim_knn_lsh.
+    Recall tunes with (tables, bits, cap) as the corpus grows."""
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    cand = _lsh_candidates(
+        spark, e, DEDUP_LSH_TABLES, DEDUP_LSH_BITS, LSH_BUCKET_CAP, dominators_only=True
+    )
+    dominated = (
+        _exact_rescore(e, cand)
+        .where(F.col("sim") >= SIM_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    return e.select("vec_id").join(dominated, "vec_id", "left_anti")
 
 
 _IVF_NPROBE = 2

@@ -207,21 +207,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     oracle=_CAND_CTE_DUCK.replace("WITH", "WITH RECURSIVE", 1)
     + f"""
-    , pairs AS (
+    , pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b
       FROM cand c
       JOIN sig a ON a.doc_id = c.doc_a
       JOIN sig b ON b.doc_id = c.doc_b
       WHERE {_N_SHARED_DUCK} >= {N_SHARED_MIN}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS id FROM edges
     ), reach(id, lab) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT id, id FROM nodes
       UNION
       SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
     ), labels AS (
       SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+      UNION ALL
+      SELECT doc_id, CAST(doc_id AS BIGINT) AS cluster_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM nodes)
     )
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
@@ -238,11 +243,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Oracle: DuckDB recursive-CTE transitive closure (exact same
     fixpoint).
 
-    Scale shape: each round = join(labels, edges) + groupBy(min) — two
-    shuffles on doc_id, convergence in O(component diameter) rounds (dup
-    families are shallow; ≤20 capped). localCheckpoint cuts lineage so
-    round N's plan doesn't replay rounds 1..N-1; the convergence probe is
-    a scalar agg, not a collect of data rows."""
+    Scale shape: each round = one-hop min propagation (join(labels, edges)
+    + groupBy(min)) followed by a pointer-jump (labels self-join: adopt the
+    label of one's label — path halving), so convergence is O(log diameter)
+    rounds, not O(diameter): the sf0.1 corpus has a 105-doc dup family
+    whose diameter exceeds any sane fixed hop count, and a 100 TB crawl
+    corpus will contain worse. ≤20 rounds covers diameters past 2^20.
+    localCheckpoint cuts lineage so round N's plan doesn't replay rounds
+    1..N-1; the convergence probe is a scalar agg, not a collect of data
+    rows."""
     d = load(spark, sf_dir).documents
     n_shared = sum(
         F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
@@ -268,10 +277,19 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), "lab")
         )
+        hop = labels.union(neighbor).groupBy("doc_id").agg(F.min("lab").alias("lab"))
+        # pointer-jump (path halving): adopt the label of one's label. Labels
+        # are node ids, so the self-join always resolves; least() keeps the
+        # monotone-decreasing invariant that makes the sum probe sound.
+        l1, l2 = hop.alias("l1"), hop.alias("l2")
         labels = (
-            labels.union(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("lab").alias("lab"))
+            l1.join(l2, F.col("l1.lab") == F.col("l2.doc_id"), "left")
+            .select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l1.lab"), F.coalesce(F.col("l2.lab"), F.col("l1.lab"))
+                ).alias("lab"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
