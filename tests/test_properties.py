@@ -68,6 +68,30 @@ def test_union_all_vs_distinct_counts(spark, a, b):
     assert a_df.union(b_df).distinct().count() == len(set(a) | set(b))
 
 
+@given(rows=pairs, k=st.integers(min_value=2, max_value=7))
+@settings(**SETTINGS)
+def test_exact_ntile_scores_matches_window_ntile(spark, rows, k):
+    """The distributed exact-ntile decomposition (userportrait/ranking.py)
+    must be bitwise-equal to ntile(k) OVER (ORDER BY v, uid) for ANY data —
+    heavy ties, n < k, skewed values — not just the certified fixtures."""
+    from pyspark.sql import Window
+
+    from userportrait.ranking import exact_ntile_scores
+
+    uniq = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "uid int, v int")
+    got = {
+        (r.uid, r.score)
+        for r in exact_ntile_scores(df, [(F.col("v"), "uid", "score")], k=k, npart=4).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("uid"))
+    want = {
+        (r.uid, r.score)
+        for r in df.select("uid", F.ntile(k).over(w).alias("score")).collect()
+    }
+    assert got == want
+
+
 @given(
     base=st.text(alphabet="abcdef ", min_size=40, max_size=80),
     mutations=st.integers(min_value=0, max_value=3),
