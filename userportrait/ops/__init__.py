@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     streaming,
     udfs,
     pipeline_ext,
+    curation,
 )
 
 ALL_MODULES = [
@@ -39,4 +40,5 @@ ALL_MODULES = [
     streaming,
     udfs,
     pipeline_ext,
+    curation,
 ]

@@ -1,0 +1,409 @@
+"""§2.N (round 5) — training-data curation extensions.
+
+Six ops a 100 TB pretraining-data pipeline runs between "crawl landed" and
+"tokens shipped", beyond the §2.K/§2.M dedup/similarity/text surface:
+repetition-quality signals (Gopher-style), exact shared-span detection
+(the Lee et al. "Deduplicating Training Data" substring-level shape),
+deterministic train/valid/test hash-splitting, nearest-centroid labeling
+over embeddings, and two events-side portrait/health composites (activity
+trend, DAU/WAU stickiness). The reference has no corpus tooling (SURVEY
+§0.1 — its workload is the user-portrait tag pipeline); these extend the
+engine the same way §2.K/§2.M did, EXACT-oracled wherever the math allows.
+
+Scale notes (100 TB):
+- every doc-side op is explode -> groupBy with map-side combine; shuffle
+  keys are (doc_id, gram) / (gram) / (label, pos) — high-cardinality, even;
+- nothing collects data to the driver (the only scalar pulled is the
+  30-day anchor date in the events ops — one row);
+- sim_centroid_assign broadcasts a k×dim centroid table (tiny by
+  construction) instead of shuffling the embedding side twice;
+- doc_train_split's md5 assignment is embarrassingly parallel and
+  engine-independent, so the SAME split reproduces on any engine that
+  re-runs the manifest — the property that matters when a 100 TB corpus
+  is re-sharded and the eval set must not move.
+
+Determinism: ratios are int/int double divisions (exact IEEE on both
+engines); centroid scores are micro-unit bigint × decimal products summed
+in decimal — no float accumulation anywhere near a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import op
+
+HEX = "0123456789abcdef"
+
+
+@op(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), bstat AS (
+      SELECT doc_id,
+             CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    ), tstat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS uniq_tokens
+      FROM toks
+    )
+    SELECT t.doc_id, t.n_tokens, t.uniq_tokens, b.top_bigram_cnt,
+           CAST(t.uniq_tokens AS DOUBLE) / t.n_tokens AS uniq_frac,
+           CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+    FROM tstat t JOIN bstat b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition-quality signals (Gopher-style): unique-token
+    fraction and most-frequent-bigram fraction — the two cheapest filters
+    for boilerplate/degenerate text.
+
+    Token stats are pure array functions (size / array_distinct — JVM-side,
+    zero shuffle); only the bigram mode needs an explode, and its shuffle
+    key (doc_id, bigram) is per-document so partial aggregation collapses
+    almost everything map-side. Ratios are int/int double divisions —
+    exact IEEE, identical on both engines.
+    """
+    d = load(spark, sf_dir).documents
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    tstat = d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("uniq_tokens"),
+        t.alias("t"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
+    )
+    bstat = (
+        tstat.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("bigint").alias("top_bigram_cnt"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return tstat.drop("t").join(bstat, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "uniq_tokens",
+        "top_bigram_cnt",
+        (F.col("uniq_tokens").cast("double") / F.col("n_tokens")).alias("uniq_frac"),
+        (F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@op(
+    "dedup_ngram_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+                                                 i -> array_to_string(t[i:i+7], ' ')))) AS span
+      FROM toks
+    )
+    SELECT span,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM spans
+    GROUP BY span
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-span detection: 8-token spans appearing in ≥2 distinct
+    documents — the substring-level dup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    doc-level MinHash misses (two long docs sharing one quoted paragraph).
+
+    Spans are built array-side and DISTINCT'd per doc BEFORE the explode, so
+    a span repeated inside one doc costs one shuffled row, and the shuffle
+    key is the span itself (high-cardinality, even). At 100 TB the span
+    string would be replaced by its 128-bit hash to shrink shuffle width —
+    same plan shape; the string form here keeps the oracle exact and the
+    output human-auditable.
+    """
+    d = load(spark, sf_dir).documents
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 8),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+        )
+    )
+    return (
+        d.select(F.col("doc_id"), t.alias("t"))
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@op(
+    "doc_train_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             (instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+      FROM documents
+    ), s AS (
+      SELECT CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'valid'
+                  ELSE 'test' END AS split, n_chars, n_tokens
+      FROM h
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+    FROM s GROUP BY split
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (~80/10/10) from the first two
+    hex chars of md5(doc_id) — 256 buckets, <205 train / <230 valid / rest
+    test — plus per-split token/char budgets.
+
+    The hex chars are mapped through an instr('0123...f') lookup rather than
+    any engine hash() builtin, so the SAME document lands in the SAME split
+    on Spark, DuckDB, or a bash md5sum — re-sharding a 100 TB corpus can
+    never move the eval set. Embarrassingly parallel map + one 3-group
+    aggregate; no row order anywhere.
+    """
+    d = load(spark, sf_dir).documents
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "valid").otherwise("test")
+    )
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (
+        d.select(split.alias("split"), n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+@op(
+    "sim_centroid_assign",
+    oracle="""
+    WITH x AS (
+      SELECT label, vec_id, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), cm AS (  -- micro-unit integer centroids, same convention as embed_label_centroid
+      SELECT label AS c_label, pos,
+             CAST(round(CAST(CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE)
+                              / count(*) AS VARCHAR) AS DOUBLE) * 1000000) AS BIGINT) AS cm
+      FROM x GROUP BY label, pos
+    ), scored AS (
+      SELECT x.vec_id, x.label, cm.c_label,
+             sum(CAST(x.val AS DECIMAL(18,8)) * cm.cm) AS score
+      FROM x JOIN cm USING (pos)
+      GROUP BY x.vec_id, x.label, cm.c_label
+    ), best AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label ASC) AS rn
+      FROM scored
+    )
+    SELECT label, c_label AS pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rn = 1
+    GROUP BY label, c_label
+    """,
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid labeling: per-label mean vector (micro-unit bigint,
+    the embed_label_centroid convention), every embedding assigned to the
+    centroid with the highest inner product, output as a confusion matrix
+    (true label × predicted label × count).
+
+    The k×dim centroid table (640 rows here) broadcasts; the embedding side
+    posexplodes once and aggregates on (vec_id, label) — map-side combine,
+    even keys, no second pass over the vectors. Scores are DECIMAL(18,8) ×
+    BIGINT products summed in decimal — fully exact, so the argmax (ties
+    broken by label asc) is bitwise-reproducible on both engines; no float
+    accumulation can flip an assignment. The per-vec_id row_number window is
+    hash-partitioned on vec_id — no single-partition exchange.
+    """
+    e = load(spark, sf_dir).embeddings
+    x = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cm = (
+        x.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            F.round(
+                (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
+                .cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cm")
+        )
+    )
+    scored = (
+        x.join(F.broadcast(cm), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("val").cast("decimal(18,8)") * F.col("cm")).alias("score"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("pred_label"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+
+
+@op(
+    "tag_activity_trend",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+    w AS (
+      SELECT e.user_id,
+             CAST(count(*) FILTER (WHERE datediff('day', CAST(e.ts AS DATE), a.d) < 10) AS BIGINT) AS recent_events,
+             CAST(count(*) FILTER (WHERE datediff('day', CAST(e.ts AS DATE), a.d) >= 10
+                                     AND datediff('day', CAST(e.ts AS DATE), a.d) < 20) AS BIGINT) AS prior_events
+      FROM events e CROSS JOIN anchor a
+      GROUP BY e.user_id
+    )
+    SELECT user_id, recent_events, prior_events,
+           CASE WHEN 5 * recent_events > 6 * prior_events THEN 'rising'
+                WHEN 5 * recent_events < 4 * prior_events THEN 'declining'
+                ELSE 'flat' END AS trend
+    FROM w
+    """,
+)
+def tag_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend tag: event count in the last 10 days vs the
+    10 days before that (anchored at the corpus max date) — rising if
+    >1.2× the prior window, declining if <0.8×, else flat. The thresholds
+    are integer cross-multiplications (5r>6p / 5r<4p) — no float ratio, no
+    division-by-zero case.
+
+    One scalar anchor (a 1-row max) broadcast into a single groupBy over
+    events with two conditional counts — one shuffle on user_id, map-side
+    combinable. The trend CASE is free post-aggregation arithmetic.
+    """
+    e = load(spark, sf_dir).events
+    anchor = e.agg(F.max(F.to_date("ts")).alias("d"))
+    age = F.datediff(F.col("d"), F.to_date("ts"))
+    w = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(age < 10, 1)).cast("bigint").alias("recent_events"),
+            F.count(F.when((age >= 10) & (age < 20), 1))
+            .cast("bigint")
+            .alias("prior_events"),
+        )
+    )
+    trend = (
+        F.when(5 * F.col("recent_events") > 6 * F.col("prior_events"), "rising")
+        .when(5 * F.col("recent_events") < 4 * F.col("prior_events"), "declining")
+        .otherwise("flat")
+    )
+    return w.select("user_id", "recent_events", "prior_events", trend.alias("trend"))
+
+
+@op(
+    "events_dau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dd AS (
+      SELECT day, user_id,
+             CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) // 7 AS week_idx
+      FROM d
+    ), dau AS (
+      SELECT week_idx, day, CAST(count(*) AS BIGINT) AS dau FROM dd GROUP BY week_idx, day
+    ), wau AS (
+      SELECT week_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM dd GROUP BY week_idx
+    )
+    SELECT w.week_idx,
+           CAST(sum(a.dau) AS BIGINT) AS sum_dau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           w.wau,
+           CAST(sum(a.dau) AS DOUBLE) / (count(*) * w.wau) AS stickiness
+    FROM dau a JOIN wau w USING (week_idx)
+    GROUP BY w.week_idx, w.wau
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness: distinct (day, user) pairs bucketed into
+    calendar-agnostic week indexes (days-since-2024-01-01 div 7 — NOT
+    weekofyear, whose ISO conventions differ across engines), then
+    mean-DAU / WAU per week — the standard product-health ratio, here a
+    user-portrait engagement feature.
+
+    The (day, user) distinct is the only wide shuffle; both aggregates
+    derive from it (dau: by day; wau: distinct user by week) with map-side
+    combine. stickiness = int/int double division — exact IEEE both
+    engines. At 100 TB the distinct would come from a daily pre-aggregated
+    (day, user) parquet instead of raw events — same plan from that point.
+    """
+    e = load(spark, sf_dir).events
+    dd = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().withColumn(
+        "week_idx",
+        F.floor(F.datediff("day", F.lit("2024-01-01").cast("date")) / 7).cast("bigint"),
+    )
+    dau = dd.groupBy("week_idx", "day").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = dd.groupBy("week_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "week_idx")
+        .groupBy("week_idx", "wau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.count("*").cast("bigint").alias("n_days"),
+            (F.sum("dau").cast("double") / (F.count("*") * F.col("wau"))).alias(
+                "stickiness"
+            ),
+        )
+        .select("week_idx", "sum_dau", "n_days", "wau", "stickiness")
+    )
