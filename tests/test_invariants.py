@@ -157,3 +157,34 @@ def test_distributed_rank_is_a_bijection(spark):
     for a, b in zip(by_rank, by_rank[1:]):
         assert (a.o_totalprice, -a.o_orderkey) >= (b.o_totalprice, -b.o_orderkey)
     assert {r.bucket5 for r in rows} == set(range(1, 6))
+
+
+def test_train_split_fractions_and_conservation(spark):
+    """doc_train_split semantics the mirrored oracle cannot certify: splits
+    partition the corpus exactly (doc counts conserve) and the md5-bucket
+    thresholds land near 80/10/10 at corpus scale."""
+    rows = {r.split: r for r in OPS["doc_train_split"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"train", "valid", "test"}
+    total_docs = sum(r.n_docs for r in rows.values())
+    d = load(spark, SF_DIR).documents
+    assert total_docs == d.count()
+    frac = rows["train"].n_docs / total_docs
+    assert 0.70 <= frac <= 0.90, frac
+
+
+def test_centroid_assign_conserves_vectors(spark):
+    """Every embedding is assigned to exactly one centroid: confusion-matrix
+    counts must sum to the table size."""
+    rows = OPS["sim_centroid_assign"].fn(spark, SF_DIR).collect()
+    e = load(spark, SF_DIR).embeddings
+    assert sum(r.n_vecs for r in rows) == e.count()
+
+
+def test_repetition_fractions_bounded(spark):
+    """uniq_frac and top_bigram_frac are true fractions in (0, 1]."""
+    rows = OPS["text_repetition"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.uniq_frac <= 1.0, r
+        assert 0 < r.top_bigram_frac <= 1.0, r
+        assert r.uniq_tokens <= r.n_tokens, r

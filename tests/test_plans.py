@@ -183,3 +183,47 @@ def test_incremental_dedup_restricts_probe_side(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    """sim_centroid_assign must broadcast the kxdim centroid table into the
+    exploded embedding side (one BroadcastHashJoin), never shuffle-join it,
+    and the per-vec argmax window must be hash-partitioned on vec_id."""
+    plan = _plan(spark, "sim_centroid_assign")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ngram_spans_single_scan_no_join(spark):
+    """dedup_ngram_spans is one scan -> array-side span build -> explode ->
+    span-keyed aggregate: a join or second scan means the per-doc distinct
+    moved off the array side."""
+    plan = _plan(spark, "dedup_ngram_spans")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_train_split_is_single_aggregate(spark):
+    """doc_train_split: embarrassingly-parallel map + one 3-group aggregate —
+    exactly one exchange, no single-partition funnel."""
+    plan = _plan(spark, "doc_train_split")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_activity_trend_single_data_shuffle(spark):
+    """tag_activity_trend: the only data shuffle is the user_id groupBy; the
+    one SinglePartition exchange allowed is the 1-row anchor max(date)."""
+    plan = _plan(spark, "tag_activity_trend")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_repetition_token_stats_stay_array_side(spark):
+    """text_repetition's token stats (size/array_distinct) must not explode:
+    only the bigram-mode branch may shuffle, keyed per doc."""
+    plan = _plan(spark, "text_repetition")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1, plan[:1200]
