@@ -227,3 +227,31 @@ def test_repetition_token_stats_stay_array_side(spark):
     plan = _plan(spark, "text_repetition")
     assert "CartesianProduct" not in plan
     assert plan.count("Generate explode") == 1, plan[:1200]
+
+
+def test_basket_affinity_evaluates_basket_subtree_once(spark):
+    """tag_basket_affinity feeds (customer, brand) into four consumers; the
+    eager localCheckpoint must pin ONE evaluation of the 3-table join +
+    distinct — re-scanning orders/lineitem/part per consumer is the 100 TB
+    regression."""
+    plan = _plan(spark, "tag_basket_affinity")
+    assert "Scan parquet" not in plan, "basket subtree re-evaluated from source"
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_scan_user_window(spark):
+    """events_transition_matrix: one events scan; the lag window partitions
+    on user_id (never a global order); the prob normalization windows over
+    the tiny 25-cell aggregate."""
+    plan = _plan(spark, "events_transition_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_source_cap_sample_rank_window_is_partitioned(spark):
+    """doc_source_cap_sample's rank-by-hash window partitions on source; the
+    only SinglePartition exchange allowed is the 1-row cap aggregate."""
+    plan = _plan(spark, "doc_source_cap_sample")
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan

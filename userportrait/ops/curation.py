@@ -407,3 +407,191 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("week_idx", "sum_dau", "n_days", "wau", "stickiness")
     )
+
+
+@op(
+    "doc_source_cap_sample",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) // (2 * count(DISTINCT source)) AS cap
+               FROM documents),
+    ranked AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count(*) FILTER (WHERE r.rk <= n.cap) AS BIGINT) AS n_after,
+           CAST(sum(r.n_tokens) FILTER (WHERE r.rk <= n.cap) AS BIGINT) AS tokens_after
+    FROM ranked r CROSS JOIN n
+    GROUP BY r.source
+    """,
+)
+def doc_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-represented-source downsampling: cap every source at
+    total_docs / (2 × n_sources) documents, keeping the cap lowest
+    md5(doc_id) per source — the standard way a pretraining mixture stops
+    one crawl domain from dominating the token budget.
+
+    Selection is rank-by-hash inside a source-partitioned window (hash
+    order is uniform, so the kept subset is an unbiased sample, yet 100%
+    reproducible on any engine). The window partitions on source — at
+    100 TB a single source can still be big, but the window computes only
+    row_number (streaming, no frame buffering); the alternative
+    per-source quantile cutoff is the same machinery with approx
+    thresholds. One scalar (cap) broadcast; per-source aggregate out.
+    """
+    d = load(spark, sf_dir).documents
+    cap_df = d.agg(
+        (F.count("*").cast("bigint") / (2 * F.countDistinct("source")))
+        .cast("bigint")
+        .alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    ranked = d.select(
+        "source", n_tokens.alias("n_tokens"), F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap_df))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.count(F.when(F.col("rk") <= F.col("cap"), 1))
+            .cast("bigint")
+            .alias("n_after"),
+            F.sum(F.when(F.col("rk") <= F.col("cap"), F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
+    )
+
+
+@op(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS prob
+    FROM t
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count of (prev event_type → next event_type) steps, normalized into
+    row-stochastic probabilities — the behavioral-path feature a portrait
+    system feeds into next-action models.
+
+    The lag window partitions on user_id (hash-partitioned, streaming
+    frame); transitions aggregate on a 25-cell key; the probability
+    normalization is a window over that tiny aggregate, so the only
+    whole-data move is the one user_id shuffle. n is exact bigint and
+    prob = int/int double division — exact IEEE on both engines.
+    """
+    e = load(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("prob"),
+    )
+
+
+@op(
+    "tag_basket_affinity",
+    oracle="""
+    WITH cb AS (
+      SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_cust FROM cb),
+    single AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM cb GROUP BY brand
+    ), pair AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM cb a JOIN cb b ON a.custkey = b.custkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           CAST(p.n_both * n.n_cust AS DOUBLE) / (sa.n_brand * sb.n_brand) AS lift
+    FROM pair p
+    JOIN single sa ON sa.brand = p.brand_a
+    JOIN single sb ON sb.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.n_both >= 20
+    """,
+)
+def tag_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-affinity mining (market-basket lift): for every brand pair
+    bought by ≥20 common customers, lift = P(a∧b)/(P(a)·P(b)) — the
+    association-rule tag a portrait system uses for cross-sell audiences.
+
+    The (customer, brand) distinct is the co-location step: the pair
+    self-join keys on custkey, so each customer's pairs are generated
+    inside one partition — the blowup is C(distinct brands per customer,
+    2), bounded by the 25-brand universe, never by order volume. Brand
+    marginals broadcast back onto the 300-row pair table. lift is
+    exact-integer cross-multiplication divided once into a double.
+    """
+    t = load(spark, sf_dir)
+    cb = (
+        t.orders.select("o_custkey", "o_orderkey")
+        .join(t.lineitem.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        # cb feeds four consumers (n, single, and both self-join sides); an
+        # eager localCheckpoint pins ONE evaluation of the 3-table join +
+        # distinct instead of re-scanning orders/lineitem/part four times.
+        .localCheckpoint()
+    )
+    n = cb.agg(F.countDistinct("custkey").cast("bigint").alias("n_cust"))
+    single = cb.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_brand"))
+    a, b = cb.alias("a"), cb.alias("b")
+    pair = (
+        a.join(b, (F.col("a.custkey") == F.col("b.custkey"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= 20)
+    )
+    return (
+        pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")
+                              .withColumnRenamed("n_brand", "na")), "brand_a")
+        .join(F.broadcast(single.withColumnRenamed("brand", "brand_b")
+                          .withColumnRenamed("n_brand", "nb")), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            ((F.col("n_both") * F.col("n_cust")).cast("double")
+             / (F.col("na") * F.col("nb"))).alias("lift"),
+        )
+    )
