@@ -255,3 +255,28 @@ def test_source_cap_sample_rank_window_is_partitioned(spark):
     plan = _plan(spark, "doc_source_cap_sample")
     assert plan.count("Exchange SinglePartition") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_dau_stickiness_distinct_runs_once(spark):
+    """events_dau_stickiness: the (day, user) distinct feeds dau and wau;
+    the checkpoint must pin one evaluation (no raw-events re-scan)."""
+    plan = _plan(spark, "events_dau_stickiness")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_anomaly_zscore_broadcasts_moments(spark):
+    """events_anomaly_zscore: the 5-row per-type moment table broadcasts
+    back onto daily counts — no shuffle join, no SinglePartition."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_split_leakage_single_scan_no_join(spark):
+    """dedup_split_leakage: the split tag rides the span explode — one scan,
+    one span-keyed aggregate, no join between train and heldout sides."""
+    plan = _plan(spark, "dedup_split_leakage")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -385,11 +385,20 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, user) parquet instead of raw events — same plan from that point.
     """
     e = load(spark, sf_dir).events
-    dd = e.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct().withColumn(
-        "week_idx",
-        F.floor(F.datediff("day", F.lit("2024-01-01").cast("date")) / 7).cast("bigint"),
+    dd = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .withColumn(
+            "week_idx",
+            F.floor(
+                F.datediff("day", F.lit("2024-01-01").cast("date")) / 7
+            ).cast("bigint"),
+        )
+        # dd feeds both the dau and wau branches; AQE does not reuse the
+        # distinct's exchange across them, so pin one evaluation — at 100 TB
+        # the (day, user) distinct over raw events is the dominant cost and
+        # must not run twice.
+        .localCheckpoint()
     )
     dau = dd.groupBy("week_idx", "day").agg(F.count("*").cast("bigint").alias("dau"))
     wau = dd.groupBy("week_idx").agg(
@@ -594,4 +603,182 @@ def tag_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_both") * F.col("n_cust")).cast("double")
              / (F.col("na") * F.col("nb"))).alias("lift"),
         )
+    )
+
+
+@op(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS snn
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round((CAST(d.n AS DOUBLE) - CAST(m.sn AS DOUBLE) / m.n_days)
+                 / sqrt((CAST(m.snn AS DOUBLE) - CAST(m.sn AS DOUBLE) * m.sn / m.n_days)
+                        / (m.n_days - 1)), 6) AS z
+    FROM daily d JOIN m USING (event_type)
+    WHERE abs((CAST(d.n AS DOUBLE) - CAST(m.sn AS DOUBLE) / m.n_days)
+              / sqrt((CAST(m.snn AS DOUBLE) - CAST(m.sn AS DOUBLE) * m.sn / m.n_days)
+                     / (m.n_days - 1))) > 2.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type, flagged when
+    the day's count is >2 sample standard deviations from that type's mean
+    — the monitoring query a portrait pipeline runs before trusting a
+    day's ingest.
+
+    Moments are EXACT integer sums (Σn, Σn²) so mean/std derive from
+    deterministic bigints — no Welford-vs-two-pass engine drift; the one
+    double expression per row is identical IEEE arithmetic on both
+    engines, belt-and-braces rounded at 6dp. Two map-side-combinable
+    aggregates (event_type, day) then (event_type); the per-type moment
+    table (5 rows) broadcasts back onto the daily counts.
+    """
+    e = load(spark, sf_dir).events
+    # day emitted as timestamp — the repo's cross-engine date convention
+    # (pandas date objects vs datetime64 stringify differently in the
+    # driver canon; timestamps agree)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+    )
+    mean = F.col("sn").cast("double") / F.col("n_days")
+    var = (
+        F.col("snn").cast("double") - F.col("sn").cast("double") * F.col("sn") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .where(F.abs(z) > 2.0)
+        .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+    )
+
+
+@op(
+    "doc_length_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS q1,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS q3
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_chars,
+           CASE WHEN CAST(d.n_chars AS DOUBLE) < q.q1 - 0.5 * (q.q3 - q.q1) THEN 'short'
+                ELSE 'long' END AS fence
+    FROM documents d CROSS JOIN q
+    WHERE CAST(d.n_chars AS DOUBLE) < q.q1 - 0.5 * (q.q3 - q.q1)
+       OR CAST(d.n_chars AS DOUBLE) > q.q3 + 0.5 * (q.q3 - q.q1)
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence length outliers: docs outside [Q1 − 0.5·IQR, Q3 + 0.5·IQR]
+    of the corpus char-length distribution — the first curation cut against
+    truncated fragments and concatenation blobs. (The classic Tukey
+    multiplier is 1.5; this corpus's synthetic lengths are near-uniform,
+    so the fence uses 0.5·IQR to keep the op's output non-degenerate —
+    the multiplier is the only knob.)
+
+    Exact quartiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    agg_percentile convention, 6dp) computed once into a 1-row frame that
+    broadcasts into the filter — the corpus is scanned once, filtered
+    map-side. At 100 TB the quartiles would come from percentile_approx
+    (t-digest, mergeable); the fence logic is unchanged.
+    """
+    d = load(spark, sf_dir).documents
+    q = d.agg(
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.75)"), 6).alias("q3"),
+    )
+    nc = F.col("n_chars").cast("double")
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 0.5 * iqr, F.col("q3") + 0.5 * iqr
+    return (
+        d.crossJoin(F.broadcast(q))
+        .where((nc < lo) | (nc > hi))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(nc < lo, "short").otherwise("long").alias("fence"),
+        )
+    )
+
+
+@op(
+    "dedup_split_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN (instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       + instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 205
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, split, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM s
+    ), spans AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+                                                 i -> array_to_string(t[i:i+7], ' ')))) AS span
+      FROM toks
+    ), leak AS (
+      SELECT span,
+             CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train_docs,
+             CAST(count(*) FILTER (WHERE split = 'heldout') AS BIGINT) AS n_heldout_docs
+      FROM spans GROUP BY span
+      HAVING count(*) FILTER (WHERE split = 'train') >= 1
+         AND count(*) FILTER (WHERE split = 'heldout') >= 1
+    )
+    SELECT span, n_train_docs, n_heldout_docs FROM leak
+    """,
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→heldout leakage audit: 8-token spans that occur in BOTH sides
+    of the doc_train_split md5 partition (valid+test folded into 'heldout')
+    — the check that the eval set isn't memorizable from training data.
+    Composes the split arithmetic of doc_train_split with the span
+    machinery of dedup_ngram_spans, which is the point: the audit runs
+    against the exact split manifest that ships.
+
+    Same single-scan explode → span-keyed aggregate as dedup_ngram_spans;
+    the split tag rides along as a 1-byte column, and leakage is two
+    conditional counts on the span key — no join between the sides.
+    """
+    d = load(spark, sf_dir).documents
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    )
+    split = F.when(bucket < 205, "train").otherwise("heldout")
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 8),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+        )
+    )
+    return (
+        d.select(split.alias("split"), t.alias("t"))
+        .select("split", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1))
+            .cast("bigint")
+            .alias("n_train_docs"),
+            F.count(F.when(F.col("split") == "heldout", 1))
+            .cast("bigint")
+            .alias("n_heldout_docs"),
+        )
+        .where((F.col("n_train_docs") >= 1) & (F.col("n_heldout_docs") >= 1))
     )
