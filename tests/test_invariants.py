@@ -188,3 +188,35 @@ def test_repetition_fractions_bounded(spark):
         assert 0 < r.uniq_frac <= 1.0, r
         assert 0 < r.top_bigram_frac <= 1.0, r
         assert r.uniq_tokens <= r.n_tokens, r
+
+
+def test_transition_matrix_is_row_stochastic(spark):
+    """Per prev_type, transition probabilities must sum to 1 (the op's
+    normalization is a window over the aggregate — an off-by-one in the
+    partition key would silently denormalize)."""
+    rows = OPS["events_transition_matrix"].fn(spark, SF_DIR).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.prob
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9, (prev, s)
+
+
+def test_split_leakage_spans_are_shared_spans(spark):
+    """Every leaked span must also appear in dedup_ngram_spans' shared-span
+    set (leakage across splits implies >=2 docs share the span)."""
+    leak = {r.span for r in OPS["dedup_split_leakage"].fn(spark, SF_DIR).collect()}
+    shared = {r.span for r in OPS["dedup_ngram_spans"].fn(spark, SF_DIR).collect()}
+    assert leak <= shared, list(leak - shared)[:3]
+
+
+def test_source_cap_sample_respects_cap(spark):
+    """n_after never exceeds the cap (total/(2*n_sources)) and never exceeds
+    n_before; at least one source is actually downsampled."""
+    rows = OPS["doc_source_cap_sample"].fn(spark, SF_DIR).collect()
+    d = load(spark, SF_DIR).documents
+    total = d.count()
+    cap = total // (2 * len(rows))
+    assert all(r.n_after <= min(cap, r.n_before) for r in rows)
+    assert any(r.n_after < r.n_before for r in rows)
