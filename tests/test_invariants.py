@@ -220,3 +220,29 @@ def test_source_cap_sample_respects_cap(spark):
     cap = total // (2 * len(rows))
     assert all(r.n_after <= min(cap, r.n_before) for r in rows)
     assert any(r.n_after < r.n_before for r in rows)
+
+
+def test_compaction_collapses_file_count(spark):
+    """sink_compact_small_files: after the op runs, the compacted directory
+    must hold ~4 data files vs the staged 64 — the point of the op."""
+    import os
+
+    OPS["sink_compact_small_files"].fn(spark, SF_DIR).collect()
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scratch")
+    n_small = len([f for f in os.listdir(os.path.join(root, "compact_small")) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(os.path.join(root, "compact_out")) if f.endswith(".parquet")])
+    assert n_small == 64, n_small
+    assert n_out <= 8, n_out
+
+
+def test_activity_streak_bounded_by_active_days(spark):
+    """A user's longest streak cannot exceed their distinct active days."""
+    streaks = {r.user_id: r.streak_len for r in OPS["tag_activity_streak"].fn(spark, SF_DIR).collect()}
+    days = {
+        r.user_id: r.n
+        for r in load(spark, SF_DIR).events
+        .select("user_id", F.to_date("ts").alias("d")).distinct()
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(streaks) == set(days)
+    assert all(1 <= streaks[u] <= days[u] for u in streaks)

@@ -782,3 +782,141 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_train_docs") >= 1) & (F.col("n_heldout_docs") >= 1))
     )
+
+
+@op(
+    "tag_activity_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayno
+      FROM events
+    ), g AS (
+      SELECT user_id, dayno,
+             dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno) AS grp
+      FROM d
+    ), streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+             CAST(min(dayno) AS BIGINT) AS streak_start
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_len, streak_start,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_len DESC, streak_start ASC) AS BIGINT) AS rn
+    FROM streaks
+    QUALIFY rn = 1
+    """,
+)
+def tag_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (island id = dayno − row_number within user),
+    a stock engagement tag in portrait systems.
+
+    Day numbers are absolute datediffs from a fixed epoch (no calendar
+    dialect). Both windows partition on user_id (hash-partitioned,
+    streaming row_number — no frame buffering, no global sort), and the
+    distinct/windows/groupBy all share the user_id shuffle key so AQE
+    coalesces them onto one partitioning. Tie-break: earliest streak wins.
+    """
+    e = load(spark, sf_dir).events
+    d = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("dayno"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    g = d.withColumn("grp", F.col("dayno") - F.row_number().over(w))
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("streak_len"),
+        F.min("dayno").cast("bigint").alias("streak_start"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_len", "streak_start", "rn")
+    )
+
+
+@op(
+    "embed_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT p.pos, CAST(embedding[p.pos] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    )
+    SELECT pos,
+           CAST(CAST(CAST(sum(CAST(val AS DECIMAL(38,8))) AS DOUBLE)
+                     / count(*) AS VARCHAR) AS DOUBLE) AS mean_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val,
+           CAST(count(*) FILTER (WHERE abs(val) < 1e-6) AS BIGINT) AS n_near_zero
+    FROM x GROUP BY pos
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding diagnostics: decimal-exact mean, min/max,
+    and a dead-dimension counter (|v| < 1e-6) — the whitening /
+    collapsed-dimension health check run before similarity indexes are
+    built on a new embedding model.
+
+    posexplode → one (pos)-keyed aggregate, 64 groups, map-side combined;
+    mean uses the repo's decimal-sum + text-round-trip double convention
+    (exact, order-independent). Output is dim-sized (64 rows) regardless
+    of corpus scale.
+    """
+    e = load(spark, sf_dir).embeddings
+    x = e.select(F.posexplode("embedding").alias("pos0", "valf")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val")
+    )
+    return x.groupBy("pos").agg(
+        (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
+        .cast("double")
+        .alias("mean_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+        F.count(F.when(F.abs("val") < 1e-6, 1)).cast("bigint").alias("n_near_zero"),
+    )
+
+
+@op(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational fix for the classic HDFS/
+    object-store pathology where a streaming or over-parallel writer leaves
+    thousands of KB-sized parquet files and every downstream scan drowns in
+    file-open overhead. Stage 1 deliberately writes events as 64 small
+    files; stage 2 compacts by reading back and rewriting at a target
+    file count (repartition(4)) — at 100 TB the same job runs per
+    partition directory with repartition sized by bytes/target-file-size,
+    exactly this plan shape. Returned relation aggregates from the
+    COMPACTED output, so the oracle certifies the rewrite lost nothing;
+    the file-count collapse itself is asserted in tests/test_invariants.py.
+    """
+    import os as _os
+
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).events.select("event_id", "event_type", "value")
+    small = _scratch("compact_small")
+    e.repartition(64).write.mode("overwrite").parquet(small)
+    compacted = _scratch("compact_out")
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(compacted)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+    )
