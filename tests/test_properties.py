@@ -125,3 +125,70 @@ def test_minhash_similarity_tracks_jaccard(spark, base, mutations):
     # agreement/16 is an unbiased estimator of jaccard; with 16 samples allow
     # a wide but non-vacuous band
     assert abs(agree / 16 - jac) <= 0.5, (agree, jac)
+
+
+day_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=25)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pairs=day_sets)
+@settings(**SETTINGS)
+def test_gaps_islands_streak_matches_bruteforce(spark, pairs):
+    """The gaps-and-islands decomposition (island = dayno - row_number) must
+    equal the brute-force longest-consecutive-run for ANY (user, day) set."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(list(set(pairs)), "user_id int, dayno int")
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    streaks = (
+        df.withColumn("grp", F.col("dayno") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("best"))
+    )
+    got = {r.user_id: r.best for r in streaks.collect()}
+    by_user = {}
+    for u, d in set(pairs):
+        by_user.setdefault(u, set()).add(d)
+    for u, days in by_user.items():
+        best = cur = 1
+        prev = None
+        for d in sorted(days):
+            cur = cur + 1 if prev is not None and d == prev + 1 else 1
+            best = max(best, cur)
+            prev = d
+        assert got[u] == best, (u, sorted(days), got[u], best)
+
+
+@given(pairs=day_sets)
+@settings(**SETTINGS)
+def test_transition_counts_match_bruteforce(spark, pairs):
+    """lag-window transition counting must equal a sequential walk of each
+    user's ordered event list, for ANY sequence (incl. dup timestamps
+    resolved by the unique event_id tie-break)."""
+    from pyspark.sql import Window
+
+    rows = [(i, u, t % 3) for i, (u, t) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, et int")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    got = {
+        (r.prev, r.et): r.n
+        for r in df.select("et", F.lag("et").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "et")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expect = {}
+    by_user = {}
+    for i, u, t in rows:
+        by_user.setdefault(u, []).append((i, t))
+    for u, seq in by_user.items():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
