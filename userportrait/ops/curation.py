@@ -1,14 +1,18 @@
 """§2.N (round 5) — training-data curation extensions.
 
-Six ops a 100 TB pretraining-data pipeline runs between "crawl landed" and
+The ops a 100 TB pretraining-data pipeline runs between "crawl landed" and
 "tokens shipped", beyond the §2.K/§2.M dedup/similarity/text surface:
-repetition-quality signals (Gopher-style), exact shared-span detection
-(the Lee et al. "Deduplicating Training Data" substring-level shape),
-deterministic train/valid/test hash-splitting, nearest-centroid labeling
-over embeddings, and two events-side portrait/health composites (activity
-trend, DAU/WAU stickiness). The reference has no corpus tooling (SURVEY
-§0.1 — its workload is the user-portrait tag pipeline); these extend the
-engine the same way §2.K/§2.M did, EXACT-oracled wherever the math allows.
+repetition-quality signals (Gopher-style), exact shared-span detection and
+train→heldout span-leakage audit (the Lee et al. "Deduplicating Training
+Data" substring-level shape), deterministic train/valid/test hash-splitting
+and source-cap mixture sampling, length-fence outliers, nearest-centroid
+labeling and per-dimension health stats over embeddings, small-file
+compaction, and events-side portrait/health composites (activity trend and
+streaks, DAU/WAU stickiness, transition matrix, ingest anomaly z-scores,
+basket-affinity lift). The reference has no corpus tooling (SURVEY §0.1 —
+its workload is the user-portrait tag pipeline); these extend the engine
+the same way §2.K/§2.M did, EXACT-oracled throughout (no ROWS-only op in
+this module).
 
 Scale notes (100 TB):
 - every doc-side op is explode -> groupBy with map-side combine; shuffle
