@@ -246,3 +246,20 @@ def test_activity_streak_bounded_by_active_days(spark):
     }
     assert set(streaks) == set(days)
     assert all(1 <= streaks[u] <= days[u] for u in streaks)
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark):
+    """Merging per-day HLL sketches must give the same estimate as one
+    sketch over the whole corpus (mergeability is the op's entire point),
+    and the estimate must be within 5% of the exact distinct count."""
+    rows = {r.scope: r for r in OPS["agg_hll_partitioned_merge"].fn(spark, SF_DIR).collect()}
+    merged = rows["merged"]
+    e = load(spark, SF_DIR).events
+    whole = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est")
+    ).collect()[0].est
+    exact = e.select("user_id").distinct().count()
+    assert merged.est_users == whole, (merged.est_users, whole)
+    assert abs(merged.est_users - exact) <= max(1, 0.05 * exact)
+    assert merged.n_events == e.count()
+    assert len(rows) == 1 + e.select(F.to_date("ts")).distinct().count()

@@ -9,10 +9,11 @@ and source-cap mixture sampling, length-fence outliers, nearest-centroid
 labeling and per-dimension health stats over embeddings, small-file
 compaction, and events-side portrait/health composites (activity trend and
 streaks, DAU/WAU stickiness, transition matrix, ingest anomaly z-scores,
-basket-affinity lift). The reference has no corpus tooling (SURVEY §0.1 —
-its workload is the user-portrait tag pipeline); these extend the engine
-the same way §2.K/§2.M did, EXACT-oracled throughout (no ROWS-only op in
-this module).
+basket-affinity lift, mergeable HLL rollups). The reference has no corpus
+tooling (SURVEY §0.1 — its workload is the user-portrait tag pipeline);
+these extend the engine the same way §2.K/§2.M did — EXACT-oracled
+throughout except agg_hll_partitioned_merge (sketch estimates are
+engine-specific; ROWS-only + mergeability/accuracy invariants).
 
 Scale notes (100 TB):
 - every doc-side op is explode -> groupBy with map-side combine; shuffle
@@ -924,3 +925,37 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cnt"),
         F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
+
+
+@op("agg_hll_partitioned_merge", oracle=None)
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: each
+    day partition aggregates its own HLL sketch (constant memory,
+    map-side combinable), the union of daily sketches answers
+    "distinct users this month" WITHOUT re-touching raw events, and the
+    merged estimate is bit-identical to sketching the whole corpus in one
+    pass (asserted in tests/test_invariants.py, alongside a ±5% accuracy
+    bound vs the exact count). Output: per-day estimates plus a 'merged'
+    row from hll_union_agg over the 30 daily sketches.
+
+    ROWS-only by design (SURVEY §2.0 rule 5): Spark's DataSketches HLL and
+    DuckDB's HLL implementation produce different estimates; the estimator
+    itself is deterministic for fixed input + lgK, which the invariant
+    tests pin.
+    """
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(F.to_date("ts").cast("timestamp").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        "n_events",
+    )
+    merged = daily.agg(
+        F.lit("merged").alias("scope"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    return per_day.unionByName(merged)
