@@ -263,3 +263,38 @@ def test_hll_merge_equals_whole_corpus_sketch(spark):
     assert abs(merged.est_users - exact) <= max(1, 0.05 * exact)
     assert merged.n_events == e.count()
     assert len(rows) == 1 + e.select(F.to_date("ts")).distinct().count()
+
+
+def test_span_ops_survive_short_docs(spark, tmp_path):
+    """Docs under the n-gram width must contribute nothing — not crash.
+    (Spark's sequence(0, n) DESCENDS for n < 0; the ops guard with a
+    size filter. DuckDB's generate_series returns empty — this test pins
+    the Spark side to the same semantics on a corpus of 1/5/12-token
+    docs.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fix = tmp_path / "short_sf"
+    fix.mkdir()
+    for name in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, name), fix / name)
+    (fix / "documents.parquet").unlink()
+    texts = ["one", "a b c d e", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+             "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s0"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, fix / "documents.parquet")
+    spans = OPS["dedup_ngram_spans"].fn(spark, str(fix)).collect()
+    # the twin 12-token docs share 5 distinct 8-gram spans; short docs add none
+    assert {r.n_docs for r in spans} == {2} and len(spans) == 5
+    rep = {r.doc_id: r for r in OPS["text_repetition"].fn(spark, str(fix)).collect()}
+    assert 0 not in rep  # 1-token doc has no bigrams -> dropped on both engines
+    assert rep[1].n_tokens == 5 and rep[1].uniq_frac == 1.0
+    OPS["dedup_split_leakage"].fn(spark, str(fix)).collect()  # must not raise

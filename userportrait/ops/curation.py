@@ -96,7 +96,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
     )
     bstat = (
-        tstat.select("doc_id", F.explode(bigrams).alias("bigram"))
+        # short-doc guard (1-token docs have no bigram; Spark sequence would
+        # descend and element_at(t, 0) errors) — the inner join drops them
+        # from the output on both engines identically
+        tstat.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
@@ -161,6 +165,10 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select(F.col("doc_id"), t.alias("t"))
+        # guard: Spark sequence(0, n) DESCENDS when n < 0 (DuckDB's
+        # generate_series returns empty) — docs under 8 tokens contribute
+        # no spans on either engine, so filter them before the explode
+        .where(F.size("t") >= 8)
         .select("doc_id", F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(
@@ -775,6 +783,7 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select(split.alias("split"), t.alias("t"))
+        .where(F.size("t") >= 8)  # same short-doc sequence guard as dedup_ngram_spans
         .select("split", F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(
