@@ -88,7 +88,11 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
     )
     return (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        # short-doc guard: Spark sequence(0, n) DESCENDS for n < 0 (a 1-token
+        # doc would error on element_at(t, 0)); DuckDB's generate_series is
+        # empty there — filter to match that semantics exactly
+        d.where(F.size(t) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .where(F.col("cnt") >= 5)
