@@ -25,6 +25,7 @@ def test_registry_contract(spark):
     assert rows_only == {
         "agg_approx_distinct",
         "agg_approx_percentile",
+        "agg_hll_partitioned_merge",
         "ml_kmeans_rfm",
         "ml_tree_segment",
         "ml_lr_propensity",
