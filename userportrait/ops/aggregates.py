@@ -239,8 +239,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_quantity) AS sd_qty,
-           var_samp(l_quantity) AS var_qty,
+           round(sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))
+                      / (CAST(count(*) AS DOUBLE) * (count(*) - 1))), 6) AS sd_qty,
+           round((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * (count(*) - 1)), 6) AS var_qty,
            round((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
               - CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE))
            / sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
@@ -256,11 +260,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical moments + exact percentiles.
 
-    stddev/var on these small-cardinality doubles agree bitwise across
-    engines; corr does NOT (single-pass Welford vs two-pass differ in the
-    last bits), so it is derived from decimal-exact moment sums with an
+    sd/var/corr are ALL derived from decimal-exact moment sums with an
     identical double-arithmetic expression on both sides — deterministic by
-    construction (SURVEY §2.0 rule 1).
+    construction (SURVEY §2.0 rule 1). Engine-native stddev_samp/var_samp
+    (single-pass Welford vs two-pass) agreed bitwise at the contract SF but
+    drifted 1-2 ulp at the 10× replica (r05 sweep), so the scored path no
+    longer uses them anywhere.
     """
     li = load(spark, sf_dir).lineitem
     d18 = lambda c: F.col(c).cast("decimal(19,4)")
@@ -272,9 +277,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(d18("l_extendedprice") * d18("l_extendedprice")).cast("double")
     syy = F.sum(d18("l_quantity") * d18("l_quantity")).cast("double")
     corr = F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    var = F.round((n * syy - sy * sy) / (n * (F.count(F.lit(1)) - 1)), 6)
+    sd = F.round(F.sqrt((n * syy - sy * sy) / (n * (F.count(F.lit(1)) - 1))), 6)
     return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_quantity").alias("var_qty"),
+        sd.alias("sd_qty"),
+        var.alias("var_qty"),
         corr.alias("corr_price_qty"),
         F.median("l_quantity").alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),

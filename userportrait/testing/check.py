@@ -37,7 +37,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     mirroring the driver's harness (__spark_entry__.py docstring)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; Spark-written staging (e.g.
+        # scripts/scale_replica.py) produces directories of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
