@@ -968,3 +968,172 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
     return per_day.unionByName(merged)
+
+
+_CYCLE_CASE = """CASE WHEN d <= 30 THEN 'active_30d'
+                      WHEN d <= 90 THEN 'active_quarter'
+                      WHEN d <= 180 THEN 'active_half_year'
+                      WHEN d <= 365 THEN 'active_year'
+                      ELSE 'dormant' END"""
+
+
+@op(
+    "tag_funnel_windowed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), v AS (
+      SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.us) AS c_us
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.us > v.v_us
+        AND e.us <= v.v_us + 86400000000 GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.us) AS p_us
+      FROM e JOIN c ON c.user_id = e.user_id
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        AND e.us <= v.v_us + 86400000000 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL SELECT 'view>click_24h', CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL SELECT 'view>click>purchase_24h', CAST((SELECT count(*) FROM p) AS BIGINT)
+    )
+    """,
+)
+def tag_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse windowFunnel shape):
+    view → click → purchase where every later stage must land within 24 h
+    of the user's FIRST view — conversion measured inside an attribution
+    window, not ever-after (tag_funnel is the unbounded form).
+
+    Same plan skeleton as tag_funnel — three same-key user_id aggregations
+    whose exchanges reuse one shuffle of events — with the window bound as
+    an extra residual predicate on the stage joins; the bound changes no
+    join key, so the 100 TB shape is identical.
+    """
+    e = load(spark, sf_dir).events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_us = 86_400_000_000  # 24 h in microseconds
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("us") > F.col("v_us")) & (F.col("us") <= F.col("v_us") + w_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .where((F.col("us") > F.col("c_us")) & (F.col("us") <= F.col("v_us") + w_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    rows = [
+        v.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit("view>click_24h").alias("stage"), "n_users"
+        ),
+        p.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit("view>click>purchase_24h").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@op(
+    "tag_refresh_delta",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-08-02') AS d
+      FROM orders GROUP BY o_custkey
+    ), new AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS d
+      FROM orders GROUP BY o_custkey
+    ), ob AS (SELECT c_custkey, {_CYCLE_CASE} AS cycle FROM old),
+       nb AS (SELECT c_custkey, {_CYCLE_CASE} AS cycle FROM new)
+    SELECT ob.c_custkey, ob.cycle AS old_cycle, nb.cycle AS new_cycle
+    FROM ob JOIN nb USING (c_custkey)
+    WHERE ob.cycle <> nb.cycle
+    """,
+)
+def tag_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly tag-refresh delta — the reference's core operating loop: the
+    consumption-cycle tag recomputed at a new anchor date (2001-09-01 vs
+    2001-08-02, a 30-day-later run), emitting only the users whose bucket
+    CHANGED, i.e. the rows the profile store actually has to rewrite.
+    At 100 TB the delta is what keeps the nightly job O(changed), and this
+    op is the query that produces it.
+
+    Both snapshots aggregate on the same o_custkey key from the same scan
+    shape; the diff is an equi-join on that key with an inequality filter —
+    one reusable partitioning end to end.
+    """
+    o = load(spark, sf_dir).orders
+
+    def snapshot(anchor: str, col: str):
+        days = F.datediff(
+            F.lit(anchor).cast("date"), F.max("o_orderdate").cast("date")
+        ).cast("int")
+        bucket = (
+            F.when(F.col("d") <= 30, "active_30d")
+            .when(F.col("d") <= 90, "active_quarter")
+            .when(F.col("d") <= 180, "active_half_year")
+            .when(F.col("d") <= 365, "active_year")
+            .otherwise("dormant")
+        )
+        return (
+            o.groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(days.alias("d"))
+            .select("c_custkey", bucket.alias(col))
+        )
+
+    old = snapshot("2001-08-02", "old_cycle")
+    new = snapshot("2001-09-01", "new_cycle")
+    return old.join(new, "c_custkey").where(
+        F.col("old_cycle") != F.col("new_cycle")
+    ).select("c_custkey", "old_cycle", "new_cycle")
+
+
+@op(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_brand, '^Brand#[12]') THEN 1 ELSE 0 END AS low_brand,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function kit over part strings: anchored extract, global
+    replace, prefix match flag, and extract-all counting. Patterns are kept
+    to character classes + anchors — the subset where Java regex (Spark)
+    and RE2 (DuckDB) are semantically identical; DuckDB's regexp_replace
+    needs the explicit 'g' flag to match Spark's replace-all default.
+    Pure map pass — no shuffle, pushdown-friendly."""
+    p = load(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_brand").rlike("^Brand#[12]"), 1).otherwise(0).alias("low_brand"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).cast("bigint").alias("n_words"),
+    )
