@@ -298,3 +298,14 @@ def test_span_ops_survive_short_docs(spark, tmp_path):
     assert 0 not in rep  # 1-token doc has no bigrams -> dropped on both engines
     assert rep[1].n_tokens == 5 and rep[1].uniq_frac == 1.0
     OPS["dedup_split_leakage"].fn(spark, str(fix)).collect()  # must not raise
+
+
+def test_windowed_funnel_dominated_by_unbounded(spark):
+    """Each windowed-funnel stage count must be <= the unbounded funnel's
+    matching stage (the 24 h bound can only remove conversions), and the
+    view stage must be identical (no bound applies to it)."""
+    unb = {r.stage: r.n_users for r in OPS["tag_funnel"].fn(spark, SF_DIR).collect()}
+    win = {r.stage: r.n_users for r in OPS["tag_funnel_windowed"].fn(spark, SF_DIR).collect()}
+    assert win["view"] == unb["view"]
+    assert win["view>click_24h"] <= unb["view>click"]
+    assert win["view>click>purchase_24h"] <= unb["view>click>purchase"]
