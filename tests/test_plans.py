@@ -280,3 +280,24 @@ def test_split_leakage_single_scan_no_join(spark):
     plan = _plan(spark, "dedup_split_leakage")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_fn_regex_is_pure_map(spark):
+    """fn_regex: zero exchanges — a regex kit must never shuffle."""
+    assert "Exchange" not in _plan(spark, "fn_regex")
+
+
+def test_refresh_delta_keyed_on_custkey_throughout(spark):
+    """tag_refresh_delta: both snapshots and the diff join stay on the
+    o_custkey/c_custkey key — no SinglePartition funnel anywhere."""
+    plan = _plan(spark, "tag_refresh_delta")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_windowed_pushes_stage_filters_to_scan(spark):
+    """tag_funnel_windowed re-scans events per stage, but each scan must
+    carry its event_type filter down to parquet (reads one slice, not the
+    table) — that's what makes the multi-scan shape acceptable at scale."""
+    plan = _plan(spark, "tag_funnel_windowed")
+    assert "event_type" in plan.split("PushedFilters: [", 1)[1][:200]
