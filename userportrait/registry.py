@@ -64,79 +64,68 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r05 window (generated by scripts/rotate_window.py over CORRECTNESS_r02..r04:
-# 82 ops green, 0 failed, 65 never graded). These are the first 50 of the 65
-# never-driver-graded ops; the 15-op spillover for r06 is: sessionize_events,
-# sample_stratified, agg_unpivot, subq_correlated, join_skew_salted,
-# dedup_cc_clusters, text_pii_redact, doc_chunking, embed_quantize,
-# dedup_edit_distance, graph_pagerank, doc_pack_sequences, sim_knn_recall,
-# diag_key_skew, doc_clean_pipeline — plus any op that regresses in r05,
-# plus the 19 r5 curation additions (ops/curation.py — all replica-verified
-# hash-identical at sf0.001/0.01/0.1 this session; agg_hll_partitioned_merge
-# ROWS-only by design): 34 ungraded total, so full driver certification of
-# the registry completes in r06 (50-op window covers the 34 + 16
-# oldest-evidence greens re-certified).
+# r06 window (scripts/rotate_window.py over CORRECTNESS_r02..r05: 132 ops
+# green, 0 failed, 34 never graded). The 34 never-driver-graded ops lead —
+# this window completes driver certification of the entire 166-op registry.
+# The 16-op filler is re-certification, chosen by value: ops MODIFIED since
+# their last green (sim_cosine_knn gets the blocked exact index this round;
+# tag_rfm/tag_rfe were de-cliffed in r5; agg_stats got decimal moments in
+# r5) first, then the oldest-evidence (r03) greens.
 GRADE_FIRST: tuple[str, ...] = (
-    # §2.D/§2.E remainder — never yet graded
-    "agg_approx_percentile",
-    "agg_mode",
-    "win_range_frame",
-    "win_first_last",
-    "win_rank_distributed",
-    # §2.F sorts / limits / sampling
-    "sort_multikey_nulls",
-    "limit_topk_global",
-    "sample_deterministic",
-    # §2.G set operations
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    # §2.H scalar functions
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_map_json",
-    "fn_bitwise",
-    # §2.I tag extensions + ML
-    "tag_funnel",
-    "tag_retention",
-    "tag_audience_bitmap",
-    "tag_crowd_select",
-    "tag_lookalike",
-    "ml_lr_propensity",
-    # §2.K text extensions
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_entropy",
-    "text_contamination",
-    "text_lm_score",
-    # §2.K dedup / similarity
-    "dedup_jaccard_verify",
-    "dedup_simhash",
-    "dedup_incremental",
-    "sim_knn_lsh",
-    "dedup_embed_cosine",
-    "sim_knn_ivf",
-    # §2.K multimodal plumbing
-    "mm_binary_metadata",
-    "mm_decode_stub",
-    "mm_resize_stub",
-    "mm_feature_extract",
-    # §2.J streaming remainder
-    "stream_custom_state",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreachbatch_sink",
-    "stream_complete_counts",
-    # §2.L UDF remainder
-    "udf_arrow_scalar",
+    # §2.M spillover — never yet graded
+    "sessionize_events",
+    "sample_stratified",
+    "agg_unpivot",
+    "subq_correlated",
+    "join_skew_salted",
+    "dedup_cc_clusters",
+    "text_pii_redact",
+    "doc_chunking",
+    "embed_quantize",
+    "dedup_edit_distance",
+    "graph_pagerank",
+    "doc_pack_sequences",
+    "sim_knn_recall",
+    "diag_key_skew",
+    "doc_clean_pipeline",
+    # §2.N curation additions (r5) — never yet graded
+    "text_repetition",
+    "dedup_ngram_spans",
+    "doc_train_split",
+    "sim_centroid_assign",
+    "tag_activity_trend",
+    "events_dau_stickiness",
+    "doc_source_cap_sample",
+    "events_transition_matrix",
+    "tag_basket_affinity",
+    "events_anomaly_zscore",
+    "doc_length_outliers",
+    "dedup_split_leakage",
+    "tag_activity_streak",
+    "embed_dim_stats",
+    "sink_compact_small_files",
+    "agg_hll_partitioned_merge",
+    "tag_funnel_windowed",
+    "tag_refresh_delta",
+    "fn_regex",
+    # re-certification: ops modified since their last driver green
+    "sim_cosine_knn",
+    "tag_rfm",
+    "tag_rfe",
+    "agg_stats",
+    # re-certification filler: oldest-evidence (r03) greens
+    "scan_parquet",
+    "scan_events_ns",
+    "catalog_views",
+    "filter_simple",
+    "filter_null_semantics",
+    "join_inner_equi",
+    "join_asof_latest",
+    "join_theta_range",
+    "agg_count_distinct",
+    "agg_percentile",
+    "win_topk_per_group",
+    "win_lag_lead",
 )
 
 
