@@ -368,7 +368,10 @@ def tag_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
     ), dd AS (
       SELECT day, user_id,
-             CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) // 7 AS week_idx
+             -- floor division, NOT //: DuckDB's // truncates toward zero, so a
+             -- pre-epoch day (-3 // 7 = 0) would disagree with Spark's
+             -- F.floor(-3/7) = -1. Floor matches Spark for any epoch.
+             CAST(floor(datediff('day', DATE '2024-01-01', day) / 7.0) AS BIGINT) AS week_idx
       FROM d
     ), dau AS (
       SELECT week_idx, day, CAST(count(*) AS BIGINT) AS dau FROM dd GROUP BY week_idx, day
@@ -466,10 +469,13 @@ def doc_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds. One scalar (cap) broadcast; per-source aggregate out.
     """
     d = load(spark, sf_dir).documents
+    # integer `div`, not double-divide-then-cast: at ~2^53-scale counts the
+    # double quotient's rounding can cross an integer boundary and shift the
+    # cap by 1 vs the oracle's exact integer //. `div` is exact at any scale.
     cap_df = d.agg(
-        (F.count("*").cast("bigint") / (2 * F.countDistinct("source")))
-        .cast("bigint")
-        .alias("cap")
+        F.expr("CAST(count(*) AS BIGINT) div (2 * count(DISTINCT source))").alias(
+            "cap"
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
