@@ -301,3 +301,54 @@ def test_funnel_windowed_pushes_stage_filters_to_scan(spark):
     table) — that's what makes the multi-scan shape acceptable at scale."""
     plan = _plan(spark, "tag_funnel_windowed")
     assert "event_type" in plan.split("PushedFilters: [", 1)[1][:200]
+
+
+def test_no_unaudited_driver_side_pulls():
+    """Mechanizes the 'no driver-side data pulls' audit (VERDICT r5 task 7):
+    every .collect()/.toPandas()/.first() in operator source must be a known
+    scalar/bounded site. A new pull fails here until consciously allowlisted
+    with a justification."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "userportrait"
+    allowed = {
+        # (file, stripped line): why it is bounded
+        ("llm_dedup.py", ').collect()[0]["c"]'):
+            "scalar: corpus count for the incremental-dedup split point",
+        ("llm_similarity.py", 'lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()'):
+            "scalar: index id range for chunking",
+        ("llm_similarity.py", ".toPandas()"):
+            "bounded: one vec_id-range index chunk (<= chunk width rows)",
+        ("pipeline_ext.py", 'cur_sum = labels.agg(F.sum("lab")).collect()[0][0]'):
+            "scalar: connected-components convergence probe",
+        ("scans.py", 'cutoff = int(e.agg(F.expr("percentile(event_id, 0.8)")).collect()[0][0])'):
+            "scalar: incremental-agg batch split point",
+        ("ranking.py", "combos = work.groupBy(*b_cols).count().collect()"):
+            "bounded: <= 32^3-row bucket-count metadata frame",
+    }
+    found = set()
+    for py in root.rglob("*.py"):
+        if py.parent.name == "testing":  # the differential harness collects by design
+            continue
+        in_doc = False
+        for line in py.read_text().splitlines():
+            ls = line.strip()
+            if ls.count('"""') % 2 == 1:
+                in_doc = not in_doc
+            if in_doc or ls.startswith("#"):
+                continue
+            if ".collect()" in ls or ".toPandas()" in ls or ".first()" in ls:
+                found.add((py.name, ls))
+    unaudited = found - set(allowed)
+    assert not unaudited, f"unaudited driver-side pulls: {sorted(unaudited)}"
+
+
+def test_no_collect_limit_in_any_op_plan(spark):
+    """No registered op's physical plan may materialize data through a
+    driver-side CollectLimit: global top-k must compile to
+    TakeOrderedAndProject (distributed partial top-k) and nothing else
+    should limit at all. Streaming ops are exercised via their batch
+    results like everywhere else."""
+    for name in OPS:
+        plan = _plan(spark, name)
+        assert "CollectLimit" not in plan, name
