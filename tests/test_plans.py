@@ -352,3 +352,18 @@ def test_no_collect_limit_in_any_op_plan(spark):
     for name in OPS:
         plan = _plan(spark, name)
         assert "CollectLimit" not in plan, name
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    """join_bloom_filtered must actually compile the dim predicate into a
+    bloom_filter_agg applied on the fact side of a SortMergeJoin — without
+    the injection the op is just a worse join_sortmerge_big."""
+    plan = _plan(spark, "join_bloom_filtered")
+    assert "bloom_filter_agg" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_path_topk_is_distributed_partial_topk(spark):
+    plan = _plan(spark, "events_path_topk")
+    assert "TakeOrderedAndProject" in plan

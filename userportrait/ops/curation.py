@@ -1145,3 +1145,60 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_brand").rlike("^Brand#[12]"), 1).otherwise(0).alias("low_brand"),
         F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).cast("bigint").alias("n_words"),
     )
+
+
+@op(
+    "events_path_topk",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY user_id, day
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM p GROUP BY path
+    ORDER BY n_user_days DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-day journey paths (r6 addition): the full ordered
+    event-type path of each user-day (first 8 events), counted across all
+    user-days — the whole-journey complement of events_transition_matrix's
+    first-order view, and the classic "what do users actually do in a
+    session" portrait report.
+
+    One (user_id, day) window partitioning feeds both the rn cap and the
+    ordered path assembly (array_sort over (rn, type) structs — rn is
+    unique, so the sort is total); paths are ≤8 short enum strings, so the
+    path-count shuffle key is bounded-width however large the corpus. The
+    global top-20 compiles to TakeOrderedAndProject (distributed partial
+    top-k, no CollectLimit — guarded registry-wide in tests/test_plans.py).
+    """
+    e = load(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    paths = (
+        e.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("path"))
+        .limit(20)
+    )

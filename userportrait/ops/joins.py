@@ -340,3 +340,45 @@ def join_self_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"),
         )
     )
+
+
+@op(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (r6 addition): a selective dim predicate
+    (high-value orders) is compiled into a ``bloom_filter_agg`` that Spark
+    pushes into the FACT side's scan stage, so non-matching lineitem rows
+    are dropped before the shuffle — the sort-merge-join sibling of dynamic
+    partition pruning (scan_dpp_join), and the lever that matters when the
+    100 TB fact side is NOT partitioned on the join key. With broadcast
+    available Spark rightly skips injection (the filter would be pointless),
+    so this op models the big×big regime: a cloned session (independent
+    SQLConf — nothing leaks to other ops) disables autoBroadcast and drops
+    the injection threshold to test scale. Results are exact either way:
+    the bloom filter only pre-drops rows the join would discard
+    (tests/test_plans.py asserts the injection is real)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # default 10 GB models "fact scan big enough to be worth filtering";
+    # test parquet is MBs, so arm injection unconditionally
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    t = load(s2, sf_dir)
+    o = t.orders.where(F.col("o_totalprice") > 450000).select("o_orderkey")
+    l = t.lineitem.select("l_orderkey", "l_extendedprice")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("revenue"),
+        )
+    )

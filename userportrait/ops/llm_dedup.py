@@ -400,3 +400,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
         )
     )
+
+
+@op(
+    "dedup_family_histogram",
+    oracle="""
+    WITH f AS (
+      SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS family_size
+      FROM documents GROUP BY h
+    )
+    SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY family_size
+    """,
+)
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus (r6 addition): histogram of
+    exact-dup family sizes (how many content hashes occur 1×, 2×, ... and
+    how many docs each bucket holds) — the first chart in any curation
+    report, and the number that decides whether near-dedup is even worth
+    running. Two groupBys, both map-side combinable; the second input is
+    one row per distinct hash and the output is ≤ max-family-size rows."""
+    d = load(spark, sf_dir).documents
+    fam = (
+        d.select(F.sha2("text", 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("bigint").alias("family_size"))
+    )
+    return fam.groupBy("family_size").agg(
+        F.count("*").cast("bigint").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
