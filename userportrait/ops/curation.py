@@ -1202,3 +1202,70 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_user_days").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@op(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+                                                 i -> array_to_string(t[i:i+7], ' ')))) AS span
+      FROM toks WHERE len(t) >= 8
+    ), firsts AS (
+      SELECT doc_id, span,
+             min(doc_id) OVER (PARTITION BY span) AS first_doc
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE doc_id > first_doc) AS BIGINT) AS n_repeated,
+           CAST(count(*) FILTER (WHERE doc_id = first_doc) AS DOUBLE) / count(*) AS novel_frac
+    FROM firsts
+    GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ingestion novelty (r6 addition): the fraction of a document's
+    distinct 8-token spans whose FIRST occurrence (by doc_id = arrival
+    order) is an earlier document — Lee et al. 2022's "how much of the new
+    shard is actually new" curve, the number that decides when a crawl
+    source has been exhausted.
+
+    Same span machinery as dedup_ngram_spans (per-doc distinct spans built
+    array-side before the explode): one span-keyed groupBy for the global
+    first-seen doc, one span-keyed join back, one doc-keyed aggregate.
+    All three shuffles are high-cardinality and even; the 100× corpus
+    ladder for the span family (PLANS.md) is the scale evidence.
+    novel_frac is int/int double division — exact IEEE on both engines."""
+    d = load(spark, sf_dir).documents
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    span_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 8),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+        )
+    )
+    spans = (
+        d.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 8)
+        .select("doc_id", F.explode(span_arr).alias("span"))
+    )
+    firsts = spans.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        spans.join(firsts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.count(F.when(F.col("doc_id") > F.col("first_doc"), 1))
+            .cast("bigint")
+            .alias("n_repeated"),
+            (
+                F.count(F.when(F.col("doc_id") == F.col("first_doc"), 1)).cast("double")
+                / F.count("*")
+            ).alias("novel_frac"),
+        )
+    )
