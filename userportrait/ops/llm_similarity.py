@@ -174,10 +174,13 @@ def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # one task wave per chunk: width the query side to the session's shuffle
+    # parallelism (cores-matched locally, cluster-sized in deployment) —
+    # 2x-overpartitioning measured ~30% slower here (2 waves of tiny tasks)
     q = (
         load(spark, sf_dir)
         .embeddings.select("vec_id", "embedding")
-        .repartition(64, "vec_id")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
     )
     schema = "vec_id bigint, neighbor_id bigint, sim double"
     partials = [
@@ -216,10 +219,13 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": qids[qi], "vec_b": aids[ai], "sim": sims[qi, ai]}
         )
 
+    # one task wave per chunk: width the query side to the session's shuffle
+    # parallelism (cores-matched locally, cluster-sized in deployment) —
+    # 2x-overpartitioning measured ~30% slower here (2 waves of tiny tasks)
     q = (
         load(spark, sf_dir)
         .embeddings.select("vec_id", "embedding")
-        .repartition(64, "vec_id")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
     )
     schema = "vec_a bigint, vec_b bigint, sim double"
     partials = [
