@@ -1269,3 +1269,44 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novel_frac"),
         )
     )
+
+
+@op(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT (datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 3) % 7 AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap (r6 addition): event and
+    distinct-user counts per (dow, hour) cell — the standard
+    when-are-users-active portrait panel, and the load profile capacity
+    planning reads.
+
+    dow is computed as (days-since-1970-01-01 + 3) % 7 with Monday = 0 —
+    pure integer arithmetic identical on any engine (1970-01-01 was a
+    Thursday), instead of dayofweek()/weekday() whose start-of-week
+    conventions differ across engines (same calendar-agnostic policy as
+    tag_retention's epoch weeks). One shuffle onto a fixed 168-cell grid;
+    count_distinct is the only non-map-side-combinable part, and it keys
+    on the same tiny grid. hour() agrees because the session timezone is
+    pinned UTC (session.py)."""
+    e = load(spark, sf_dir).events
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 3) % 7
+    return (
+        e.select(
+            dow.cast("bigint").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+            "user_id",
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
