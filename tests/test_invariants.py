@@ -355,3 +355,41 @@ def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
             spark._jvm.scala.Option.empty()
         )
         assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_heatmap_cells_account_for_every_event(spark):
+    """events_heatmap_hour_dow must partition the event stream exactly:
+    cell n_events sum to the table count, dow/hr stay in range, and no
+    cell claims more users than events."""
+    rows = OPS["events_heatmap_hour_dow"].fn(spark, SF_DIR).collect()
+    e = load(spark, SF_DIR).events
+    assert sum(r.n_events for r in rows) == e.count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hr <= 23
+        assert 1 <= r.n_users <= r.n_events
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """The lowest doc_id with spans can only contain first-seen spans
+    (novel_frac == 1.0, n_repeated == 0); fractions stay in [0, 1] and
+    n_repeated never exceeds n_spans."""
+    rows = OPS["doc_ngram_novelty"].fn(spark, SF_DIR).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novel_frac == 1.0 and first.n_repeated == 0
+    for r in rows:
+        assert 0.0 <= r.novel_frac <= 1.0
+        assert 0 <= r.n_repeated <= r.n_spans
+
+
+def test_path_topk_counts_bounded_by_user_days(spark):
+    """Each top path's n_user_days cannot exceed the number of distinct
+    (user, day) pairs, and the result is at most 20 rows in strictly
+    non-increasing count order."""
+    rows = OPS["events_path_topk"].fn(spark, SF_DIR).collect()
+    e = load(spark, SF_DIR).events
+    user_days = e.select(F.to_date("ts").alias("d"), "user_id").distinct().count()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_user_days for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) <= user_days
