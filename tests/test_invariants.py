@@ -393,3 +393,27 @@ def test_path_topk_counts_bounded_by_user_days(spark):
     counts = [r.n_user_days for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert sum(counts) <= user_days
+
+
+def test_growth_accounting_identities(spark):
+    """The growth decomposition must balance: active(w) = new + retained +
+    resurrected equals the distinct weekly-active count, and churned(w) =
+    active(w-1) - retained(w) for every observed week."""
+    rows = {r.week: r for r in OPS["events_growth_accounting"].fn(spark, SF_DIR).collect()}
+    e = load(spark, SF_DIR).events
+    us_per_week = 7 * 86_400 * 1_000_000
+    active = {
+        r.week: r.n
+        for r in e.select(
+            (F.unix_micros("ts") / F.lit(us_per_week)).cast("bigint").alias("week"), "user_id"
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows
+    for wk, r in rows.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == active.get(wk, 0), wk
+        if wk - 1 in active:
+            assert r.n_churned == active[wk - 1] - r.n_retained, wk

@@ -1310,3 +1310,90 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+_US_PER_WEEK = 7 * 86_400 * 1_000_000  # same epoch-week convention as tag_retention
+
+
+@op(
+    "events_growth_accounting",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_WEEK} AS week
+      FROM events
+    ), seq AS (
+      SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS first_week,
+             lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev,
+             lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+      FROM w
+    ), mx AS (SELECT max(week) AS maxw FROM w),
+    stages AS (
+      SELECT week, CASE WHEN week = first_week THEN 'new'
+                        WHEN prev = week - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS stage
+      FROM seq
+      UNION ALL
+      SELECT week + 1 AS week, 'churned' AS stage
+      FROM seq CROSS JOIN mx
+      WHERE (nxt IS NULL OR nxt > week + 1) AND week < maxw
+    )
+    SELECT week,
+           CAST(count(*) FILTER (WHERE stage = 'new') AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE stage = 'retained') AS BIGINT) AS n_retained,
+           CAST(count(*) FILTER (WHERE stage = 'resurrected') AS BIGINT) AS n_resurrected,
+           CAST(count(*) FILTER (WHERE stage = 'churned') AS BIGINT) AS n_churned
+    FROM stages GROUP BY week
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (r6 addition): every active (user, week)
+    classified as new / retained / resurrected, plus churned users charged
+    to the week after their last activity — the canonical
+    growth-decomposition every portrait/analytics stack reports
+    (active(w) = new + retained + resurrected; churned(w) = active(w-1)
+    − retained(w), invariant-tested).
+
+    One distinct (user, week) shuffle; the three window functions share the
+    same user_id partitioning; the stage/churn union aggregates onto a
+    tiny week grid. Weeks are absolute epoch-week integers (same
+    calendar-agnostic policy as tag_retention), so the classification is
+    pure integer arithmetic on both engines. The global max week is a
+    1-row broadcast (churn cannot be assessed past the observed horizon).
+    """
+    e = load(spark, sf_dir).events
+    w = e.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week"),
+    ).distinct()
+    uw = Window.partitionBy("user_id")
+    seq = w.select(
+        "week",
+        F.min("week").over(uw).alias("first_week"),
+        F.lag("week").over(uw.orderBy("week")).alias("prev"),
+        F.lead("week").over(uw.orderBy("week")).alias("nxt"),
+    )
+    stage = F.when(F.col("week") == F.col("first_week"), "new").when(
+        F.col("prev") == F.col("week") - 1, "retained"
+    ).otherwise("resurrected")
+    stages = seq.select("week", stage.alias("stage"))
+    mx = w.agg(F.max("week").alias("maxw"))
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("week") + 1))
+            & (F.col("week") < F.col("maxw"))
+        )
+        .select((F.col("week") + 1).alias("week"), F.lit("churned").alias("stage"))
+    )
+    return (
+        stages.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.count(F.when(F.col("stage") == "new", 1)).cast("bigint").alias("n_new"),
+            F.count(F.when(F.col("stage") == "retained", 1)).cast("bigint").alias("n_retained"),
+            F.count(F.when(F.col("stage") == "resurrected", 1)).cast("bigint").alias("n_resurrected"),
+            F.count(F.when(F.col("stage") == "churned", 1)).cast("bigint").alias("n_churned"),
+        )
+    )
