@@ -346,6 +346,7 @@ def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
             "tag_basket_affinity",  # curation: pinned 3-table join subtree
             "dedup_cc_clusters",  # pipeline_ext: per-round label pinning
             "win_rank_distributed",  # windows: pinned range exchange
+            "events_growth_accounting",  # curation: pinned (user, week) seq
         ):
             res = compare_op(spark, duck, name, SF_DIR)
             assert res["status"] == "PASS", res

@@ -367,3 +367,12 @@ def test_bloom_filter_join_injects_runtime_filter(spark):
 def test_path_topk_is_distributed_partial_topk(spark):
     plan = _plan(spark, "events_path_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_growth_accounting_pins_shared_distinct(spark):
+    """The (user, week) distinct + window subtree feeds three consumers;
+    it must be pinned (checkpointed) so raw events are scanned ONCE — the
+    unpinned form re-evaluated it per consumer (6 scans / 5 exchanges)."""
+    plan = _plan(spark, "events_growth_accounting")
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

@@ -1374,11 +1374,16 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("week").over(uw.orderBy("week")).alias("prev"),
         F.lead("week").over(uw.orderBy("week")).alias("nxt"),
     )
+    # seq feeds three consumers (stages, churn, and the max-week scalar);
+    # without pinning, the (user, week) distinct over raw events — the
+    # dominant cost at 100 TB — would re-evaluate once per consumer
+    # (observed: 6 scans / 5 exchanges). pin() materializes it once.
+    seq = pin(seq)
     stage = F.when(F.col("week") == F.col("first_week"), "new").when(
         F.col("prev") == F.col("week") - 1, "retained"
     ).otherwise("resurrected")
     stages = seq.select("week", stage.alias("stage"))
-    mx = w.agg(F.max("week").alias("maxw"))
+    mx = seq.agg(F.max("week").alias("maxw"))
     churn = (
         seq.crossJoin(F.broadcast(mx))
         .where(
