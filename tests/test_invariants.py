@@ -298,6 +298,15 @@ def test_span_ops_survive_short_docs(spark, tmp_path):
     assert 0 not in rep  # 1-token doc has no bigrams -> dropped on both engines
     assert rep[1].n_tokens == 5 and rep[1].uniq_frac == 1.0
     OPS["dedup_split_leakage"].fn(spark, str(fix)).collect()  # must not raise
+    # novelty: short docs (0, 1) drop out; doc 2 is fully novel, its twin
+    # doc 3 repeats every span
+    nov = {r.doc_id: r for r in OPS["doc_ngram_novelty"].fn(spark, str(fix)).collect()}
+    assert set(nov) == {2, 3}
+    assert nov[2].novel_frac == 1.0 and nov[2].n_spans == 5
+    assert nov[3].novel_frac == 0.0 and nov[3].n_repeated == 5
+    # family histogram on this corpus: one 2-doc family, two singletons
+    fam = {r.family_size: r for r in OPS["dedup_family_histogram"].fn(spark, str(fix)).collect()}
+    assert fam[2].n_families == 1 and fam[1].n_families == 2
 
 
 def test_windowed_funnel_dominated_by_unbounded(spark):
