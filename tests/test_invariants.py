@@ -427,3 +427,28 @@ def test_growth_accounting_identities(spark):
         assert r.n_new + r.n_retained + r.n_resurrected == active.get(wk, 0), wk
         if wk - 1 in active:
             assert r.n_churned == active[wk - 1] - r.n_retained, wk
+
+
+def test_ltv_cohort_consistent_with_retention(spark):
+    """The LTV triangle must agree with tag_retention cell-for-cell on
+    active-user counts, and each cohort's cum_revenue must be the running
+    sum of its revenue column (monotone, ending at the cohort total)."""
+    ltv = OPS["events_ltv_cohort"].fn(spark, SF_DIR).collect()
+    ret = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in OPS["tag_retention"].fn(spark, SF_DIR).collect()
+    }
+    assert ltv and len(ltv) == len(ret)
+    for r in ltv:
+        assert ret[(r.cohort_week, r.week_offset)] == r.n_active
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in ltv:
+        by_cohort[r.cohort_week].append(r)
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r.week_offset)
+        run = 0.0
+        for r in rows:
+            run += r.revenue
+            assert abs(r.cum_revenue - run) < 1e-6, r

@@ -1402,3 +1402,68 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("stage") == "churned", 1)).cast("bigint").alias("n_churned"),
         )
     )
+
+
+@op(
+    "events_ltv_cohort",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_WEEK} AS week,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END AS rev
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+    ), cell AS (
+      SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active,
+             sum(w.rev) AS rev
+      FROM w JOIN cohort c ON c.user_id = w.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+                     AS VARCHAR) AS DOUBLE) AS cum_revenue
+    FROM cell
+    """,
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (r6 addition): per (first-activity cohort week ×
+    weeks-since) cell, active users, purchase revenue, and the cumulative
+    revenue curve — the lifetime-value report that prices acquisition, and
+    the monetary complement of tag_retention's user counts.
+
+    Same epoch-week integers and one user_id-keyed shuffle as
+    tag_retention; revenue sums in DECIMAL(38,4) on both engines
+    (order-independent, exact — SURVEY §2.0 rule 1) and the cumulative
+    window runs over the tiny (cohort × offset) grid, not the event
+    stream. Cumulative sums of exact decimals cast to double are
+    bitwise-identical across engines."""
+    e = load(spark, sf_dir).events
+    w = e.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week"),
+        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(38,4)"))
+        .otherwise(F.lit(0).cast("decimal(38,4)"))
+        .alias("rev"),
+    )
+    cohort = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cell = (
+        w.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(cum).cast("double").alias("cum_revenue"),
+    )

