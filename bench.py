@@ -13,6 +13,12 @@ Query → BASELINE.md row mapping:
   q_sessionize      → events user×day×type groupBy (inline)    0.37 s
   q_rfm             → tag_rfm                                  0.17 s
   q_vector_knn      → sim_cosine_knn (broadcast-index matmul)  27.2 s naive
+
+Two curation-side rows (no BASELINE.md counterpart — regression-tracked
+round-over-round instead, VERDICT r6 item 5): the 80+ corpus ops were
+previously invisible to the per-round perf gate.
+  q_clean_pipeline  → doc_clean_pipeline (C4-style clean chain)
+  q_minhash         → dedup_near_minhash (shingle→minhash→band→bucket-join)
 """
 
 from __future__ import annotations
@@ -88,10 +94,28 @@ def main() -> int:
         "q_sessionize": q_sessionize,
         "q_rfm": rfm_base,  # exact BASELINE.md:25 shape (plain R/F/M agg)
         "q_vector_knn": ops["sim_cosine_knn"].fn,
+        "q_clean_pipeline": ops["doc_clean_pipeline"].fn,
+        "q_minhash": ops["dedup_near_minhash"].fn,
     }
+    # Queries whose op body EXECUTES work at plan-declaration time (the
+    # blocked kNN pins per-chunk partials eagerly so each broadcast can be
+    # destroyed before the next chunk loads — the sequential O(chunk)
+    # lifecycle). For these, building the DataFrame outside the timed
+    # region would hide the matmul from the clock; re-declare per run so
+    # the timed number includes the real work.
+    eager = {"q_vector_knn"}
     spark = get_spark("userportrait-bench")
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        if name in eager:
+            fn(spark, SF_DIR).count()  # warm: fill page cache, settle JIT
+            best = float("inf")
+            for _ in range(3):  # eager queries re-run the whole pipeline
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+            continue
         # Build the DataFrame once: re-declaring the plan per run measures
         # py4j API chatter (~0.5 s of driver round-trips), not the engine.
         # Each timed count() still runs the full optimize+execute pipeline.

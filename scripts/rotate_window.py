@@ -1,43 +1,137 @@
-"""Propose the next GRADE_FIRST window from the latest CORRECTNESS file.
+"""Grading-window rotation + the cumulative COVERAGE.md ledger, mechanized.
 
 The driver grades the first 50 ``queries()`` entries per round
-(registry.py::GRADE_FIRST). After a round lands, run this to get the next
-window: ops whose driver evidence is still missing or non-green, ranked
-never-graded-first, then failed, padded with the oldest-evidence greens if
-fewer than 50 remain.
+(registry.py::GRADE_FIRST). This script owns the two pieces of bookkeeping
+around that rotation, so neither can silently drift (the stale-ledger slip
+happened by hand in r04, r05 AND r06 — VERDICT r6 "What's wrong" #3):
 
-Usage: python scripts/rotate_window.py CORRECTNESS_r04.json [more...]
-Prints a ready-to-paste GRADE_FIRST tuple and a coverage summary.
+  propose [CORRECTNESS...]  print the next GRADE_FIRST tuple: failed ops
+                            first (a green must be re-earned), then
+                            never-graded, padded with oldest-evidence greens.
+  write                     regenerate the ledger table inside COVERAGE.md
+                            (between the BEGIN/END LEDGER markers) from the
+                            union of ALL committed CORRECTNESS_r*.json files,
+                            newest round wins.
+  check                     exit 1 if COVERAGE.md's ledger table disagrees
+                            with that regeneration (CI hook:
+                            tests/test_plans.py::test_coverage_ledger_in_sync).
 """
+
+from __future__ import annotations
+
+import glob
 import json
+import os
+import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-from userportrait.registry import load_all_ops
+from userportrait.registry import load_all_ops  # noqa: E402
+
+BEGIN = "<!-- BEGIN LEDGER (generated: python scripts/rotate_window.py write) -->"
+END = "<!-- END LEDGER -->"
 
 
-def main(paths):
-    ops = list(load_all_ops())
-    best: dict[str, str] = {}  # op -> LATEST driver evidence (newest round wins)
-    # Process oldest->newest and always overwrite, so an op that regressed
-    # after once passing re-enters the window instead of being shadowed by
-    # a stale green (a green must be re-earned after any failure).
-    for path in sorted(paths):
-        data = json.load(open(path))
-        for k, v in data.items():
-            if v.get("hash_match") or v.get("err") == "no_oracle":
-                best[k] = "green"
+def all_correctness_paths() -> list[str]:
+    return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
+def evidence(paths: list[str]) -> dict[str, tuple[str, str]]:
+    """op -> (state, round), state in {pass, ROWS, FAILED}. Paths are
+    processed oldest->newest and always overwrite, so an op that regressed
+    after once passing re-enters the window instead of being shadowed by a
+    stale green (a green must be re-earned after any failure)."""
+    best: dict[str, tuple[str, str]] = {}
+    for path in paths:
+        rnd = re.search(r"r\d+", os.path.basename(path)).group(0)
+        for k, v in json.load(open(path)).items():
+            if v.get("hash_match"):
+                best[k] = ("pass", rnd)
+            elif v.get("err") == "no_oracle":
+                best[k] = ("ROWS", rnd)
             else:
-                best[k] = "failed"
-    never = [k for k in ops if k not in best]
-    failed = [k for k in ops if best.get(k) == "failed"]
+                best[k] = ("FAILED", rnd)
+    return best
+
+
+def ledger_table() -> str:
+    ops = list(load_all_ops())
+    ev = evidence(all_correctness_paths())
+    lines = [
+        "| # | op | driver evidence | in current window |",
+        "|---|----|-----------------|-------------------|",
+    ]
+    for i, k in enumerate(ops):
+        st = ev.get(k)
+        if st is None:
+            txt = "not yet driver-graded"
+        elif st[0] == "pass":
+            txt = f"pass ({st[1]})"
+        elif st[0] == "ROWS":
+            txt = f"ROWS ({st[1]}, by design — oracle=None)"
+        else:
+            txt = f"FAILED ({st[1]}) — must re-earn green"
+        lines.append(f"| {i} | {k} | {txt} | {'yes' if i < 50 else 'no'} |")
+    ev_states = [s for s, _ in ev.values()]
+    lines.append("")
+    lines.append(
+        f"Union over {len(all_correctness_paths())} committed rounds: "
+        f"**{ev_states.count('pass')} hash-green + {ev_states.count('ROWS')} "
+        f"ROWS-only by design + {ev_states.count('FAILED')} failed** of "
+        f"{len(ops)} registered ops "
+        f"({len(ops) - len(ev)} never driver-graded)."
+    )
+    return "\n".join(lines)
+
+
+def write_coverage() -> None:
+    path = os.path.join(REPO, "COVERAGE.md")
+    src = open(path).read()
+    head, rest = src.split(BEGIN)
+    _, tail = rest.split(END)
+    open(path, "w").write(head + BEGIN + "\n" + ledger_table() + "\n" + END + tail)
+    print("COVERAGE.md ledger regenerated")
+
+
+def check_coverage() -> int:
+    src = open(os.path.join(REPO, "COVERAGE.md")).read()
+    if BEGIN not in src or END not in src:
+        print("COVERAGE.md is missing the generated-ledger markers")
+        return 1
+    current = src.split(BEGIN)[1].split(END)[0].strip()
+    want = ledger_table().strip()
+    if current != want:
+        cur_lines, want_lines = current.splitlines(), want.splitlines()
+        for i, (a, b) in enumerate(zip(cur_lines, want_lines)):
+            if a != b:
+                print(f"ledger drift at line {i}:\n  have: {a}\n  want: {b}")
+                break
+        if len(cur_lines) != len(want_lines):
+            print(f"ledger drift: {len(cur_lines)} lines, want {len(want_lines)}")
+        print("COVERAGE.md is stale — run: python scripts/rotate_window.py write")
+        return 1
+    print("COVERAGE.md ledger is in sync")
+    return 0
+
+
+def propose(paths: list[str]) -> None:
+    ops = list(load_all_ops())
+    ev = evidence(sorted(paths) or all_correctness_paths())
+    never = [k for k in ops if k not in ev]
+    failed = [k for k in ops if ev.get(k, ("", ""))[0] == "FAILED"]
     window = (failed + never)[:50]
     if len(window) < 50:
-        window += [k for k in ops if k not in set(window)][: 50 - len(window)]
-    print(f"# graded green: {sum(1 for v in best.values() if v == 'green')}")
+        # pad with greens, oldest evidence round first, module order within
+        greens = sorted(
+            (k for k in ops if k in ev and k not in set(window)),
+            key=lambda k: (ev[k][1], ops.index(k)),
+        )
+        window += greens[: 50 - len(window)]
+    print(f"# graded green: {sum(1 for s, _ in ev.values() if s in ('pass', 'ROWS'))}")
     print(f"# failed: {len(failed)} {failed}")
-    print(f"# never graded: {len(never)}")
+    print(f"# never graded: {len(never)} {never}")
     print("GRADE_FIRST: tuple[str, ...] = (")
     for k in window:
         print(f'    "{k}",')
@@ -45,4 +139,10 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["CORRECTNESS_r02.json", "CORRECTNESS_r03.json"])
+    args = sys.argv[1:]
+    if args[:1] == ["check"]:
+        sys.exit(check_coverage())
+    elif args[:1] == ["write"]:
+        write_coverage()
+    else:
+        propose(args[1:] if args[:1] == ["propose"] else args)

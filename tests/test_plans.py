@@ -376,3 +376,31 @@ def test_growth_accounting_pins_shared_distinct(spark):
     plan = _plan(spark, "events_growth_accounting")
     assert "ExistingRDD" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ltv_and_retention_scan_events_once(spark):
+    """Cohort assignment must be a window MIN over user_id, not a
+    groupBy + self-join: the join form evaluated the events projection
+    twice (two scans, two exchanges — VERDICT r6 finding #2). One parquet
+    scan, no join operator at all."""
+    for name in ("events_ltv_cohort", "tag_retention"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, name
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, name
+
+
+def test_coverage_ledger_in_sync():
+    """COVERAGE.md's generated ledger must agree with the union of the
+    committed CORRECTNESS_r*.json files — mechanizes the stale-ledger slip
+    that happened by hand three rounds running (VERDICT r6 item 8)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "rotate_window.py"), "check"],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr

@@ -1272,6 +1272,114 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "doc_span_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), occ0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                    s -> {'s': s, 'span': array_to_string(t[s:s+7], ' ')})) AS o
+      FROM toks WHERE len(t) >= 8
+    ), occ AS (
+      SELECT doc_id, o.s AS s, o.span AS span FROM occ0
+    ), firsts AS (
+      SELECT span, min(doc_id) AS first_doc FROM occ GROUP BY span
+    ), removed AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT o.doc_id AS doc_id, unnest(generate_series(o.s, o.s + 7)) AS j
+        FROM occ o JOIN firsts f ON f.span = o.span
+        WHERE o.doc_id > f.first_doc
+      )
+    ), tok0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t)),
+                    j -> {'j': j, 'tok': t[j]})) AS p
+      FROM toks WHERE len(t) >= 1
+    ), tok AS (
+      SELECT doc_id, p.j AS j, p.tok AS tok FROM tok0
+    ), kept AS (
+      SELECT k.doc_id, k.j, k.tok
+      FROM tok k LEFT JOIN removed r ON r.doc_id = k.doc_id AND r.j = k.j
+      WHERE r.j IS NULL
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup OUTPUT (r7 addition): every 8-token span whose
+    first occurrence (by doc_id = arrival order) is an EARLIER document is
+    cut from the text, and the surviving tokens re-joined — the actual
+    cleaned corpus of Lee et al. 2022's ExactSubstr pipeline, completing
+    the family dedup_ngram_spans (detection) and doc_ngram_novelty
+    (scoring) started. A token survives iff no duplicated span covers its
+    position; docs whose every span is seen earlier clean to the empty
+    string but stay in the output (training shards must not silently drop
+    rows). Emits (n_tokens, n_kept, md5(cleaned)) per doc — the md5 makes
+    the whole reconstructed text hash-gated cross-engine without shipping
+    megabytes through the differential harness.
+
+    Plan: one span-keyed groupBy for the global first-seen map (the same
+    high-cardinality even shuffle as dedup_ngram_spans), one join back,
+    then the per-doc removal runs ARRAY-side: duplicated span starts
+    collect_set into one row per doc, and a JVM higher-order filter keeps
+    token j unless some start s covers it (s <= j <= s+7). That inner
+    exists() is O(tokens x dup_spans) per doc — at 100 TB the sorted
+    dup_starts array makes it a merge-scan, and the span string becomes a
+    128-bit hash to shrink shuffle width; the plan shape is unchanged.
+    Docs under 8 tokens never enter the span machinery (Spark sequence()
+    would descend; DuckDB generate_series returns empty) and pass through
+    verbatim via the left join."""
+    d = load(spark, sf_dir).documents
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select("doc_id", t.alias("t"))
+    occ = (
+        docs.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 7),
+                    lambda s: F.struct(
+                        s.alias("s"), F.concat_ws(" ", F.slice("t", s, 8)).alias("span")
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.s", "o.span")
+    )
+    firsts = occ.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
+    dup_starts = (
+        occ.join(firsts, "span")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("s")).alias("dup_starts"))
+    )
+    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    covered = lambda j: F.exists(starts, lambda s: (s <= j) & (j <= s + 7))
+    kept = F.filter(
+        F.transform("t", lambda tok, i: F.struct((i + 1).alias("j"), tok.alias("tok"))),
+        lambda p: ~covered(p.j),
+    )
+    return docs.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda p: p.tok))).alias("clean_md5"),
+    )
+
+
+@op(
     "events_heatmap_hour_dow",
     oracle="""
     SELECT (datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 3) % 7 AS dow,
@@ -1365,7 +1473,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir).events
     w = e.select(
         "user_id",
-        (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week"),
+        F.expr(f"unix_micros(ts) div {_US_PER_WEEK}").alias("week"),
     ).distinct()
     uw = Window.partitionBy("user_id")
     seq = w.select(
@@ -1436,23 +1544,28 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue curve — the lifetime-value report that prices acquisition, and
     the monetary complement of tag_retention's user counts.
 
-    Same epoch-week integers and one user_id-keyed shuffle as
-    tag_retention; revenue sums in DECIMAL(38,4) on both engines
-    (order-independent, exact — SURVEY §2.0 rule 1) and the cumulative
-    window runs over the tiny (cohort × offset) grid, not the event
-    stream. Cumulative sums of exact decimals cast to double are
-    bitwise-identical across engines."""
+    Same epoch-week integers as tag_retention; revenue sums in
+    DECIMAL(38,4) on both engines (order-independent, exact — SURVEY §2.0
+    rule 1) and the cumulative window runs over the tiny (cohort × offset)
+    grid, not the event stream. Cumulative sums of exact decimals cast to
+    double are bitwise-identical across engines.
+
+    Cohort assignment is a window MIN over user_id, not a groupBy +
+    self-join: the r6 form consumed the events projection twice (two
+    columnar scans — VERDICT r6 "What's wrong" #2) and shuffled it twice;
+    this form is one scan, one user_id exchange feeding the window, then
+    one aggregate onto the tiny grid."""
     e = load(spark, sf_dir).events
     w = e.select(
         "user_id",
-        (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week"),
+        F.expr(f"unix_micros(ts) div {_US_PER_WEEK}").alias("week"),
         F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(38,4)"))
         .otherwise(F.lit(0).cast("decimal(38,4)"))
         .alias("rev"),
     )
-    cohort = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    uw = Window.partitionBy("user_id")
     cell = (
-        w.join(cohort, "user_id")
+        w.withColumn("cohort_week", F.min("week").over(uw))
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(
             F.countDistinct("user_id").cast("bigint").alias("n_active"),

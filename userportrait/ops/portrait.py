@@ -412,15 +412,16 @@ def tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by their first-activity
     week (absolute epoch-week index — pure integer arithmetic, no
     calendar-dialect drift), counted distinct per (cohort, weeks-since).
-    Cohort assignment and the retention groupBy both shuffle on user_id
-    first — one reusable partitioning — and the final (cohort, offset)
-    grid is tiny at any scale."""
+    Cohort assignment is a window MIN over user_id rather than a groupBy +
+    self-join (the r6 events_ltv_cohort finding applies here identically):
+    one events scan, one user_id exchange, then one aggregate onto the
+    tiny (cohort, offset) grid."""
     e = load(spark, sf_dir).events.select(
-        "user_id", (F.unix_micros("ts") / F.lit(_US_PER_WEEK)).cast("bigint").alias("week")
+        "user_id", F.expr(f"unix_micros(ts) div {_US_PER_WEEK}").alias("week")
     )
-    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    uw = Window.partitionBy("user_id")
     return (
-        e.join(cohort, "user_id")
+        e.withColumn("cohort_week", F.min("week").over(uw))
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )

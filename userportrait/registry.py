@@ -64,71 +64,74 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r06 window (scripts/rotate_window.py over CORRECTNESS_r02..r05: 132 ops
-# green, 0 failed, 34 never graded). The 34 never-driver-graded ops lead —
-# this window completes driver certification of the 166 pre-r6 ops (the 3
-# r6 additions — join_bloom_filtered, events_path_topk, doc_ngram_novelty,
-# dedup_family_histogram, doc_ngram_novelty, events_heatmap_hour_dow,
-# events_growth_accounting, events_ltv_cohort — queue for the r07 window).
-# The 16-op filler is re-certification, chosen by value: ops MODIFIED since
-# their last green (sim_cosine_knn gets the blocked exact index this round;
-# tag_rfm/tag_rfe were de-cliffed in r5; agg_stats got decimal moments in
-# r5) first, then the oldest-evidence (r03) greens.
+# r07 window (scripts/rotate_window.py over CORRECTNESS_r02..r06: 166 ops
+# green, 0 failed ever). The never-driver-graded ops lead: the 7 r6
+# additions (join_bloom_filtered, events_path_topk, dedup_family_histogram,
+# doc_ngram_novelty, events_heatmap_hour_dow, events_growth_accounting,
+# events_ltv_cohort) plus this round's new ops (sim_knn_ivf_recall,
+# doc_span_removal) — a green row for these closes the registry at 100%
+# driver-certified. Next: ops MODIFIED since their last green (this round's
+# week-div exactness fix touches tag_retention / events_growth_accounting /
+# events_ltv_cohort; the sequential-chunk rewrite touches sim_cosine_knn /
+# sim_threshold_pairs; the session memo touches join_bloom_filtered — the
+# overlap is deliberate, they all need re-certification). The filler is
+# the oldest-evidence (r03) greens, oldest first.
 GRADE_FIRST: tuple[str, ...] = (
-    # §2.M spillover — never yet graded
-    "sessionize_events",
-    "sample_stratified",
-    "agg_unpivot",
-    "subq_correlated",
-    "join_skew_salted",
-    "dedup_cc_clusters",
-    "text_pii_redact",
-    "doc_chunking",
-    "embed_quantize",
-    "dedup_edit_distance",
-    "graph_pagerank",
-    "doc_pack_sequences",
-    "sim_knn_recall",
-    "diag_key_skew",
-    "doc_clean_pipeline",
-    # §2.N curation additions (r5) — never yet graded
-    "text_repetition",
-    "dedup_ngram_spans",
-    "doc_train_split",
-    "sim_centroid_assign",
-    "tag_activity_trend",
-    "events_dau_stickiness",
-    "doc_source_cap_sample",
-    "events_transition_matrix",
-    "tag_basket_affinity",
-    "events_anomaly_zscore",
-    "doc_length_outliers",
-    "dedup_split_leakage",
-    "tag_activity_streak",
-    "embed_dim_stats",
-    "sink_compact_small_files",
-    "agg_hll_partitioned_merge",
-    "tag_funnel_windowed",
-    "tag_refresh_delta",
-    "fn_regex",
-    # re-certification: ops modified since their last driver green
+    # never driver-graded: the 7 r6 additions
+    "join_bloom_filtered",
+    "events_path_topk",
+    "dedup_family_histogram",
+    "doc_ngram_novelty",
+    "events_heatmap_hour_dow",
+    "events_growth_accounting",
+    "events_ltv_cohort",
+    # never driver-graded: r7 additions
+    "sim_knn_ivf_recall",
+    "doc_span_removal",
+    # re-certification: ops modified this round (r7)
     "sim_cosine_knn",
-    "tag_rfm",
-    "tag_rfe",
-    "agg_stats",
-    # re-certification filler: oldest-evidence (r03) greens
-    "scan_parquet",
-    "scan_events_ns",
-    "catalog_views",
-    "filter_simple",
-    "filter_null_semantics",
-    "join_inner_equi",
-    "join_asof_latest",
-    "join_theta_range",
-    "agg_count_distinct",
-    "agg_percentile",
-    "win_topk_per_group",
-    "win_lag_lead",
+    "sim_threshold_pairs",
+    "tag_retention",
+    # re-certification filler: the 19 remaining oldest-evidence (r03) greens
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_merge_upsert",
+    "scan_corrupt_records",
+    "scan_custom_datasource",
+    "filter_compound",
+    "join_outer_full",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "join_self_graph",
+    "agg_multi_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_histogram",
+    "win_rank_family",
+    # re-certification filler: oldest r04 greens, module order
+    "sink_parquet_partitioned",
+    "sink_bucketed_join",
+    "scan_schema_evolution",
+    "scan_partition_pruning",
+    "sink_incremental_agg",
+    "scan_dpp_join",
+    "proj_select_rename",
+    "join_broadcast_dim",
+    "join_sortmerge_big",
+    "join_outer_left",
+    "join_outer_right",
+    "join_interval",
+    "agg_groupby_basic",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_collect_sorted",
+    "win_running_sum",
+    "win_trailing_time",
 )
 
 
