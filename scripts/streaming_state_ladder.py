@@ -55,14 +55,26 @@ def _query(src, which):
     )
 
 
-def run(spark, sf_dir: str, which: str) -> dict:
+def run(spark, sf_dir: str, which: str, delay_override: int | None = None) -> dict:
+    """delay_override: the harness default watermark delay is the full
+    event-time span (deterministic finite replay — nothing is ever late,
+    so nothing is evicted mid-replay and join state grows with the
+    stream). Passing a production-like delay (e.g. 3600 s) on the ORDERED
+    flush replay keeps correctness (no disorder -> no drops) while letting
+    the sentinel batch actually evict: final_state then shows the
+    bounded-by-horizon behavior a cluster would see."""
     stage_dir, delay_s = S._stage(sf_dir, "flush")
+    if delay_override is not None:
+        delay_s = delay_override
     src = S._stream_events(spark, stage_dir, delay_s)
     qname = f"ladder_{which}_{os.getpid()}_{int(time.time() * 1000) % 1_000_000}"
     t0 = time.time()
+    # noop sink: the measurement targets STATE, and a memory sink would
+    # additionally accumulate every output row on the driver (OOMs the
+    # single local JVM at 100x); output rows come from the sink progress.
     q = (
         _query(src, which)
-        .writeStream.format("memory")
+        .writeStream.format("noop")
         .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -72,16 +84,17 @@ def run(spark, sf_dir: str, which: str) -> dict:
     wall = time.time() - t0
     state_rows = state_mem = 0
     final_rows = final_mem = 0
+    out_rows = 0
     for p in q.recentProgress:
         prog = json.loads(p.json) if hasattr(p, "json") else p
+        out_rows += max(0, prog.get("sink", {}).get("numOutputRows", 0) or 0)
         for so in prog.get("stateOperators", []):
             state_rows = max(state_rows, so.get("numRowsTotal", 0) or 0)
             state_mem = max(state_mem, so.get("memoryUsedBytes", 0) or 0)
             final_rows = so.get("numRowsTotal", 0) or 0
             final_mem = so.get("memoryUsedBytes", 0) or 0
-    out_rows = spark.table(qname).count()
     return {
-        "op": which,
+        "op": which + ("" if delay_override is None else f"+wm{delay_override}s"),
         "sf_dir": sf_dir,
         "out_rows": out_rows,
         "peak_state_rows": state_rows,
@@ -97,4 +110,16 @@ if __name__ == "__main__":
     spark = get_spark("streaming-state-ladder")
     for d in dirs:
         for which in ("session", "stream_join"):
-            print(json.dumps(run(spark, d, which)))
+            print(json.dumps(run(spark, d, which)), flush=True)
+        print(json.dumps(run(spark, d, "stream_join", delay_override=3600)), flush=True)
+    # production state-store config (streaming.py module docstring): RocksDB
+    # keeps state off-heap/on-disk, so the big-state op must also hold there
+    if os.environ.get("UP_LADDER_ROCKSDB", "1") == "1":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        for d in dirs:
+            r = run(spark, d, "session")
+            r["op"] = "session+rocksdb"
+            print(json.dumps(r), flush=True)

@@ -452,3 +452,65 @@ def test_ltv_cohort_consistent_with_retention(spark):
         for r in rows:
             run += r.revenue
             assert abs(r.cum_revenue - run) < 1e-6, r
+
+
+def test_span_removal_semantics_on_fixture(spark, tmp_path):
+    """Pin the removal rules on a hand-auditable corpus: cross-doc removal
+    (doc_span_removal) cleans a later twin to the empty string and leaves
+    the first occurrence + short docs untouched; intra-doc removal
+    (doc_intra_span_removal) cuts exactly the SECOND occurrence of a
+    repeated 8-token block and ignores cross-doc duplication."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fix = tmp_path / "rm_sf"
+    fix.mkdir()
+    for name in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, name), fix / name)
+    (fix / "documents.parquet").unlink()
+    twelve = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    block = "x1 x2 x3 x4 x5 x6 x7 x8"
+    texts = ["one", "a b c d e", twelve, twelve, f"{block} {block}"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s0"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, fix / "documents.parquet")
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    cross = {r.doc_id: r for r in OPS["doc_span_removal"].fn(spark, str(fix)).collect()}
+    assert len(cross) == 5
+    assert cross[0].n_kept == 1 and cross[0].clean_md5 == md5("one")
+    assert cross[1].n_kept == 5  # under the span width -> passes verbatim
+    assert cross[2].n_kept == 12 and cross[2].clean_md5 == md5(twelve)
+    assert cross[3].n_kept == 0 and cross[3].clean_md5 == md5("")  # later twin
+    # intra-doc repetition is NOT the cross-doc op's business
+    assert cross[4].n_kept == 16
+
+    intra = {r.doc_id: r for r in OPS["doc_intra_span_removal"].fn(spark, str(fix)).collect()}
+    assert intra[2].n_kept == 12 and intra[3].n_kept == 12  # twins untouched
+    assert intra[4].n_tokens == 16 and intra[4].n_kept == 8
+    assert intra[4].clean_md5 == md5(block)
+
+
+def test_knn_tiled_matches_untiled(spark, monkeypatch):
+    """The kernel's row-tiling of the sims matmul (the per-task memory
+    bound — an untiled batch × 500k-chunk sims matrix OOM-killed python
+    workers at the 100x replica) must be output-invariant: forcing ~3-row
+    tiles must produce byte-identical results to effectively-untiled."""
+    from userportrait.ops import llm_similarity as sim
+
+    monkeypatch.setattr(sim, "KNN_TILE_ELEMS", 1500)  # ~3 rows per tile at sf0.001
+    knn_tiny = sorted(map(tuple, sim.sim_cosine_knn(spark, SF_DIR).collect()))
+    pairs_tiny = sorted(map(tuple, sim.sim_threshold_pairs(spark, SF_DIR).collect()))
+    monkeypatch.setattr(sim, "KNN_TILE_ELEMS", 1 << 40)
+    knn_one = sorted(map(tuple, sim.sim_cosine_knn(spark, SF_DIR).collect()))
+    pairs_one = sorted(map(tuple, sim.sim_threshold_pairs(spark, SF_DIR).collect()))
+    assert knn_tiny == knn_one and len(knn_one) > 0
+    assert pairs_tiny == pairs_one

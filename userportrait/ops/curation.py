@@ -1380,6 +1380,103 @@ def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "doc_intra_span_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), occ0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                    s -> {'s': s, 'span': array_to_string(t[s:s+7], ' ')})) AS o
+      FROM toks WHERE len(t) >= 8
+    ), occ AS (
+      SELECT doc_id, o.s AS s, o.span AS span FROM occ0
+    ), firsts AS (
+      SELECT doc_id, span, min(s) AS first_s FROM occ GROUP BY doc_id, span
+    ), removed AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT o.doc_id AS doc_id, unnest(generate_series(o.s, o.s + 7)) AS j
+        FROM occ o JOIN firsts f ON f.doc_id = o.doc_id AND f.span = o.span
+        WHERE o.s > f.first_s
+      )
+    ), tok0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t)),
+                    j -> {'j': j, 'tok': t[j]})) AS p
+      FROM toks WHERE len(t) >= 1
+    ), tok AS (
+      SELECT doc_id, p.j AS j, p.tok AS tok FROM tok0
+    ), kept AS (
+      SELECT k.doc_id, k.j, k.tok
+      FROM tok k LEFT JOIN removed r ON r.doc_id = k.doc_id AND r.j = k.j
+      WHERE r.j IS NULL
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_intra_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span removal (r7 addition): every 8-token
+    span occurrence whose FIRST occurrence is earlier in the SAME document
+    is cut, surviving tokens re-joined — the intra-doc half of ExactSubstr
+    dedup (boilerplate loops, chorus repetition, templated listings), where
+    doc_span_removal handles the cross-doc half. A token survives iff no
+    repeated-span occurrence covers its position.
+
+    Plan: same machinery as doc_span_removal but the first-seen map is
+    keyed (doc_id, span) — the shuffle key carries the doc id, so this is
+    embarrassingly parallel BY DOCUMENT (no cross-doc state at all; at
+    100 TB the groupBy partial-aggregates map-side and nothing global is
+    built). Emits (n_tokens, n_kept, md5(cleaned)) like its sibling."""
+    d = load(spark, sf_dir).documents
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select("doc_id", t.alias("t"))
+    occ = (
+        docs.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 7),
+                    lambda s: F.struct(
+                        s.alias("s"), F.concat_ws(" ", F.slice("t", s, 8)).alias("span")
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.s", "o.span")
+    )
+    firsts = occ.groupBy("doc_id", "span").agg(F.min("s").alias("first_s"))
+    dup_starts = (
+        occ.join(firsts, ["doc_id", "span"])
+        .where(F.col("s") > F.col("first_s"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("s")).alias("dup_starts"))
+    )
+    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    covered = lambda j: F.exists(starts, lambda s: (s <= j) & (j <= s + 7))
+    kept = F.filter(
+        F.transform("t", lambda tok, i: F.struct((i + 1).alias("j"), tok.alias("tok"))),
+        lambda p: ~covered(p.j),
+    )
+    return docs.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda p: p.tok))).alias("clean_md5"),
+    )
+
+
+@op(
     "events_heatmap_hour_dow",
     oracle="""
     SELECT (datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 3) % 7 AS dow,

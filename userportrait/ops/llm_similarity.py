@@ -71,6 +71,13 @@ _ORACLE_SIMS_CTE = """
 INDEX_CHUNK_MIN = int(os.environ.get("UP_KNN_CHUNK_MIN", "1024"))
 INDEX_CHUNK_CAP = int(os.environ.get("UP_KNN_CHUNK_CAP", "500000"))
 TARGET_CHUNKS = 8
+# Per-task transient bound: the kernel's sims matrix is (query rows ×
+# chunk rows) f64 — batch × 500k-chunk would be ~40 GB/task if computed
+# whole (observed: python workers OOM-killed at the 100× replica). Query
+# rows are independent for both emit kernels (per-row top-k / per-row
+# threshold), so the matmul runs in row tiles of <= TILE_ELEMS sims
+# elements (~128 MB at the default) — EXACT, no merge step needed.
+KNN_TILE_ELEMS = int(os.environ.get("UP_KNN_TILE_ELEMS", "16000000"))
 
 
 def _index_chunks(spark: SparkSession, sf_dir: str):
@@ -117,6 +124,9 @@ def _query_batches(bc, fn):
     import numpy as np
     import pandas as pd
 
+    # driver-side so tests can pin it; the closure ships the resolved int
+    rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(bc.value[0])))
+
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         aids, amat = bc.value
         for pdf in batches:
@@ -125,8 +135,9 @@ def _query_batches(bc, fn):
             qids = pdf["vec_id"].to_numpy(np.int64)
             qmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-            sims = qmat @ amat.T  # (batch × index)
-            yield fn(np, pd, qids, aids, sims)
+            for lo in range(0, len(qids), rows_per_tile):
+                sims = qmat[lo : lo + rows_per_tile] @ amat.T  # (tile × chunk)
+                yield fn(np, pd, qids[lo : lo + rows_per_tile], aids, sims)
 
     return gen
 

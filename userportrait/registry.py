@@ -69,7 +69,7 @@ _LOADED = False
 # additions (join_bloom_filtered, events_path_topk, dedup_family_histogram,
 # doc_ngram_novelty, events_heatmap_hour_dow, events_growth_accounting,
 # events_ltv_cohort) plus this round's new ops (sim_knn_ivf_recall,
-# doc_span_removal) — a green row for these closes the registry at 100%
+# doc_span_removal, doc_intra_span_removal) — green rows for these close the registry at 100%
 # driver-certified. Next: ops MODIFIED since their last green (this round's
 # week-div exactness fix touches tag_retention / events_growth_accounting /
 # events_ltv_cohort; the sequential-chunk rewrite touches sim_cosine_knn /
@@ -88,6 +88,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # never driver-graded: r7 additions
     "sim_knn_ivf_recall",
     "doc_span_removal",
+    "doc_intra_span_removal",
     # re-certification: ops modified this round (r7)
     "sim_cosine_knn",
     "sim_threshold_pairs",
@@ -131,7 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_cube",
     "agg_collect_sorted",
     "win_running_sum",
-    "win_trailing_time",
 )
 
 
