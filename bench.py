@@ -97,13 +97,15 @@ def main() -> int:
         "q_clean_pipeline": ops["doc_clean_pipeline"].fn,
         "q_minhash": ops["dedup_near_minhash"].fn,
     }
-    # Queries whose op body EXECUTES work at plan-declaration time (the
-    # blocked kNN pins per-chunk partials eagerly so each broadcast can be
-    # destroyed before the next chunk loads — the sequential O(chunk)
-    # lifecycle). For these, building the DataFrame outside the timed
-    # region would hide the matmul from the clock; re-declare per run so
-    # the timed number includes the real work.
-    eager = {"q_vector_knn"}
+    # Queries whose op body EXECUTES work at plan-declaration time: the
+    # blocked kNN pins per-chunk partials eagerly (so each broadcast can be
+    # destroyed before the next chunk loads), minhash pins its signature
+    # table (Catalyst would otherwise inline the 16 interpreted md5 chains
+    # into every consumer), and the clean pipeline stages its near-dup edge
+    # list to parquet. For these, building the DataFrame outside the timed
+    # region would hide that work from the clock; re-declare per run so the
+    # timed number includes it.
+    eager = {"q_vector_knn", "q_minhash", "q_clean_pipeline"}
     spark = get_spark("userportrait-bench")
     timings: dict[str, float] = {}
     for name, fn in queries.items():
