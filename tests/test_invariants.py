@@ -514,3 +514,36 @@ def test_knn_tiled_matches_untiled(spark, monkeypatch):
     pairs_one = sorted(map(tuple, sim.sim_threshold_pairs(spark, SF_DIR).collect()))
     assert knn_tiny == knn_one and len(knn_one) > 0
     assert pairs_tiny == pairs_one
+
+
+def test_knn_chunking_is_row_based_not_id_range_based(spark, tmp_path, monkeypatch):
+    """Sparse id spaces (snowflake/hash ids) must not multiply chunk
+    count: boundaries are vec_id quantiles, so ~TARGET_CHUNKS chunks come
+    back regardless of id magnitude — fixed-width id ranges would need
+    ~1e12 scan jobs on this fixture. Every vector must appear in exactly
+    one chunk, in id order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from userportrait.ops import llm_similarity as sim
+
+    fix = tmp_path / "sparse_sf"
+    fix.mkdir()
+    for name in os.listdir(SF_DIR):
+        os.symlink(os.path.join(SF_DIR, name), fix / name)
+    (fix / "embeddings.parquet").unlink()
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    t = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        [[i * 1_000_000_007 + 13 for i in ids]],
+    )
+    pq.write_table(t, fix / "embeddings.parquet")
+
+    monkeypatch.setattr(sim, "INDEX_CHUNK_MIN", 1)  # let TARGET_CHUNKS rule
+    chunks = list(sim._index_chunks(spark, str(fix)))
+    assert 1 <= len(chunks) <= sim.TARGET_CHUNKS + 1
+    seen = [i for ids_arr, _ in chunks for i in ids_arr.tolist()]
+    assert seen == sorted(i * 1_000_000_007 + 13 for i in ids)

@@ -315,8 +315,8 @@ def test_no_unaudited_driver_side_pulls():
         # (file, stripped line): why it is bounded
         ("llm_dedup.py", ').collect()[0]["c"]'):
             "scalar: corpus count for the incremental-dedup split point",
-        ("llm_similarity.py", 'lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()'):
-            "scalar: index id range for chunking",
+        ("llm_similarity.py", 'total, lo, hi = emb.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()'):
+            "scalar: index size + id range for quantile chunking",
         ("llm_similarity.py", ".toPandas()"):
             "bounded: one vec_id-range index chunk (<= chunk width rows)",
         ("pipeline_ext.py", 'cur_sum = labels.agg(F.sum("lab")).collect()[0][0]'):

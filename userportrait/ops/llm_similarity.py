@@ -55,11 +55,11 @@ _ORACLE_SIMS_CTE = """
 
 
 # Blocked-index sizing. Exact kNN is inherently O(n²) compute, but MEMORY
-# must stay O(chunk): the index is never collected or broadcast whole. Chunk
-# width = clamp(ceil(id_range / TARGET_CHUNKS), MIN, CAP):
+# must stay O(chunk): the index is never collected or broadcast whole. Rows
+# per chunk = clamp(ceil(total_rows / TARGET_CHUNKS), MIN, CAP):
 #   - TARGET_CHUNKS bounds driver round-trips (each chunk fetch is one Spark
 #     job, ~0.5 s of scheduling overhead at test scale) while the corpus is
-#     small enough that ceil(range/8) < CAP;
+#     small enough that ceil(rows/8) < CAP;
 #   - CAP is the hard per-broadcast memory bound that wins at real scale
 #     (500k rows × dim 64 f64 ≈ 256 MB per broadcast — a deploy-safe default
 #     that torrent-broadcasts cleanly; a 1e9-vector corpus then runs 2000
@@ -84,30 +84,41 @@ def _index_chunks(spark: SparkSession, sf_dir: str):
     """Yield the normalized float64 index as bounded (ids, mat) chunks,
     each sorted by vec_id.
 
-    Chunking is by vec_id RANGE, not row slicing: integer ids in
-    [start, start+width) are at most width values, so every collect is
-    bounded regardless of id density, and the range predicate pushes into
-    the parquet scan (each chunk reads only its stripe — no whole-table
-    ``toPandas`` ever happens). Driver + broadcast memory is
-    O(chunk × dim) at any instant; this removes the last
-    index-fits-in-one-broadcast assumption in the §2.K family
-    (VERDICT r5 "What's wrong" #1)."""
+    Chunk boundaries are approximate QUANTILES of vec_id, so chunk COUNT
+    scales with row count (ceil(rows / chunk_rows)) and never with id-space
+    width — a sparse 64-bit id space (snowflake ids, hash ids) yields the
+    same handful of chunks as a dense one, where fixed-width id ranges
+    would degenerate into billions of near-empty scan jobs. Each collect
+    is a vec_id range predicate that pushes into the parquet scan (each
+    chunk reads only its stripe — no whole-table ``toPandas`` ever
+    happens); rows per chunk ≈ target ± the quantile error (bounded at 5%
+    of a chunk). Driver + broadcast memory is O(chunk × dim) at any
+    instant; this removes the last index-fits-in-one-broadcast assumption
+    in the §2.K family (VERDICT r5 "What's wrong" #1)."""
     import numpy as np
 
     emb = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
-    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    total, lo, hi = emb.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()
     if lo is None:
         return
-    width = -(-(hi - lo + 1) // TARGET_CHUNKS)  # ceil
-    width = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, width))
-    start = lo
-    while start <= hi:
+    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, -(-total // TARGET_CHUNKS)))
+    n_chunks = max(1, -(-total // target))
+    if n_chunks == 1:
+        cuts: list[int] = []
+    else:
+        eps = max(1e-4, 0.05 / n_chunks)  # rank error <= 5% of one chunk
+        qs = emb.stat.approxQuantile(
+            "vec_id", [i / n_chunks for i in range(1, n_chunks)], eps
+        )
+        # dedupe + keep strictly increasing interior boundaries
+        cuts = sorted({int(q) for q in qs if lo < int(q) <= hi})
+    bounds = [lo, *cuts, hi + 1]
+    for start, end in zip(bounds, bounds[1:]):
         pdf = (
-            emb.where((F.col("vec_id") >= start) & (F.col("vec_id") < start + width))
+            emb.where((F.col("vec_id") >= start) & (F.col("vec_id") < end))
             .toPandas()
             .sort_values("vec_id", ignore_index=True)
         )
-        start += width
         if len(pdf) == 0:
             continue
         ids = pdf["vec_id"].to_numpy(np.int64)
