@@ -1017,21 +1017,22 @@ def tag_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the user's FIRST view — conversion measured inside an attribution
     window, not ever-after (tag_funnel is the unbounded form).
 
-    Same plan skeleton as tag_funnel — three same-key user_id aggregations
-    whose exchanges reuse one shuffle of events — with the window bound as
-    an extra residual predicate on the stage joins; the bound changes no
-    join key, so the 100 TB shape is identical.
+    Same plan skeleton as tag_funnel — pin()-ed per-user stage firsts
+    (v feeds THREE consumers here: the click join, the purchase join's
+    window bound, and its own count) with the window bound as an extra
+    residual predicate on the stage joins; the bound changes no join key,
+    so the 100 TB shape is identical.
     """
     e = load(spark, sf_dir).events.select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     w_us = 86_400_000_000  # 24 h in microseconds
-    v = (
+    v = pin(
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
     )
-    c = (
+    c = pin(
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where((F.col("us") > F.col("v_us")) & (F.col("us") <= F.col("v_us") + w_us))

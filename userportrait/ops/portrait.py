@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, pin
 from ..ranking import exact_ntile_scores
 from ..registry import op
 
@@ -358,16 +358,20 @@ _US_PER_WEEK = 7 * 86_400 * 1_000_000
 def tag_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: each stage's
     timestamp must follow the previous stage's FIRST occurrence (the
-    classic strictly-ordered funnel, not mere event presence). Three
-    same-key aggregations on user_id — the exchanges are reused, so at
-    scale this is one shuffle of the events table, and the final counts
-    are three scalar aggregates."""
+    classic strictly-ordered funnel, not mere event presence). Each
+    stage's per-user firsts table feeds TWO consumers (the next stage's
+    join and its own count), so the stages are pin()-ed — without the
+    barrier the whole chain re-evaluates per consumer (6 events scans /
+    11 exchanges observed; 3 filter-pushed scans after). The pinned
+    tables are one row per surviving user, shrinking stage over stage."""
     e = (
         load(spark, sf_dir)
         .events.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
     )
-    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("v_us"))
-    c = (
+    v = pin(
+        e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("v_us"))
+    )
+    c = pin(
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("us") > F.col("v_us"))

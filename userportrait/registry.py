@@ -93,6 +93,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "sim_cosine_knn",
     "sim_threshold_pairs",
     "tag_retention",
+    "tag_funnel",
+    "tag_funnel_windowed",
     # re-certification filler: the 19 remaining oldest-evidence (r03) greens
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
@@ -130,8 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_filter_clause",
     "agg_grouping_sets",
     "agg_cube",
-    "agg_collect_sorted",
-    "win_running_sum",
 )
 
 
