@@ -358,6 +358,7 @@ def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
             "events_growth_accounting",  # curation: pinned (user, week) seq
             "tag_funnel_windowed",  # curation: pinned per-user stage firsts (r7)
             "dedup_near_minhash",  # llm_dedup: pinned signature table (r7)
+            "sim_cosine_knn",  # llm_similarity: pinned per-chunk partials (r7)
         ):
             res = compare_op(spark, duck, name, SF_DIR)
             assert res["status"] == "PASS", res
@@ -499,6 +500,17 @@ def test_span_removal_semantics_on_fixture(spark, tmp_path):
     assert intra[2].n_kept == 12 and intra[3].n_kept == 12  # twins untouched
     assert intra[4].n_tokens == 16 and intra[4].n_kept == 8
     assert intra[4].clean_md5 == md5(block)
+
+    # The shipped test corpus has NO intra-doc 8-token repeats (the op is a
+    # pass-through there), so the standard differential never exercises the
+    # removal branch cross-engine — run the DuckDB oracle on THIS fixture,
+    # where both the cross-doc and intra-doc branches fire.
+    from userportrait.testing.check import compare_op, duckdb_connection
+
+    fix_duck = duckdb_connection(str(fix))
+    for name in ("doc_span_removal", "doc_intra_span_removal"):
+        res = compare_op(spark, fix_duck, name, str(fix))
+        assert res["status"] == "PASS", res
 
 
 def test_knn_tiled_matches_untiled(spark, monkeypatch):

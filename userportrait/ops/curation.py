@@ -1381,6 +1381,73 @@ def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "doc_mixture_weights",
+    oracle="""
+    WITH stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT stats.*, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
+      FROM stats
+    ), tot AS (
+      SELECT CAST(sum(r) AS DOUBLE) AS tot_r FROM ranked
+    ), p AS (
+      SELECT ranked.*, r / tot.tot_r AS tf FROM ranked CROSS JOIN tot
+    ), nmin AS (
+      SELECT min(n_tokens / tf) AS n_total FROM p
+    )
+    SELECT source, n_docs, n_tokens,
+           round(tf, 6) AS target_frac,
+           round(tf * nmin.n_total / n_tokens, 6) AS sample_weight,
+           CAST(floor(tf * nmin.n_total) AS BIGINT) AS take_tokens
+    FROM p CROSS JOIN nmin
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling weights (r7 addition): given a target
+    token mixture over sources, compute each source's sampling weight for
+    the LARGEST corpus that achieves the target proportions by
+    downsampling only — N_total = min_i(tokens_i / p_i), take_i = p_i ×
+    N_total, weight_i = take_i / tokens_i (the binding source gets weight
+    1). This is the mixing step every pretraining pipeline runs before
+    doc_source_cap_sample-style selection; the weights feed a
+    deterministic hash sampler exactly like doc_train_split's buckets.
+
+    Target proportions here derive from each source's alphabetical rank
+    (p_i = rank / Σranks) so the fixture is engine-independent without an
+    inline config table; a deployment passes real mixture weights. Plan:
+    one map-side-combinable groupBy over documents (pinned — its 20-row
+    output feeds the ranking, two scalar aggregates, and the final
+    projection), then everything downstream runs on #sources rows — the
+    global row_number window is over that tiny frame, not data."""
+    d = load(spark, sf_dir).documents
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    stats = pin(
+        d.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
+        )
+    )
+    ranked = stats.withColumn(
+        "r", F.row_number().over(Window.orderBy("source")).cast("bigint")
+    )
+    tot = ranked.agg(F.sum("r").cast("double").alias("tot_r"))
+    p = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "tf", F.col("r").cast("double") / F.col("tot_r")
+    )
+    nmin = p.agg(F.min(F.col("n_tokens") / F.col("tf")).alias("n_total"))
+    return p.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("tf", 6).alias("target_frac"),
+        F.round(F.col("tf") * F.col("n_total") / F.col("n_tokens"), 6).alias("sample_weight"),
+        F.floor(F.col("tf") * F.col("n_total")).cast("bigint").alias("take_tokens"),
+    )
+
+
+@op(
     "doc_intra_span_removal",
     oracle="""
     WITH toks AS (

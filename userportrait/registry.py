@@ -89,6 +89,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "sim_knn_ivf_recall",
     "doc_span_removal",
     "doc_intra_span_removal",
+    "doc_mixture_weights",
     # re-certification: ops modified this round (r7)
     "sim_cosine_knn",
     "sim_threshold_pairs",
@@ -131,7 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_groupby_basic",
     "agg_filter_clause",
     "agg_grouping_sets",
-    "agg_cube",
 )
 
 
