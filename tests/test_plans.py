@@ -404,3 +404,45 @@ def test_coverage_ledger_in_sync():
         text=True,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
+    """Mechanizes the r7 SinglePartition audit: a no-partition window or
+    global aggregate plans as Exchange SinglePartition — every row through
+    one task, the classic 100 TB cliff (it hid a real one in
+    sort_multikey_nulls's global row_number until this round). Every op
+    whose plan contains one must be on this allowlist with a reason; the
+    allowed cases are 1-row scalar aggregates or <=n_parts metadata
+    frames, never data."""
+    allowed = {
+        # op: why its SinglePartition is bounded
+        "join_bloom_filtered": "bloom_filter_agg build (one filter value)",
+        "events_growth_accounting": "global max-week scalar (1 row)",
+        "doc_mixture_weights": "tot/nmin scalar aggregates over #sources rows",
+        "tag_funnel": "three stage-count scalar aggregates (1 row each)",
+        "tag_funnel_windowed": "three stage-count scalar aggregates",
+        "scan_partition_pruning": "count+sum scalar aggregate (1 row)",
+        "win_rank_distributed": "prefix-sum over <=32-row partition-count metadata",
+        "sort_multikey_nulls": "prefix-sum over <=32-row partition-count metadata (global_row_number)",
+        "tag_lookalike": "seed-centroid scalar aggregate",
+        "text_tfidf": "total-docs scalar for IDF",
+        "doc_pack_sequences": "running-total scalar over pack metadata",
+        "diag_key_skew": "total/mean scalar aggregate (1 row)",
+        "tag_activity_trend": "global week-anchor scalar",
+        "doc_source_cap_sample": "per-source cap scalar aggregate",
+        "tag_basket_affinity": "basket-universe scalar aggregate",
+        "doc_length_outliers": "corpus mean/stddev scalar aggregate (1 row)",
+        "agg_hll_partitioned_merge": "final sketch merge (one merged sketch row)",
+    }
+    offenders = {}
+    for name in OPS:
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(spark, name)
+        n = sum(1 for l in plan.splitlines() if "Exchange SinglePartition" in l)
+        if n and name not in allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"unaudited Exchange SinglePartition in: {offenders} — "
+        "justify in the allowlist only if it is a scalar/metadata frame"
+    )

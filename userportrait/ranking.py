@@ -101,3 +101,54 @@ def exact_ntile_scores(
         return work.drop(*helper)
     finally:
         cached.unpersist(blocking=False)
+
+
+def global_row_number(
+    df: DataFrame, sort_exprs: list[Column], key_col: str, n_parts: int = 32
+) -> DataFrame:
+    """``df`` + a ``rn`` column = exact global ``row_number() OVER (ORDER BY
+    sort_exprs)`` with NO ``Exchange SinglePartition`` — the reusable form
+    of win_rank_distributed's decomposition (windows.py), for any frame
+    with a unique ``key_col``:
+
+      1. range-repartition + sortWithinPartitions on the full sort key
+         (ties split consistently by the unique tie-break inside
+         sort_exprs),
+      2. pin() the partitioned frame (RangePartitioner samples
+         nondeterministically; both consumers must read ONE materialized
+         partitioning),
+      3. per-partition counts -> prefix-sum offsets over the n_parts-row
+         metadata frame (the only SinglePartition-ish step, bounded by
+         partition count, never data),
+      4. a mapInPandas running counter over (key, pid) ONLY — non-key
+         columns never round-trip through Arrow, because pandas folds NaN
+         and NULL together for float columns — then offset + local
+         position joins back to ``df`` on the unique key.
+    """
+    from .catalog import pin
+
+    key_type = dict(df.dtypes)[key_col]
+    parted = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(*sort_exprs)
+    with_pid = pin(parted.select(key_col).withColumn("pid", F.spark_partition_id()))
+    counts = with_pid.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+
+    def local_rank(batches):
+        pos = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["local_rank"] = range(pos + 1, pos + n + 1)
+            pos += n
+            yield pdf
+
+    ranked = with_pid.mapInPandas(
+        local_rank, f"{key_col} {key_type}, pid int, local_rank bigint"
+    )
+    rn = ranked.join(F.broadcast(offsets), "pid").select(
+        key_col, (F.col("offset") + F.col("local_rank")).cast("bigint").alias("rn")
+    )
+    return df.join(rn, key_col)

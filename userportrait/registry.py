@@ -96,6 +96,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_retention",
     "tag_funnel",
     "tag_funnel_windowed",
+    "sort_multikey_nulls",
     # re-certification filler: the 19 remaining oldest-evidence (r03) greens
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
@@ -131,7 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "join_interval",
     "agg_groupby_basic",
     "agg_filter_clause",
-    "agg_grouping_sets",
 )
 
 
