@@ -237,9 +237,11 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    # no broadcast hint: sizes is one row per DOCUMENT — corpus-sized, not
+    # a dim. AQE still broadcasts it when the actual build side is small.
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

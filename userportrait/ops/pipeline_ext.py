@@ -305,8 +305,10 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_labels = labels.union(singletons)
     sizes = all_labels.groupBy("lab").agg(F.count("*").cast("bigint").alias("cluster_size"))
+    # no broadcast hint: one row per cluster label, and most clusters are
+    # singletons — sizes is corpus-sized on a clean corpus. AQE decides.
     return (
-        all_labels.join(F.broadcast(sizes), "lab")
+        all_labels.join(sizes, "lab")
         .select("doc_id", F.col("lab").cast("bigint").alias("cluster_id"), "cluster_size")
     )
 
@@ -807,4 +809,6 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_ids = neardup.join(
         survivors.select(F.col("doc_id").alias("doc_a")), "doc_a"
     ).select(F.col("doc_b").alias("doc_id")).distinct()
-    return survivors.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    # no broadcast hint: the drop list scales with the corpus duplicate
+    # RATE (30-50% of a raw crawl), not a bounded dim. AQE decides.
+    return survivors.join(drop_ids, "doc_id", "left_anti")

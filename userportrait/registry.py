@@ -97,6 +97,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_funnel",
     "tag_funnel_windowed",
     "sort_multikey_nulls",
+    "dedup_jaccard_verify",
+    "dedup_cc_clusters",
+    "doc_clean_pipeline",
     # re-certification filler: the 19 remaining oldest-evidence (r03) greens
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
@@ -129,9 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "join_sortmerge_big",
     "join_outer_left",
     "join_outer_right",
-    "join_interval",
-    "agg_groupby_basic",
-    "agg_filter_clause",
 )
 
 
