@@ -561,3 +561,20 @@ def test_knn_chunking_is_row_based_not_id_range_based(spark, tmp_path, monkeypat
     assert 1 <= len(chunks) <= sim.TARGET_CHUNKS + 1
     seen = [i for ids_arr, _ in chunks for i in ids_arr.tolist()]
     assert seen == sorted(i * 1_000_000_007 + 13 for i in ids)
+
+
+def test_mixture_weights_are_feasible_and_binding(spark):
+    """doc_mixture_weights must describe a FEASIBLE downsampling plan:
+    every weight in (0, 1], take_tokens never exceeds the source's actual
+    tokens, at least one source is binding (weight ~1 — it limits the
+    achievable corpus), and the taken tokens are proportional to the
+    target mixture (within the floor rounding)."""
+    rows = OPS["doc_mixture_weights"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    total_take = sum(r.take_tokens for r in rows)
+    for r in rows:
+        assert 0 < r.sample_weight <= 1.0 + 1e-9, r
+        assert r.take_tokens <= r.n_tokens, r
+        # proportionality: take_i / total_take ~ target_frac (floor slack)
+        assert abs(r.take_tokens / total_take - r.target_frac) < 1e-3, r
+    assert max(r.sample_weight for r in rows) > 0.999999
