@@ -446,3 +446,101 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         f"unaudited Exchange SinglePartition in: {offenders} — "
         "justify in the allowlist only if it is a scalar/metadata frame"
     )
+
+
+def test_no_unaudited_broadcast_hints():
+    """Mechanizes the r7/r8 broadcast-hint audit (VERDICT r7 item 4): a
+    hard ``F.broadcast`` hint overrides AQE's size check, so every hint in
+    operator source must name a build side that is BOUNDED by construction
+    — a fixed dim table, a scalar/metadata aggregate, or a constant-k
+    frame. Data-derived frames that merely *tend* small (exclusion lists,
+    vocabularies, eval n-gram sets — all de-hinted in r8) must carry no
+    hint and let AQE decide at measured size. A new hint fails here until
+    consciously allowlisted with its boundedness argument."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "userportrait"
+    allowed = {
+        # (file, stripped line): why the build side is bounded
+        ("aggregates.py", 'F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")'):
+            "region dim (5 rows at any SF)",
+        ("aggregates.py", 'joined = t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")).join('):
+            "nation dim (25 rows at any SF)",
+        ("curation.py", ".crossJoin(F.broadcast(n))"):
+            "1-row scalar aggregate (basket-universe count)",
+        ("curation.py", '.join(F.broadcast(single.withColumnRenamed("brand", "brand_b")'):
+            "brand marginals (<= 25-brand universe)",
+        ("curation.py", '.join(F.broadcast(t.part.select("p_partkey", "p_brand")),'):
+            "part dim 2-col projection (standard star-join build side)",
+        ("curation.py", "d.crossJoin(F.broadcast(q))"):
+            "1-row quantile-scalar frame (length outlier bounds)",
+        ("curation.py", 'daily.join(F.broadcast(m), "event_type")'):
+            "per-event-type moments (<= #event_types rows)",
+        ("curation.py", "e.crossJoin(F.broadcast(anchor))"):
+            "1-row global week-anchor scalar",
+        ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):
+            "brand marginals (<= 25-brand universe)",
+        ("curation.py", "ranked.crossJoin(F.broadcast(cap_df))"):
+            "per-source caps (<= #sources rows)",
+        ("curation.py", "seq.crossJoin(F.broadcast(mx))"):
+            "1-row scalar (max sequence id)",
+        ("curation.py", 'x.join(F.broadcast(cm), "pos")'):
+            "per-dimension centroid stats (dim rows)",
+        ("curation.py", "p = ranked.crossJoin(F.broadcast(tot)).withColumn("):
+            "1-row scalar (corpus token total)",
+        ("curation.py", "return p.crossJoin(F.broadcast(nmin)).select("):
+            "1-row scalar (min source weight)",
+        ("flagship.py", "F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey"):
+            "nation dim",
+        ("flagship.py", ').join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))'):
+            "region dim",
+        ("joins.py", '.join(F.broadcast(t.region), F.col("a.n_regionkey") == F.col("r_regionkey"))'):
+            "region dim",
+        ("joins.py", "F.broadcast(q)"):
+            "distinct calendar quarters (bounded by the date range)",
+        ("joins.py", "t.lineitem.join(F.broadcast(dim), t.lineitem.l_partkey == dim.p_partkey)"):
+            "filtered part-dim slice (standard star-join build side)",
+        ("llm_similarity.py", 'elems.join(F.broadcast(weights), "d")'):
+            "constant nproj x 64 hyperplane table (built from literals)",
+        ("llm_similarity.py", "vc = vn.crossJoin(F.broadcast(cent)).select("):
+            "k x dim centroid frame (cells are a fixed small k)",
+        ("llm_text.py", ".crossJoin(F.broadcast(n))"):
+            "1-row scalar (total docs for IDF)",
+        ("llm_text.py", 'scores = doc_tg.join(F.broadcast(profile), "tg").groupBy("doc_id", "cand_lang").agg('):
+            "top-20 trigrams per language (20 x #langs rows)",
+        ("pipeline_ext.py", "counts.crossJoin(F.broadcast(tot))"):
+            "1-row scalar (total/mean event counts)",
+        ("pipeline_ext.py", "return r.join(F.broadcast(nat), r.n == nat.n_nationkey).select("):
+            "nation dim",
+        ("portrait.py", 'F.broadcast(t.region.where(F.col("r_name") == "ASIA")),'):
+            "filtered region dim (1 row)",
+        ("portrait.py", ".crossJoin(F.broadcast(cen))"):
+            "1-row seed-centroid scalar",
+        ("portrait.py", "t.customer.join(F.broadcast(rules), t.customer.c_mktsegment == rules.seg)"):
+            "constant inline rule frame",
+        ("portrait.py", "t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)"):
+            "nation dim",
+        ("ranking.py", 'rn = ranked.join(F.broadcast(offsets), "pid").select('):
+            "<= n_partitions-row offset metadata",
+        ("streaming.py", "t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)"):
+            "nation dim",
+        ("streaming.py", "joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey)"):
+            "stream-static dim side (must be resident per microbatch)",
+        ("windows.py", 'ranked_local.join(F.broadcast(offsets), "pid")'):
+            "<= n_partitions-row offset metadata",
+    }
+    found = set()
+    for py in root.rglob("*.py"):
+        if py.parent.name == "testing":
+            continue
+        in_doc = False
+        for line in py.read_text().splitlines():
+            ls = line.strip()
+            if ls.count('"""') % 2 == 1:
+                in_doc = not in_doc
+            if in_doc or ls.startswith("#"):
+                continue
+            if "F.broadcast(" in ls:
+                found.add((py.name, ls))
+    unaudited = found - set(allowed)
+    assert not unaudited, f"unaudited broadcast hints: {sorted(unaudited)}"

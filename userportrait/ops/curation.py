@@ -1017,20 +1017,33 @@ def tag_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the user's FIRST view — conversion measured inside an attribution
     window, not ever-after (tag_funnel is the unbounded form).
 
-    Same plan skeleton as tag_funnel — pin()-ed per-user stage firsts
-    (v feeds THREE consumers here: the click join, the purchase join's
-    window bound, and its own count) with the window bound as an extra
-    residual predicate on the stage joins; the bound changes no join key,
-    so the 100 TB shape is identical.
+    Same plan skeleton as tag_funnel, with two scale refinements (VERDICT
+    r7 item 5 — the unrefined form was the worst 100x ladder row at 11.1x
+    because it pinned first-view rows for EVERY viewing user before later
+    stages filtered):
+      - the stage-1 count is a plain count-distinct aggregate over view
+        events — nothing to materialize for users who never advance;
+      - the pinned per-user first-view frame (which feeds the click join
+        and the purchase join's window bound) is PRE-FILTERED by a semi
+        join to users with at least one click, so the materialization
+        shrinks with the conversion rate instead of the audience size.
+    Every user reaching stage 2 or 3 must have clicked, so the semi join
+    drops no one the later stages can use; the window bound changes no
+    join key, so the 100 TB shape is otherwise identical to tag_funnel.
     """
     e = load(spark, sf_dir).events.select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     w_us = 86_400_000_000  # 24 h in microseconds
+    n_view = e.where(F.col("event_type") == "view").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    clickers = e.where(F.col("event_type") == "click").select("user_id")
     v = pin(
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .join(clickers, "user_id", "left_semi")
     )
     c = pin(
         e.where(F.col("event_type") == "click")
@@ -1048,9 +1061,7 @@ def tag_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("us").alias("p_us"))
     )
     rows = [
-        v.agg(F.count("*").cast("bigint").alias("n_users")).select(
-            F.lit("view").alias("stage"), "n_users"
-        ),
+        n_view.select(F.lit("view").alias("stage"), "n_users"),
         c.agg(F.count("*").cast("bigint").alias("n_users")).select(
             F.lit("view>click_24h").alias("stage"), "n_users"
         ),

@@ -299,7 +299,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, banded 4×16 bits for LSH candidates, exact Hamming ≤ 6.
 
     Plan shape (the 100 TB concern): per-token sign vectors are computed
-    ONCE for the (small) vocabulary and broadcast-joined to the tf table;
+    ONCE per vocabulary entry and hash-joined to the tf table (AQE
+    broadcasts the vocabulary while it is small);
     the 64 bit-sums are 64 aggregate columns over the tf rows — map-side
     combine, no ×64 row fan-out, no shuffle wider than #docs rows.
     Candidates come from (band, value) bucket joins, never n²; Hamming on
@@ -316,7 +317,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 2 * ((instr('0123456789abcdef', substring(md5(concat('x', token)), i - 32, 1)) - 1) % 2) - 1 END)"
     )
     tokbits = tf.select("token").distinct().select("token", signs.alias("signs"))
-    joined = tf.join(F.broadcast(tokbits), "token").select("doc_id", "w", "signs")
+    # tokbits is the corpus VOCABULARY — data-derived and heavy-tailed (a
+    # web-scale corpus's token set can be billions of rows), so no hard
+    # broadcast hint: AQE broadcasts it while it measures small and
+    # degrades to a shuffled hash join on the token key when it doesn't.
+    joined = tf.join(tokbits, "token").select("doc_id", "w", "signs")
     wide = joined.groupBy("doc_id").agg(
         *[
             F.sum(F.col("w") * F.element_at("signs", i + 1)).alias(f"s{i}")

@@ -106,7 +106,14 @@ def _index_chunks(spark: SparkSession, sf_dir: str):
     if n_chunks == 1:
         cuts: list[int] = []
     else:
-        eps = max(1e-4, 0.05 / n_chunks)  # rank error <= 5% of one chunk
+        # rank error <= 5% of one chunk up to ~500 chunks; past that the
+        # 1e-4 floor (which caps approxQuantile's GK-sketch cost) takes
+        # over and the per-chunk size error grows toward eps*total rows —
+        # at the 2000-chunk/1e9-vector extreme that is ~20% of a chunk, so
+        # the effective per-broadcast bound is CAP*1.2, not CAP. Size CAP
+        # with that headroom (the 256 MB default leaves it) or lower the
+        # floor on clusters where a costlier quantile pass is acceptable.
+        eps = max(1e-4, 0.05 / n_chunks)
         qs = emb.stat.approxQuantile(
             "vec_id", [i / n_chunks for i in range(1, n_chunks)], eps
         )

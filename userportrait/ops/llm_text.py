@@ -460,9 +460,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     any {CONTAM_NGRAM}-gram with the held-out eval set (doc_id < 20 plays
     the benchmark), reporting how many distinct eval n-grams each
     contaminated doc contains — the decontamination pass every serious
-    pretraining pipeline runs. The eval n-gram set is tiny and BROADCAST;
-    the corpus side streams its n-grams through a broadcast hash join, so
-    cost is one narrow pass over the corpus regardless of its size."""
+    pretraining pipeline runs. The eval n-gram set is bounded by the eval
+    SUITE size, not the corpus — but it is still data-derived (a long eval
+    doc fans out to thousands of grams), so no hard broadcast hint: AQE
+    broadcasts it at its measured size, and the corpus side streams its
+    n-grams through that join in one narrow pass either way."""
     d = load(spark, sf_dir).documents
     grams = d.repartition(64, "doc_id").select(
         "doc_id",
@@ -476,7 +478,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = grams.where(F.col("doc_id") < N_EVAL_DOCS).select("g").distinct()
     return (
         grams.where(F.col("doc_id") >= N_EVAL_DOCS)
-        .join(F.broadcast(eval_grams), "g")
+        .join(eval_grams, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").cast("bigint").alias("n_shared_grams"))
     )

@@ -508,7 +508,10 @@ def tag_crowd_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra over tag outputs. Crowd = (monetary quintile ≥ 4) ∩ (ASIA
     customers) ∖ (users with ≥3 error events), composed as semi/anti joins
     over the RFM tag frame. Dim joins broadcast; the error-user exclusion
-    is a broadcast anti join (the exclusion list is tiny at any scale)."""
+    list is DATA-DERIVED (it scales with how noisy the corpus is), so it
+    carries no hard broadcast hint — AQE broadcasts it when the measured
+    build side is small and falls back to a shuffled anti join when it
+    isn't."""
     t = load(spark, sf_dir)
     rfm = rfm_scored(spark, sf_dir).where(F.col("m_score") >= 4)
     asia = (
@@ -528,7 +531,7 @@ def tag_crowd_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rfm.join(asia, "c_custkey")
-        .join(F.broadcast(noisy), rfm.c_custkey == noisy.user_id, "left_anti")
+        .join(noisy, rfm.c_custkey == noisy.user_id, "left_anti")
         .select("c_custkey", "m_score", "monetary", "n_name")
     )
 
