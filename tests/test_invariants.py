@@ -578,3 +578,54 @@ def test_mixture_weights_are_feasible_and_binding(spark):
         # proportionality: take_i / total_take ~ target_frac (floor slack)
         assert abs(r.take_tokens / total_take - r.target_frac) < 1e-3, r
     assert max(r.sample_weight for r in rows) > 0.999999
+
+
+def test_ivf_kmeans_recall_and_determinism(spark):
+    """sim_knn_ivf_kmeans (ROWS-only: seeded-KMeans quantizer) invariants:
+    (a) run-stable under its fixed seed + center relabeling, (b) exactly 5
+    neighbors per query vector with sims in [-1, 1], (c) recall@5 against
+    the exact blocked kNN clears the same kind of quality floor the LSH /
+    label-IVF paths carry — nprobe=2 of k=8 cells on the mostly
+    unclustered fixture embeddings measures ~0.55, so 0.45 is the
+    regression gate (a broken quantizer or mis-probed cells lands far
+    below it)."""
+    from userportrait.ops.pipeline_ext import _recall_histogram
+
+    a = sorted(map(tuple, OPS["sim_knn_ivf_kmeans"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["sim_knn_ivf_kmeans"].fn(spark, SF_DIR).collect()))
+    assert a == b, "seeded kmeans-IVF must be run-stable"
+    from collections import Counter
+
+    per_query = Counter(r[0] for r in a)
+    assert set(per_query.values()) == {5}, "every query emits exactly 5 neighbors"
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+
+    hist = _recall_histogram(
+        OPS["sim_cosine_knn"].fn(spark, SF_DIR), OPS["sim_knn_ivf_kmeans"].fn(spark, SF_DIR)
+    ).collect()
+    tot = sum(r.n_vecs for r in hist)
+    hits = sum(r.n_hits * r.n_vecs for r in hist)
+    recall = hits / (5.0 * tot)
+    assert recall >= 0.45, f"kmeans-IVF recall@5 regressed: {recall:.4f}"
+
+
+def test_jaccard_capped_is_subset_and_preserves_min_id_survivorship(spark):
+    """dedup_jaccard_verify_capped invariants against the uncapped op:
+    (a) capped output ⊆ uncapped output (the cap only drops pairs, never
+    invents or rescores them), (b) per-doc_b fan-out is bounded by K, and
+    (c) min-id survivorship is preserved — every doc_b that has ANY
+    verified smaller-id partner in the uncapped result still has one in
+    the capped result (the property the documented variant exists for)."""
+    from userportrait.ops.llm_dedup import JACCARD_CAP_K
+
+    full = {(r.doc_a, r.doc_b): r.jaccard for r in OPS["dedup_jaccard_verify"].fn(spark, SF_DIR).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in OPS["dedup_jaccard_verify_capped"].fn(spark, SF_DIR).collect()}
+    assert set(capped) <= set(full)
+    assert all(capped[k] == full[k] for k in capped)
+    from collections import Counter
+
+    fan = Counter(b for (_, b) in capped)
+    assert all(n <= JACCARD_CAP_K for n in fan.values())
+    dominated_full = {b for (_, b) in full}
+    dominated_capped = {b for (_, b) in capped}
+    assert dominated_full == dominated_capped

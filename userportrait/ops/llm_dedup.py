@@ -219,9 +219,22 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), keeping pairs ≥ 0.5 — the 100 TB shape for n-gram-Jaccard dedup:
     the exact set intersection runs only on LSH-surfaced candidates,
     never all n² pairs. Shingle sets are explode+``.distinct()`` (shuffle
-    dedup), not O(k²) ``array_distinct``."""
+    dedup), not O(k²) ``array_distinct``.
+
+    CONTRACT CAVEAT at extreme duplication: output (and intersection
+    work) is quadratic in near-dup FAMILY size — a million-copy family
+    emits ~10¹² pairs no engine should materialize. When only min-id
+    survivorship is needed downstream, use ``dedup_jaccard_verify_capped``
+    (bounded per-doc verification fan-out) instead."""
     d = load(spark, sf_dir).documents
-    cand = minhash_candidates(d, with_sigs=False)
+    return _jaccard_on_candidates(d, minhash_candidates(d, with_sigs=False))
+
+
+def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact 5-gram-shingle Jaccard for each candidate (doc_a, doc_b) pair,
+    keeping pairs ≥ JACCARD_MIN. Shingle sets are explode+``.distinct()``
+    (shuffle dedup, not O(k²) ``array_distinct``); the intersection is a
+    shingle-keyed join restricted to candidate pairs."""
     sh = (
         d.repartition(64, "doc_id")
         .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
@@ -245,6 +258,68 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+JACCARD_CAP_K = 4  # verify each doc only against its K lowest-id candidates
+
+
+@op(
+    "dedup_jaccard_verify_capped",
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    , capped AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+        FROM cand
+      ) WHERE rn <= {JACCARD_CAP_K}
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL_DUCK}) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM capped c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {JACCARD_MIN}
+    """,
+)
+def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard verification with a per-document candidate CAP (VERDICT r7
+    item 7): each doc_b is verified only against its {JACCARD_CAP_K}
+    lowest-id band candidates, so per-doc verification fan-out — and the
+    output — is bounded at K rows per document regardless of near-dup
+    family size. The uncapped contract (dedup_jaccard_verify) is quadratic
+    in family size: a pathological million-copy family emits ~10¹² pairs.
+
+    Sufficient for min-id survivorship: a duplicated document's lowest-id
+    candidates include the family minimum (identical text ⇒ identical
+    signatures ⇒ the same band keys), so "has a verified pair with a
+    smaller id" is preserved; K > 1 hedges near-identical families where
+    the lowest-id candidate might fail exact verification while another
+    passes. The cap is a doc_b-keyed window top-K (distributed partials,
+    no global sort), applied BEFORE the shingle joins so the expensive
+    exact intersection only ever sees ≤ K·n pairs."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir).documents
+    cand = minhash_candidates(d, with_sigs=False)
+    w = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
+    capped = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= JACCARD_CAP_K)
+        .select("doc_a", "doc_b")
+    )
+    return _jaccard_on_candidates(d, capped)
 
 
 # ---------------------------------------------------------------------------

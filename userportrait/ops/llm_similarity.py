@@ -650,45 +650,18 @@ _ORACLE_IVF = """
 """
 
 
-@op("sim_knn_ivf", oracle=_ORACLE_IVF)
-def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 cosine neighbors via an IVF layout: coarse
-    centroids are the (decimal-exact, deterministic) per-label mean
-    vectors, every vector is assigned to its nearest cell, and each query
-    probes its 2 nearest cells — exact cosine rescoring within the probed
-    cells only. Complements sim_knn_lsh: IVF for clustered corpora, LSH
-    for unstructured ones; both oracle-EXACT because the quantizer itself
-    is deterministic.
-
-    Scale: candidates per query ≈ nprobe × (n/cells); centroids stay tiny
-    (cells × dim) → broadcast; the cell join is a hash join on cell id.
-    At 100 TB the cells come from a seeded KMeans instead of labels and
-    each cell's members are co-partitioned by cell id — the plan is
-    unchanged."""
+def _ivf_probe_rescore(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """The IVF search plan, shared by both quantizers (label means /
+    seeded KMeans): assign every vector to its nearest cell, probe each
+    query's ``_IVF_NPROBE`` nearest cells, exact cosine rescoring within
+    the probed cells only, top-5 per query. ``cent`` is a
+    (cell, c: array<double>, cnrm) frame — tiny (cells × dim) by
+    construction, so the vector-to-centroid scoring is a broadcast cross
+    join; the candidate join is a hash join on the cell id."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
-        "label", "pos", F.col("val").cast("double").alias("val")
-    )
-    cent = (
-        exploded.groupBy("label", "pos")
-        .agg(
-            (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
-            .cast("double")
-            .alias("mean_val")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p.mean_val).alias("c"),
-        )
-        .withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
-    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vn = e.select("vec_id", v.alias("v")).withColumn(
         "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
@@ -730,3 +703,91 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+@op("sim_knn_ivf", oracle=_ORACLE_IVF)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via an IVF layout: coarse
+    centroids are the (decimal-exact, deterministic) per-label mean
+    vectors, every vector is assigned to its nearest cell, and each query
+    probes its 2 nearest cells — exact cosine rescoring within the probed
+    cells only. Complements sim_knn_lsh: IVF for clustered corpora, LSH
+    for unstructured ones; both oracle-EXACT because the quantizer itself
+    is deterministic. ``sim_knn_ivf_kmeans`` is the same search plan with
+    TRAINED (seeded-KMeans) cells — the 100 TB deployment form.
+
+    Scale: candidates per query ≈ nprobe × (n/cells); centroids stay tiny
+    (cells × dim) → broadcast; the cell join is a hash join on cell id."""
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.mean_val).alias("c"),
+        )
+        .withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+    )
+    return _ivf_probe_rescore(e, cent)
+
+
+IVF_KMEANS_K = 8
+IVF_KMEANS_SEED = 20260814
+
+
+@op("sim_knn_ivf_kmeans", oracle=None)
+def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN with TRAINED coarse cells (VERDICT r7 item 6): the
+    quantizer is a seeded KMeans (k-means||) fit on the L2-NORMALIZED
+    embeddings — Euclidean-nearest on unit vectors is cosine-nearest, so
+    the trained cells partition the sphere the way the cosine search
+    probes it. Search is plan-identical to sim_knn_ivf
+    (``_ivf_probe_rescore``): assign to nearest cell, probe the 2 nearest
+    cells per query, exact cosine rescoring, top-5.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5): KMeans internals aren't
+    SQL-expressible; determinism within Spark is enforced by the fixed
+    seed/initMode, and quality by the recall@5 invariant test
+    (tests/test_invariants.py) against the exact blocked kNN — the same
+    gate the LSH and label-IVF paths carry.
+
+    Scale: the fit touches one row per vector (and would subsample in a
+    real deploy — KMeans quality needs ~k·1000 points, not the corpus);
+    centroids are k × dim driver literals → broadcast; everything after
+    the fit is the shared IVF plan, so the 100 TB story is sim_knn_ivf's."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    unit = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    )
+    feats = unit.select("vec_id", array_to_vector("u").alias("features"))
+    model = KMeans(
+        k=IVF_KMEANS_K, seed=IVF_KMEANS_SEED, initMode="k-means||", maxIter=20
+    ).fit(feats)
+    # Centers relabeled by (first coordinate, norm) sort so cell ids are
+    # run-stable regardless of kmeans' internal center ordering (the
+    # ml_kmeans_rfm convention); the frame is k x dim driver literals.
+    centers = sorted(
+        ([float(x) for x in c] for c in model.clusterCenters()),
+        key=lambda c: (c[0], sum(x * x for x in c)),
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
+    ).withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+    return _ivf_probe_rescore(e, cent)

@@ -64,74 +64,72 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r07 window (scripts/rotate_window.py over CORRECTNESS_r02..r06: 166 ops
-# green, 0 failed ever). The never-driver-graded ops lead: the 7 r6
-# additions (join_bloom_filtered, events_path_topk, dedup_family_histogram,
-# doc_ngram_novelty, events_heatmap_hour_dow, events_growth_accounting,
-# events_ltv_cohort) plus this round's new ops (sim_knn_ivf_recall,
-# doc_span_removal, doc_intra_span_removal) — green rows for these close the registry at 100%
-# driver-certified. Next: ops MODIFIED since their last green (this round's
-# week-div exactness fix touches tag_retention / events_growth_accounting /
-# events_ltv_cohort; the sequential-chunk rewrite touches sim_cosine_knn /
-# sim_threshold_pairs; the session memo touches join_bloom_filtered — the
-# overlap is deliberate, they all need re-certification). The filler is
-# the oldest-evidence (r03) greens, oldest first.
+# r08 window (scripts/rotate_window.py over CORRECTNESS_r01..r07: all 177
+# prior ops green, 0 failed ever — the registry closed at 100% in r7, so
+# this is a hardening-round rotation). The never-driver-graded r8 additions
+# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped). Next: ops
+# MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
+# pinned stage-1 frame), tag_crowd_select / dedup_simhash /
+# text_contamination (data-derived broadcast hints dropped, AQE decides),
+# dedup_jaccard_verify (verification body factored into the helper the
+# capped variant shares), sim_knn_ivf (probe/rescore factored into the
+# helper the kmeans variant shares). The filler is the oldest-evidence
+# greens, oldest first: the r04-vintage block, then the leading r05 rows.
 GRADE_FIRST: tuple[str, ...] = (
-    # never driver-graded: the 7 r6 additions
-    "join_bloom_filtered",
-    "events_path_topk",
-    "dedup_family_histogram",
-    "doc_ngram_novelty",
-    "events_heatmap_hour_dow",
-    "events_growth_accounting",
-    "events_ltv_cohort",
-    # never driver-graded: r7 additions
-    "sim_knn_ivf_recall",
-    "doc_span_removal",
-    "doc_intra_span_removal",
-    "doc_mixture_weights",
-    # re-certification: ops modified this round (r7)
-    "sim_cosine_knn",
-    "sim_threshold_pairs",
-    "tag_retention",
-    "tag_funnel",
+    # never driver-graded: r8 additions
+    "sim_knn_ivf_kmeans",
+    "dedup_jaccard_verify_capped",
+    # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
-    "sort_multikey_nulls",
+    "tag_crowd_select",
+    "dedup_simhash",
+    "text_contamination",
     "dedup_jaccard_verify",
-    "dedup_cc_clusters",
-    "doc_clean_pipeline",
-    # re-certification filler: the 19 remaining oldest-evidence (r03) greens
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "sink_merge_upsert",
-    "scan_corrupt_records",
-    "scan_custom_datasource",
-    "filter_compound",
-    "join_outer_full",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "join_self_graph",
-    "agg_multi_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_pivot",
-    "agg_histogram",
-    "win_rank_family",
-    # re-certification filler: oldest r04 greens, module order
-    "sink_parquet_partitioned",
-    "sink_bucketed_join",
-    "scan_schema_evolution",
-    "scan_partition_pruning",
-    "sink_incremental_agg",
-    "scan_dpp_join",
-    "proj_select_rename",
-    "join_broadcast_dim",
-    "join_sortmerge_big",
-    "join_outer_left",
-    "join_outer_right",
+    "sim_knn_ivf",
+    # re-certification filler: oldest-evidence (r04) greens, module order
+    "join_interval",
+    "agg_groupby_basic",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_collect_sorted",
+    "win_running_sum",
+    "win_trailing_time",
+    "tag_match_rule",
+    "tag_age_bucket",
+    "tag_consumption_cycle",
+    "tag_preference_top1",
+    "tag_psm",
+    "profile_assemble",
+    "ml_kmeans_rfm",
+    "ml_tree_segment",
+    "text_tokenize_topk",
+    "text_ngram",
+    "text_tfidf",
+    "text_lang_source_stats",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "embed_label_centroid",
+    "embed_norm_stats",
+    "stream_tumbling",
+    "stream_late_data",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_watermark",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "udtf_python",
+    # re-certification filler: oldest r05 greens, module order
+    "agg_approx_percentile",
+    "agg_mode",
+    "win_range_frame",
+    "win_first_last",
+    "win_rank_distributed",
+    "limit_topk_global",
+    "sample_deterministic",
 )
 
 
