@@ -29,6 +29,7 @@ def test_registry_contract(spark):
         "ml_kmeans_rfm",
         "ml_tree_segment",
         "ml_lr_propensity",
+        "sim_knn_ivf_kmeans",
     }, rows_only
 
 
