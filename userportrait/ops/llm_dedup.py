@@ -91,6 +91,27 @@ def minhash_signatures(doc_df: DataFrame) -> DataFrame:
     )
 
 
+def _band_keys_of(wide: DataFrame) -> DataFrame:
+    """(doc_id, b, band_key) long form: each doc's 4 band keys (md5 of 4
+    consecutive signatures) — 16 B of join payload per row."""
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"s{4 * b + j}") for j in range(4)]))
+            for b in range(N_BANDS)
+        ]
+    )
+    return wide.select("doc_id", F.posexplode(band_keys).alias("b", "band_key"))
+
+
+def minhash_band_keys(doc_df: DataFrame) -> DataFrame:
+    """Pinned (doc_id, b, band_key) banding of the corpus — the shared
+    candidate-generation input (see minhash_candidates for why the
+    signature table is pin()-ed)."""
+    from ..catalog import pin
+
+    return _band_keys_of(pin(minhash_sig_wide(doc_df)))
+
+
 def minhash_candidates(doc_df: DataFrame, with_sigs: bool = True) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing ≥1 of 4 band keys (each key =
     md5 of 4 consecutive sigs); with_sigs=True appends both rows' signature
@@ -109,13 +130,7 @@ def minhash_candidates(doc_df: DataFrame, with_sigs: bool = True) -> DataFrame:
     from ..catalog import pin
 
     wide = pin(minhash_sig_wide(doc_df))
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col(f"s{4 * b + j}") for j in range(4)]))
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = wide.select("doc_id", F.posexplode(band_keys).alias("b", "band_key"))
+    banded = _band_keys_of(wide)
     x = banded.alias("x")
     y = banded.alias("y")
     pairs = (
@@ -306,16 +321,46 @@ def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures ⇒ the same band keys), so "has a verified pair with a
     smaller id" is preserved; K > 1 hedges near-identical families where
     the lowest-id candidate might fail exact verification while another
-    passes. The cap is a doc_b-keyed window top-K (distributed partials,
-    no global sort), applied BEFORE the shingle joins so the expensive
-    exact intersection only ever sees ≤ K·n pairs."""
+    passes. The cap is applied at BOTH levels of the plan:
+      - per BUCKET first: each (band, key) bucket joins its members only
+        against the bucket's K smallest doc_ids (a bucket-keyed window,
+        no collect) — provably lossless for the per-doc_b K-lowest
+        semantics, because any candidate of doc_b that ranks in its
+        overall K-lowest also ranks in its shared bucket's K-smallest
+        members (all of doc_b's smaller bucket-mates precede it, so if
+        fewer than K exist they all sit in the bucket's top-K, and if ≥K
+        exist the bucket's top-K are exactly the K lowest of them).
+        This collapses candidate fan-out from Σ bucket² to Σ bucket·K —
+        the difference between 25M and ~2M generated pairs on the 100×
+        total-duplication replica, where every bucket is hot;
+      - per doc_b after the bucket union: a window top-K picks the K
+        lowest overall, BEFORE the shingle joins, so the expensive exact
+        intersection only ever sees ≤ K·n pairs."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir).documents
-    cand = minhash_candidates(d, with_sigs=False)
-    w = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
+    banded = minhash_band_keys(d)
+    w_bucket = Window.partitionBy("b", "band_key").orderBy(F.col("doc_id").asc())
+    reps = (
+        banded.withColumn("rn", F.row_number().over(w_bucket))
+        .where(F.col("rn") <= JACCARD_CAP_K)
+        .select(F.col("doc_id").alias("doc_a"), "b", "band_key")
+    )
+    y = banded.alias("y")
+    cand = (
+        reps.alias("x")
+        .join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_a") < F.col("y.doc_id")),
+        )
+        .select("doc_a", F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    w_doc = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
     capped = (
-        cand.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w_doc))
         .where(F.col("rn") <= JACCARD_CAP_K)
         .select("doc_a", "doc_b")
     )

@@ -86,6 +86,11 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_contamination",
     "dedup_jaccard_verify",
     "sim_knn_ivf",
+    # re-certification: the other minhash_candidates consumers (the r8
+    # bucket-cap work factored the banding helper they all share)
+    "dedup_family_histogram",
+    "dedup_cc_clusters",
+    "doc_clean_pipeline",
     # re-certification filler: oldest-evidence (r04) greens, module order
     "join_interval",
     "agg_groupby_basic",
@@ -127,9 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_mode",
     "win_range_frame",
     "win_first_last",
-    "win_rank_distributed",
-    "limit_topk_global",
-    "sample_deterministic",
 )
 
 
