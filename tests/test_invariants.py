@@ -629,3 +629,64 @@ def test_jaccard_capped_is_subset_and_preserves_min_id_survivorship(spark):
     dominated_full = {b for (_, b) in full}
     dominated_capped = {b for (_, b) in capped}
     assert dominated_full == dominated_capped
+
+
+def test_bucket_level_cap_equals_plain_docb_cap(spark):
+    """Empirically validates the bucket-cap losslessness argument in
+    dedup_jaccard_verify_capped: capping each LSH bucket to its K smallest
+    doc_ids BEFORE the pair join, then taking the per-doc_b K-lowest of
+    the union, must select exactly the same candidate pairs as the plain
+    per-doc_b window over the FULL candidate set (the form the DuckDB
+    oracle states). If the bucket cap ever dropped a pair the plain cap
+    keeps, the two ops would diverge here before they diverge at a scale
+    where it matters."""
+    from pyspark.sql import Window
+
+    from userportrait.ops.llm_dedup import JACCARD_CAP_K, minhash_candidates
+    from userportrait.catalog import load
+
+    d = load(spark, SF_DIR).documents
+    w = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
+    plain = set(
+        map(
+            tuple,
+            minhash_candidates(d, with_sigs=False)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= JACCARD_CAP_K)
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    # re-derive the op's bucket-capped candidate set (pre-verification)
+    from userportrait.ops.llm_dedup import minhash_band_keys
+
+    banded = minhash_band_keys(d)
+    w_bucket = Window.partitionBy("b", "band_key").orderBy(F.col("doc_id").asc())
+    reps = (
+        banded.withColumn("rn", F.row_number().over(w_bucket))
+        .where(F.col("rn") <= JACCARD_CAP_K)
+        .select(F.col("doc_id").alias("doc_a"), "b", "band_key")
+    )
+    y = banded.alias("y")
+    cand = (
+        reps.alias("x")
+        .join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_a") < F.col("y.doc_id")),
+        )
+        .select("doc_a", F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    w_doc = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
+    bucket_capped = set(
+        map(
+            tuple,
+            cand.withColumn("rn", F.row_number().over(w_doc))
+            .where(F.col("rn") <= JACCARD_CAP_K)
+            .select("doc_a", "doc_b")
+            .collect(),
+        )
+    )
+    assert bucket_capped == plain
