@@ -741,7 +741,13 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_rescore(e, cent)
 
 
-IVF_KMEANS_K = 8
+# k is env-tunable because the IVF cost model needs cells to GROW with the
+# corpus: candidates/query ≈ nprobe·(n/k), so fixed k at 100× data means
+# 100×-wider cells and a quadratic-ish rescore. The standard setting is
+# k ≈ √n (cell width and cell count both √n); the sf-fixture default stays
+# 8 (≈ √500 rounded to the label-cardinality neighborhood the EXACT-oracle
+# sibling uses), and the 100× ladder runs k=448 ≈ √200k.
+IVF_KMEANS_K = int(os.environ.get("UP_IVF_KMEANS_K", "8"))
 IVF_KMEANS_SEED = 20260814
 
 
@@ -751,20 +757,38 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is a seeded KMeans (k-means||) fit on the L2-NORMALIZED
     embeddings — Euclidean-nearest on unit vectors is cosine-nearest, so
     the trained cells partition the sphere the way the cosine search
-    probes it. Search is plan-identical to sim_knn_ivf
-    (``_ivf_probe_rescore``): assign to nearest cell, probe the 2 nearest
-    cells per query, exact cosine rescoring, top-5.
+    probes it. Assign/probe follows sim_knn_ivf's shape (broadcast
+    centroids, per-vector nearest cell, 2 probed cells per query); the
+    within-cell rescore is the DEPLOYMENT kernel — a per-cell blocked
+    numpy matmul via ``applyInPandas`` cogroup — instead of the sibling's
+    pair-join fold.
+
+    Why the kernel differs from sim_knn_ivf's: the pair-join rescore
+    ships both 64-double embedding arrays into every candidate row —
+    nprobe·(n/k)·n pairs × ~1 KB ≈ 180 GB through one stage at the 100×
+    replica (measured: it was ~330 s of the op's 386 s there). The
+    cogroup form shuffles each embedding ONCE by cell id (n rows, ~100 MB
+    at 100×), then each cell's (probing queries × members) similarity is
+    one vectorized matmul emitting only per-query top-5 rows; a final
+    ≤ nprobe·5-rows-per-query window merges cells (per-cell top-5
+    dominates, so the merge is exact — the sim_cosine_knn chunk-merge
+    argument). Query rows are tiled to ≤ KNN_TILE_ELEMS sims elements so
+    a hot cell cannot blow a task's memory. The exact-oracled sibling
+    keeps the fold rescore: its DuckDB oracle reproduces fold summation
+    order; the ROWS-only op is free to sum in matmul order.
 
     Oracle = ROWS (SURVEY §2.0 rule 5): KMeans internals aren't
     SQL-expressible; determinism within Spark is enforced by the fixed
-    seed/initMode, and quality by the recall@5 invariant test
-    (tests/test_invariants.py) against the exact blocked kNN — the same
-    gate the LSH and label-IVF paths carry.
+    seed/initMode + lexsort tie-breaks, and quality by the recall@5
+    invariant test (tests/test_invariants.py) against the exact blocked
+    kNN — the same gate the LSH and label-IVF paths carry.
 
     Scale: the fit touches one row per vector (and would subsample in a
-    real deploy — KMeans quality needs ~k·1000 points, not the corpus);
-    centroids are k × dim driver literals → broadcast; everything after
-    the fit is the shared IVF plan, so the 100 TB story is sim_knn_ivf's."""
+    real deploy; measured 19 s for k=448 on 200k×64-d). k is env-tunable
+    (UP_IVF_KMEANS_K) because cells must GROW ~√n with the corpus —
+    candidates/query ≈ nprobe·(n/k), so fixed k at 100× data means
+    100×-wider cells. Centroids stay k × dim driver literals →
+    broadcast."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -790,4 +814,70 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
     ).withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
-    return _ivf_probe_rescore(e, cent)
+
+    # assign + probes: same broadcast-centroid scoring as the sibling
+    vc = unit.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "u",
+        "cell",
+        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
+            "csim"
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
+    # members' columns are re-aliased: both cogroup sides descend from the
+    # same `ranked` plan, and identical attribute ids trip the analyzer's
+    # ambiguous-self-join check.
+    members = ranked.where(F.col("rn") == 1).select(
+        F.col("cell").alias("mcell"),
+        F.col("vec_id").alias("mvec_id"),
+        F.col("u").alias("mu"),
+    )
+    probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("cell", "vec_id", "u")
+
+    def rescore(key, probes_pdf, members_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        qids = probes_pdf["vec_id"].to_numpy(np.int64)
+        mids = members_pdf["mvec_id"].to_numpy(np.int64)
+        Q = np.array(probes_pdf["u"].tolist(), dtype=np.float64)
+        M = np.array(members_pdf["mu"].tolist(), dtype=np.float64)
+        rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(mids)))
+        out = []
+        for lo in range(0, len(qids), rows_per_tile):
+            sims = Q[lo : lo + rows_per_tile] @ M.T
+            # self-exclusion, then per-row top-5 by (sim desc, neighbor asc)
+            sims[qids[lo : lo + rows_per_tile, None] == mids[None, :]] = -np.inf
+            k = min(5, sims.shape[1])
+            order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims), axis=1)[:, :k]
+            tq = qids[lo : lo + rows_per_tile]
+            sel = np.take_along_axis(sims, order, axis=1)
+            keep = np.isfinite(sel)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(tq, k)[keep.ravel()],
+                        "neighbor_id": mids[order].ravel()[keep.ravel()],
+                        "sim": sel.ravel()[keep.ravel()],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    per_cell = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("mcell"))
+        .applyInPandas(rescore, "vec_id long, neighbor_id long, sim double")
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        per_cell.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
