@@ -192,3 +192,50 @@ def test_transition_counts_match_bruteforce(spark, pairs):
         for (_, a), (_, b) in zip(seq, seq[1:]):
             expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+texts = st.lists(
+    st.text(alphabet="abcd ", min_size=5, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_jaccard_kernel_matches_bruteforce(spark, docs):
+    """The array_intersect Jaccard kernel (r8 rewrite of
+    _jaccard_on_candidates) must equal a brute-force python computation of
+    distinct-5-gram-shingle Jaccard on EVERY candidate pair, for arbitrary
+    short texts — guards the kernel swap against off-by-one shingle windows,
+    empty-intersection handling, and duplicate-shingle miscounts."""
+    from userportrait.ops.llm_dedup import JACCARD_MIN, _jaccard_on_candidates
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    cand_rows = [(a, b) for a in range(len(docs)) for b in range(a + 1, len(docs))]
+    cand = spark.createDataFrame(cand_rows, "doc_a long, doc_b long")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _jaccard_on_candidates(d, cand).collect()
+    }
+
+    def shingles(t):
+        n = max(len(t) - 4, 1)
+        return {t[i : i + 5] for i in range(n)}
+
+    # Spark's F.round is HALF_UP; python round() is banker's — quantize
+    # explicitly so a tie like 17/32 = 0.53125 can't flake the compare.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = {}
+    for a, b in cand_rows:
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= JACCARD_MIN:
+            want[(a, b)] = float(
+                Decimal(repr(jac)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+    assert got == want
