@@ -690,3 +690,33 @@ def test_bucket_level_cap_equals_plain_docb_cap(spark):
         )
     )
     assert bucket_capped == plain
+
+
+def test_pq_recall_and_determinism(spark):
+    """sim_knn_pq (ROWS-only: trained product-quantization codebooks)
+    invariants, the ANN-ladder gate pattern: (a) run-stable — the Lloyd
+    loop is data-order-initialized with fixed sweeps, no RNG anywhere,
+    (b) exactly 5 neighbors per query with sims in [-1, 1] (the exact
+    rescore guarantees real cosines), (c) recall@5 against the exact
+    blocked kNN clears a floor: 8x4-bit ADC over PQ_CAND=64 candidates
+    measures ~0.80 on the fixture corpus, so 0.6 is the regression gate
+    (a broken codebook, mis-packed codes, or a broken ADC gather lands
+    far below it)."""
+    from collections import Counter
+
+    from userportrait.ops.pipeline_ext import _recall_histogram
+
+    a = sorted(map(tuple, OPS["sim_knn_pq"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["sim_knn_pq"].fn(spark, SF_DIR).collect()))
+    assert a == b, "PQ path must be run-stable"
+    per_query = Counter(r[0] for r in a)
+    assert set(per_query.values()) == {5}, "every query emits exactly 5 neighbors"
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+
+    hist = _recall_histogram(
+        OPS["sim_cosine_knn"].fn(spark, SF_DIR), OPS["sim_knn_pq"].fn(spark, SF_DIR)
+    ).collect()
+    tot = sum(r.n_vecs for r in hist)
+    hits = sum(r.n_hits * r.n_vecs for r in hist)
+    recall = hits / (5.0 * tot)
+    assert recall >= 0.6, f"PQ recall@5 regressed: {recall:.4f}"

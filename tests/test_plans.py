@@ -317,6 +317,8 @@ def test_no_unaudited_driver_side_pulls():
             "scalar: corpus count for the incremental-dedup split point",
         ("llm_similarity.py", 'total, lo, hi = emb.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()'):
             "scalar: index size + id range for quantile chunking",
+        ("llm_similarity.py", 'total, lo, hi = codes.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()'):
+            "scalar: PQ code-table size + id range for quantile chunking",
         ("llm_similarity.py", ".toPandas()"):
             "bounded: one vec_id-range index chunk (<= chunk width rows)",
         ("pipeline_ext.py", 'cur_sum = labels.agg(F.sum("lab")).collect()[0][0]'):

@@ -1756,3 +1756,76 @@ def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(cum).cast("double").alias("cum_revenue"),
     )
+
+
+@op(
+    "events_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+      FROM e
+    ), conv AS (
+      SELECT * FROM tagged WHERE event_type = 'purchase'
+    ), unp AS (
+      SELECT 'last_touch' AS model, last_ch AS channel, value FROM conv WHERE last_ch IS NOT NULL
+      UNION ALL
+      SELECT 'first_touch' AS model, first_ch AS channel, value FROM conv WHERE first_ch IS NOT NULL
+    )
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conv,
+           CAST(CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM unp GROUP BY model, channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream (r8 addition): every
+    ``purchase`` conversion credits (a) the user's most recent preceding
+    non-purchase touch (last-touch) and (b) the user's first-ever preceding
+    non-purchase touch (first-touch); the report compares the two models
+    per channel (= event_type) with conversion counts and decimal-exact
+    credited value. The standard campaign-credit query of a user-portrait
+    stack, and the window-frame complement of events_transition_matrix's
+    adjacent-pair view.
+
+    One (user, time) window pass computes both touches via frame-bounded
+    first/last(ignorenulls) — ROWS UNBOUNDED PRECEDING .. 1 PRECEDING, so a
+    conversion never credits itself; the unpivot to (model, channel) rows
+    happens BEFORE the aggregate, so the final shuffle key is the tiny
+    (2 × #event_types) report space. Scale: one shuffle on user_id (the
+    window), one map-side-combinable groupBy — no joins, no driver state.
+    """
+    e = load(spark, sf_dir).events
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(frame).alias("last_ch"),
+        F.first(touch, ignorenulls=True).over(frame).alias("first_ch"),
+    )
+    conv = tagged.where(F.col("event_type") == "purchase")
+    unp = conv.where(F.col("last_ch").isNotNull()).select(
+        F.lit("last_touch").alias("model"), F.col("last_ch").alias("channel"), "value"
+    ).unionAll(
+        conv.where(F.col("first_ch").isNotNull()).select(
+            F.lit("first_touch").alias("model"), F.col("first_ch").alias("channel"), "value"
+        )
+    )
+    return unp.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_conv"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+    )

@@ -881,3 +881,208 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+# Product quantization (sim_knn_pq). 64 dims -> PQ_M=8 subspaces x 8 dims,
+# PQ_K=16 centroids per subspace -> each vector compresses to 8 codes of
+# 4 bits = ONE int32 (packed into a long column): 8 bytes/vector of index
+# instead of 512, the memory-bound ANN form (a 100M-vector corpus is an
+# 0.8 GB code table vs 51 GB of raw float64). Codebooks are trained on a
+# bounded deterministic sample with a data-order-initialized Lloyd's loop
+# (no RNG, no MLlib dependency) so the whole op is run-stable; quality is
+# gated by the recall@5 invariant test like the LSH/IVF siblings.
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_TRAIN_CAP = 2048
+PQ_CAND = 64
+PQ_ITERS = 15
+
+
+def _pq_codebooks(unit: DataFrame):
+    """Train per-subspace codebooks driver-side on a BOUNDED sample:
+    PQ_TRAIN_CAP rows chosen by md5(vec_id) order (deterministic,
+    corpus-size-independent — the FAISS convention of training the
+    quantizer on a small sample, done as one TakeOrdered job; ~1 MB
+    collected at the cap). Lloyd's with first-k-in-sample init and
+    empty-cluster carry-over, fixed PQ_ITERS sweeps — bit-reproducible
+    across runs and partitionings. Returns (PQ_M, PQ_K, PQ_SUBDIM) f64."""
+    import numpy as np
+
+    sample = (
+        unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .toPandas()
+    )
+    X = np.array(sample["u"].tolist(), dtype=np.float64)
+    books = np.empty((PQ_M, PQ_K, PQ_SUBDIM))
+    for s in range(PQ_M):
+        sub = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        cents = sub[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                m = assign == c
+                if m.any():
+                    cents[c] = sub[m].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def _pq_encode(books) -> "callable":
+    """mapInPandas kernel: vector -> 8 nearest-centroid codes packed into
+    one long (4 bits/code). Codebooks travel in the task closure (1024
+    doubles)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = np.array(pdf["u"].tolist(), dtype=np.float64)
+            packed = np.zeros(len(U), dtype=np.int64)
+            for s in range(PQ_M):
+                sub = U[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                packed |= d2.argmin(axis=1).astype(np.int64) << (4 * s)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(np.int64), "code": packed})
+
+    return gen
+
+
+@op("sim_knn_pq", oracle=None)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via product quantization with
+    asymmetric distance computation (ADC) — the memory-bound member of the
+    ANN ladder (LSH: unstructured corpora; IVF: clustered corpora; PQ:
+    index-must-fit-nowhere corpora). Each vector is compressed to 8
+    4-bit codes (one packed long); a query scans the code table by summing
+    8 precomputed query-to-centroid dot products per candidate (the ADC
+    lookup — no decompression), keeps its PQ_CAND best, and the final
+    top-5 comes from an EXACT cosine rescore of those candidates only
+    (the sim_knn_lsh/sim_knn_ivf rescore discipline).
+
+    Spark shape: codebooks are trained on a bounded deterministic sample
+    (_pq_codebooks) and ship in task closures; encoding is one Arrow
+    mapInPandas pass, pinned so chunk fetches do not re-encode; the scan
+    reuses the sequential bounded-chunk broadcast pattern of
+    sim_cosine_knn — but a chunk of CODES is 8 bytes/row, so the same
+    500k-row chunk cap that holds 256 MB of raw index holds 4 MB here,
+    and a 1e9-vector corpus scans as ~8 GB of codes total where the exact
+    path streams 512 GB. Per-task transients stay tiled (KNN_TILE_ELEMS).
+
+    Oracle = ROWS (SURVEY §2.0 rule 5): the trained quantizer is ML, not
+    SQL. Determinism inside Spark: data-order Lloyd init + fixed sweeps,
+    id-asc tie-breaks everywhere; recall@5 vs the exact kNN is gated in
+    tests/test_invariants.py."""
+    import numpy as np
+
+    from pyspark.storagelevel import StorageLevel
+
+    e = load(spark, sf_dir).embeddings
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    unit = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    )
+    books = _pq_codebooks(unit)
+    codes = pin(unit.mapInPandas(_pq_encode(books), "vec_id long, code long"))
+
+    # bounded chunks of the code table (quantile boundaries — the
+    # _index_chunks argument: chunk count tracks row count, never id-space
+    # width; each fetch is a pushed-down vec_id range over the PINNED codes)
+    total, lo, hi = codes.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()
+    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, -(-total // TARGET_CHUNKS)))
+    n_chunks = max(1, -(-total // target))
+    if n_chunks == 1:
+        cuts: list[int] = []
+    else:
+        eps = max(1e-4, 0.05 / n_chunks)
+        qs = codes.stat.approxQuantile("vec_id", [i / n_chunks for i in range(1, n_chunks)], eps)
+        cuts = sorted({int(q) for q in qs if lo < int(q) <= hi})
+    bounds = [lo, *cuts, hi + 1]
+
+    def adc_kernel(bc):
+        import pandas as pd
+
+        def gen(batches):
+            aids, acodes = bc.value  # acodes: (chunk, PQ_M) uint8
+            rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(aids)))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf["vec_id"].to_numpy(np.int64)
+                Q = np.array(pdf["u"].tolist(), dtype=np.float64)
+                # Tq[b, s, k] = <q_sub, centroid> — the ADC lookup tables
+                Tq = np.einsum("bsd,skd->bsk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books)
+                out = []
+                for t0 in range(0, len(qids), rows_per_tile):
+                    T = Tq[t0 : t0 + rows_per_tile]
+                    sims = np.zeros((len(T), len(aids)))
+                    for s in range(PQ_M):
+                        sims += T[:, s, :][:, acodes[:, s]]
+                    sims[qids[t0 : t0 + rows_per_tile, None] == aids[None, :]] = -np.inf
+                    k = min(PQ_CAND, sims.shape[1])
+                    order = np.lexsort((np.broadcast_to(aids, sims.shape), -sims), axis=1)[:, :k]
+                    sel = np.take_along_axis(sims, order, axis=1)
+                    keep = np.isfinite(sel)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": np.repeat(qids[t0 : t0 + rows_per_tile], k)[keep.ravel()],
+                                "neighbor_id": aids[order].ravel()[keep.ravel()],
+                                "asim": sel.ravel()[keep.ravel()],
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        return gen
+
+    q = unit.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    partials: list[DataFrame] = []
+    try:
+        for start, end in zip(bounds, bounds[1:]):
+            pdf = (
+                codes.where((F.col("vec_id") >= start) & (F.col("vec_id") < end))
+                .toPandas()
+                .sort_values("vec_id", ignore_index=True)
+            )
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            packed = pdf["code"].to_numpy(np.int64)
+            acodes = np.stack([(packed >> (4 * s)) & 0xF for s in range(PQ_M)], axis=1).astype(
+                np.uint8
+            )
+            bc = spark.sparkContext.broadcast((ids, acodes))
+            try:
+                partials.append(
+                    pin(q.mapInPandas(adc_kernel(bc), "vec_id long, neighbor_id long, asim double"))
+                )
+            finally:
+                bc.destroy()
+    finally:
+        q.unpersist()
+    if not partials:
+        return spark.createDataFrame([], "vec_id long, neighbor_id long, sim double")
+    allc = reduce(DataFrame.unionAll, partials)
+    w_cand = Window.partitionBy("vec_id").orderBy(F.col("asim").desc(), F.col("neighbor_id").asc())
+    cand = (
+        allc.withColumn("rn", F.row_number().over(w_cand))
+        .where(F.col("rn") <= PQ_CAND)
+        .select("vec_id", "neighbor_id")
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        _exact_rescore(e, cand)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= K_NEIGHBORS)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

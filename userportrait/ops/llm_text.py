@@ -545,3 +545,81 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+@op(
+    "text_bm25_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), n AS (SELECT count(*) AS n FROM documents),
+    tot AS (SELECT sum(tf) AS tot FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(ln((CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                 / (CAST(tot.tot AS DOUBLE) / n.n))))), 4) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot
+    ), ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(rn AS INT) AS kw_rank, token AS keyword, score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords under Okapi BM25 (k1=1.2, b=0.75,
+    Lucene-style ln(1 + (N-df+0.5)/(df+0.5)) idf) — the retrieval-grade
+    keyword extractor (r8 addition). Differs from text_tfidf's ln(N/df)
+    top-1 in both scorer (tf saturation + document-length normalization —
+    long word-soup docs stop dominating on raw tf) and product shape
+    (ranked per-doc keyword triples, the corpus-search / doc-metadata
+    enrichment primitive).
+
+    Same one-scan plan discipline as text_tfidf: tf is the only corpus
+    scan; df AND dl both come from windows over the compact (doc, token,
+    tf) table, so no branch re-derives tf (the Catalyst double-eval trap);
+    the two global scalars (N, total tokens) ride one broadcast 1-row
+    frame. Ordering uses the ROUNDED score so rank is reproducible across
+    engines despite last-ulp ln() differences."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir).documents
+    tf = _tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n = (
+        d.agg(F.count("*").alias("n"))
+        .crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot")))
+    )
+    w_tok = Window.partitionBy("token")
+    w_doc = Window.partitionBy("doc_id")
+    tf_d = F.col("tf").cast("double")
+    avgdl = F.col("tot").cast("double") / F.col("n")
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfc = (tf_d * F.lit(2.2)) / (
+        tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_tok))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(idf * tfc, 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("int").alias("kw_rank"), F.col("token").alias("keyword"), "score")
+    )

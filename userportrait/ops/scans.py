@@ -520,3 +520,79 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
         )
     )
+
+
+@op(
+    "sink_scd2",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS k, round(max(o_totalprice), 2) AS new_bal
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), base AS (
+      SELECT c.c_custkey, c.c_acctbal, chg.new_bal,
+             (chg.k IS NOT NULL AND chg.new_bal <> c.c_acctbal) AS changed
+      FROM customer c LEFT JOIN chg ON chg.k = c.c_custkey
+    ), hist AS (
+      SELECT c_custkey, c_acctbal, 1 AS version,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CASE WHEN changed THEN TIMESTAMP '2000-01-01' END AS valid_to,
+             NOT changed AS is_current
+      FROM base
+      UNION ALL
+      SELECT c_custkey, new_bal, 2, TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP), true
+      FROM base WHERE changed
+    )
+    SELECT c_custkey, c_acctbal, CAST(version AS INT) AS version,
+           valid_from, valid_to, is_current
+    FROM hist
+    """,
+)
+def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 versioning on plain parquet (r8
+    addition; the temporal complement of ``sink_merge_upsert``'s SCD-1
+    overwrite): a deterministic change feed (each customer's max completed
+    order price) closes the current version of every changed customer
+    (valid_to = the effective date, is_current = false) and appends a new
+    open version — unchanged customers keep their single open row. The
+    versioned dimension is rewritten to the sink and read back, so history
+    queries (``AS OF`` = ``valid_from <= d < coalesce(valid_to, 'inf')``)
+    run against the lake copy.
+
+    Scale: one shuffle each for the change-feed groupBy and the merge-key
+    left join (one-sided with a bucketed target, see sink_bucketed_join);
+    version rows are generated map-side from the joined frame — no window
+    over history is needed because SCD-2 rewrites touch only the CURRENT
+    version of each key, however long the history grows. Oracle computes
+    the identical versioned state."""
+    t = load(spark, sf_dir)
+    eff = F.lit("2000-01-01").cast("timestamp")
+    chg = (
+        t.orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.round(F.max("o_totalprice"), 2).alias("new_bal"))
+    )
+    base = t.customer.join(chg, t.customer.c_custkey == chg.k, "left").select(
+        "c_custkey",
+        "c_acctbal",
+        "new_bal",
+        (F.col("k").isNotNull() & (F.col("new_bal") != F.col("c_acctbal"))).alias("changed"),
+    )
+    closed = base.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).cast("int").alias("version"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("changed"), eff).alias("valid_to"),
+        (~F.col("changed")).alias("is_current"),
+    )
+    opened = base.where("changed").select(
+        "c_custkey",
+        F.col("new_bal").alias("c_acctbal"),
+        F.lit(2).cast("int").alias("version"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    path = _scratch("scd2_customer")
+    closed.unionByName(opened).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

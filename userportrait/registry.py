@@ -67,18 +67,26 @@ _LOADED = False
 # r08 window (scripts/rotate_window.py over CORRECTNESS_r01..r07: all 177
 # prior ops green, 0 failed ever — the registry closed at 100% in r7, so
 # this is a hardening-round rotation). The never-driver-graded r8 additions
-# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped). Next: ops
+# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the
+# continuation set: sim_knn_pq, events_attribution, sink_scd2,
+# text_bm25_keywords). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
 # dedup_jaccard_verify (verification body factored into the helper the
 # capped variant shares), sim_knn_ivf (probe/rescore factored into the
 # helper the kmeans variant shares). The filler is the oldest-evidence
-# greens, oldest first: the r04-vintage block, then the leading r05 rows.
+# greens, oldest first: the r04-vintage block (the leading r05 rows that
+# padded the pre-continuation window rotated back out when the four new
+# ops took their slots).
 GRADE_FIRST: tuple[str, ...] = (
     # never driver-graded: r8 additions
     "sim_knn_ivf_kmeans",
     "dedup_jaccard_verify_capped",
+    "sim_knn_pq",
+    "events_attribution",
+    "sink_scd2",
+    "text_bm25_keywords",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -127,11 +135,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
     "udtf_python",
-    # re-certification filler: oldest r05 greens, module order
-    "agg_approx_percentile",
-    "agg_mode",
-    "win_range_frame",
-    "win_first_last",
 )
 
 
