@@ -720,3 +720,13 @@ def test_pq_recall_and_determinism(spark):
     hits = sum(r.n_hits * r.n_vecs for r in hist)
     recall = hits / (5.0 * tot)
     assert recall >= 0.6, f"PQ recall@5 regressed: {recall:.4f}"
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: for every probed key, min-over-rows of the
+    hashed cells is >= the true frequency (hash collisions only ever ADD
+    counts), and the probe set is exactly the 10 true-heaviest keys."""
+    rows = OPS["agg_cms_topk"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.cms_est >= r.true_cnt for r in rows)
+    assert all(r.overcount == r.cms_est - r.true_cnt for r in rows)

@@ -435,6 +435,9 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "tag_basket_affinity": "basket-universe scalar aggregate",
         "doc_length_outliers": "corpus mean/stddev scalar aggregate (1 row)",
         "agg_hll_partitioned_merge": "final sketch merge (one merged sketch row)",
+        "tag_decay_score": "global max-date anchor scalar (1 row)",
+        "events_ab_ttest": "arm-pivot aggregate over the 2-row arm frame",
+        "text_bm25_keywords": "N-docs + total-token scalar aggregates (1 row each)",
     }
     offenders = {}
     for name in OPS:
@@ -478,6 +481,8 @@ def test_no_unaudited_broadcast_hints():
             "1-row quantile-scalar frame (length outlier bounds)",
         ("curation.py", 'daily.join(F.broadcast(m), "event_type")'):
             "per-event-type moments (<= #event_types rows)",
+        ("curation.py", 'probes.join(F.broadcast(cells), ["seed", "bucket"])'):
+            "count-min sketch cell table (CMS_D x CMS_W = 256 rows by construction)",
         ("curation.py", "e.crossJoin(F.broadcast(anchor))"):
             "1-row global week-anchor scalar",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):

@@ -1829,3 +1829,339 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_conv"),
         F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
     )
+
+
+@op(
+    "tag_decay_score",
+    oracle="""
+    WITH a AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+    e AS (
+      SELECT user_id, event_type,
+             datediff('day', CAST(ts AS DATE), a.d) AS age,
+             CAST(value AS DECIMAL(38,4)) AS v
+      FROM events CROSS JOIN a
+    ), per AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(coalesce(CAST(sum(v) FILTER (age < 7) AS DOUBLE), 0) AS DOUBLE) * 1.0
+             + CAST(coalesce(CAST(sum(v) FILTER (age >= 7 AND age < 30) AS DOUBLE), 0) AS DOUBLE) * 0.6
+             + CAST(coalesce(CAST(sum(v) FILTER (age >= 30 AND age < 90) AS DOUBLE), 0) AS DOUBLE) * 0.3
+             + CAST(coalesce(CAST(sum(v) FILTER (age >= 90) AS DOUBLE), 0) AS DOUBLE) * 0.1 AS score
+      FROM e GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, score, n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, event_type ASC) AS rn
+      FROM per
+    )
+    SELECT user_id, CAST(rn AS INT) AS pref_rank, event_type, score, n_events
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def tag_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed preference tag (r8 addition): each user's top-2
+    event types by time-decayed engagement value — the user-portrait
+    "preference weight" that production tag pipelines compute as
+    sum(value·decay(age)). Decay is a 4-step half-life ladder (<7d: 1.0,
+    <30d: 0.6, <90d: 0.3, else 0.1) anchored at the corpus max date —
+    recent behavior dominates without the stale long tail vanishing.
+    Complements tag_preference_top1 (pure count, no recency) and
+    tag_activity_trend (count trend, no value).
+
+    Determinism: per-bucket sums are DECIMAL(38,4)-exact; the score is a
+    FIXED 4-term double expression over those exact sums (no float
+    accumulation of engine-dependent order — the reason the decay is a
+    step ladder and not exp(), whose last-ulp varies by libm). One shuffle
+    on (user_id, event_type), map-side combinable; the anchor is a 1-row
+    broadcast.
+    """
+    e = load(spark, sf_dir).events
+    anchor = e.agg(F.max(F.to_date("ts")).alias("d"))
+    age = F.datediff(F.col("d"), F.to_date("ts"))
+    v = F.col("value").cast("decimal(38,4)")
+    bsum = lambda cond: F.coalesce(F.sum(F.when(cond, v)).cast("double"), F.lit(0.0))
+    per = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (
+                bsum(age < 7) * 1.0
+                + bsum((age >= 7) & (age < 30)) * 0.6
+                + bsum((age >= 30) & (age < 90)) * 0.3
+                + bsum(age >= 90) * 0.1
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("event_type").asc())
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "user_id",
+            F.col("rn").cast("int").alias("pref_rank"),
+            "event_type",
+            "score",
+            "n_events",
+        )
+    )
+
+
+@op(
+    "events_ab_ttest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN instr('0123456789abcdef',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(CAST(coalesce(
+                 CAST(sum(CAST(value AS DECIMAL(38,4)))
+                      FILTER (event_type = 'purchase') AS DOUBLE), 0) AS DOUBLE)
+               * 100) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM u GROUP BY arm
+    ), p AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'A' THEN s1 END) AS s1a,
+        max(CASE WHEN arm = 'B' THEN s1 END) AS s1b,
+        max(CASE WHEN arm = 'A' THEN s2 END) AS s2a,
+        max(CASE WHEN arm = 'B' THEN s2 END) AS s2b
+      FROM s
+    )
+    SELECT n_a, n_b,
+           s1a / n_a / 100.0 AS mean_a,
+           s1b / n_b / 100.0 AS mean_b,
+           (s2a - s1a * s1a / n_a) / (n_a - 1) / 10000.0 AS var_a,
+           (s2b - s1b * s1b / n_b) / (n_b - 1) / 10000.0 AS var_b,
+           (s1a / n_a / 100.0 - s1b / n_b / 100.0)
+             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / 10000.0 / n_a
+                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / 10000.0 / n_b) AS t_stat
+    FROM p
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (r8 addition): users are hash-assigned to two
+    arms (first hex nibble of md5(user_id) < 8 — the engine-independent
+    bucket trick of doc_train_split, so assignment survives re-sharding and
+    reproduces on any engine), the per-user metric is total purchase value,
+    and the report is one row of per-arm n / mean / variance plus the Welch
+    t statistic — the experimentation primitive a portrait stack runs over
+    every launch flag.
+
+    Determinism: the per-user metric is a DECIMAL(38,4)-exact sum quantized
+    to integer cents; arm moments are integer/decimal sums (s1 bigint-as-
+    decimal, s2 decimal(38,0) of exact cents²) so mean/var/t are FIXED
+    double expressions over exact integers — no float accumulation, IEEE
+    bit-identical cross-engine. Two shuffles (user groupBy, 2-key arm agg),
+    both map-side combinable; nothing driver-side.
+    """
+    e = load(spark, sf_dir).events
+    v = F.col("value").cast("decimal(38,4)")
+    nib = F.instr(F.lit(HEX), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", v)).cast("double"),
+                    F.lit(0.0),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(F.when(nib < 8, "A").otherwise("B").alias("arm"), "cents")
+    )
+    s = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).cast("double").alias("s2"),
+    )
+    p = s.groupBy().agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s1"))).alias("s1a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s1"))).alias("s1b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s2"))).alias("s2a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s2"))).alias("s2b"),
+    )
+    mean_a = F.col("s1a") / F.col("n_a") / 100.0
+    mean_b = F.col("s1b") / F.col("n_b") / 100.0
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (F.col("n_a") - 1) / 10000.0
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (F.col("n_b") - 1) / 10000.0
+    return p.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        ((mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))).alias("t_stat"),
+    )
+
+
+# Count-min sketch geometry: CMS_D independent md5-keyed hash rows ×
+# CMS_W buckets = a 256-cell integer sketch. Width trades accuracy
+# (overestimate <= e·N/CMS_W with prob 1-exp(-CMS_D)) for a state size
+# that is CONSTANT in the key cardinality — the point of the sketch.
+CMS_D = 4
+CMS_W = 64
+
+
+@op(
+    "agg_cms_topk",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, user_id FROM events
+    ), hashed AS (
+      SELECT s.seed, key, user_id,
+             ((instr('{{HEX}}', substr(md5(s.seed || ':' || key), 1, 1)) - 1) * 16
+              + instr('{{HEX}}', substr(md5(s.seed || ':' || key), 2, 1)) - 1) % {CMS_W} AS bucket
+      FROM k CROSS JOIN (SELECT CAST(unnest(generate_series(0, {CMS_D - 1})) AS VARCHAR) AS seed) s
+    ), cells AS (
+      SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY seed, bucket
+    ), truec AS (
+      SELECT user_id, key, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM k GROUP BY user_id, key
+    ), top AS (
+      SELECT user_id, key, true_cnt,
+             row_number() OVER (ORDER BY true_cnt DESC, user_id ASC) AS rn
+      FROM truec
+    ), est AS (
+      SELECT t.user_id, t.true_cnt, min(c.cnt) AS cms_est
+      FROM top t
+      CROSS JOIN (SELECT CAST(unnest(generate_series(0, {CMS_D - 1})) AS VARCHAR) AS seed) s
+      JOIN cells c ON c.seed = s.seed
+        AND c.bucket = ((instr('{{HEX}}', substr(md5(s.seed || ':' || t.key), 1, 1)) - 1) * 16
+                        + instr('{{HEX}}', substr(md5(s.seed || ':' || t.key), 2, 1)) - 1) % {CMS_W}
+      WHERE t.rn <= 10
+      GROUP BY t.user_id, t.true_cnt
+    )
+    SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overcount
+    FROM est
+    """.replace("{HEX}", "0123456789abcdef"),
+)
+def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (r8 addition): build a
+    CMS_D×CMS_W count-min sketch over the event stream's user_id
+    frequencies, then read the 10 true-heaviest keys back THROUGH the
+    sketch (estimate = min over rows of the hashed cell) and report
+    estimate vs truth — overcount >= 0 always, bounded by the collision
+    mass e·N/W. The sketch is the mergeable, constant-memory heavy-hitter
+    primitive (per-partition sketches sum cell-wise; the same 256-cell
+    grid absorbs 60k or 60B events), and unlike agg_approx_distinct /
+    agg_hll_partitioned_merge it is EXACT-oracled: hashes are the repo's
+    engine-independent md5-nibble family (doc_train_split), not an opaque
+    engine builtin, so DuckDB reproduces every cell bit-for-bit.
+
+    Plan: one explode(seeds) scan -> 256-key map-side-combinable groupBy
+    (the sketch); the readback joins a 10-row driver-free top-k frame
+    against the 256-cell table — broadcast-sized by construction. The
+    true top-10 needs its own exact groupBy, which at 100 TB is the same
+    shuffle every heavy-hitter verification pays; the SKETCH side never
+    grows."""
+    e = load(spark, sf_dir).events.select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("key")
+    )
+
+    def bucket(seed_col, key_col):
+        h = F.md5(F.concat(seed_col, F.lit(":"), key_col))
+        return (
+            (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1) * 16
+            + F.instr(F.lit(HEX), F.substring(h, 2, 1))
+            - 1
+        ) % CMS_W
+
+    seeds = F.array(*[F.lit(str(i)) for i in range(CMS_D)])
+    hashed = e.select(
+        F.explode(seeds).alias("seed"), "key", "user_id"
+    ).select("seed", bucket(F.col("seed"), F.col("key")).alias("bucket"))
+    cells = hashed.groupBy("seed", "bucket").agg(F.count("*").cast("bigint").alias("cnt"))
+
+    truec = e.groupBy("user_id", "key").agg(F.count("*").cast("bigint").alias("true_cnt"))
+    # global top-10 via sort+limit -> TakeOrderedAndProject (per-partition
+    # partial top-k, merged on the driver) — NOT a no-partition row_number
+    # window, which would plan Exchange SinglePartition over the full key
+    # table (the sort_multikey_nulls cliff the r7 audit closed)
+    top = truec.orderBy(F.col("true_cnt").desc(), F.col("user_id").asc()).limit(10)
+    probes = top.select(
+        "user_id", "true_cnt", F.explode(seeds).alias("seed"), F.col("key")
+    ).select("user_id", "true_cnt", "seed", bucket(F.col("seed"), F.col("key")).alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id", "true_cnt", "cms_est", (F.col("cms_est") - F.col("true_cnt")).alias("overcount")
+    )
+
+
+@op(
+    "fn_higher_order",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS INT))) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(arr) AS INT) AS n_items,
+           CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS qty_sum,
+           CAST(len(list_filter(arr, x -> x >= 30)) AS INT) AS n_big,
+           len(list_filter(arr, x -> x >= 49)) > 0 AS has_49,
+           len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos,
+           array_to_string(arr[1:3], '-') AS head3,
+           CAST(list_sum(list_transform(generate_series(1, len(arr)),
+                                        i -> arr[i] * i)) AS BIGINT) AS idx_weighted,
+           CAST(CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS DOUBLE)
+             / len(arr) AS qty_avg
+    FROM g
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function family (§2.G companion to fn_array):
+    per-order sorted quantity arrays pushed through the lambda builtins —
+    aggregate (fold-sum), filter+size, exists, forall, slice+concat_ws,
+    zip_with against a generated index sequence (position-weighted sum) —
+    every one a JVM-side Catalyst expression inside whole-stage codegen,
+    the fast path the engine offers INSTEAD of a Python UDF for ragged
+    array logic. DuckDB mirrors each lambda with its list_* twin, so the
+    op is EXACT end to end (integer math throughout).
+
+    One groupBy(orderkey) shuffle builds the arrays (sort_array makes
+    collect order deterministic); everything after is embarrassingly
+    parallel per-row expression work."""
+    li = load(spark, sf_dir).lineitem.select(
+        "l_orderkey", F.col("l_quantity").cast("int").alias("q")
+    )
+    g = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_list("q")).alias("arr"))
+    arr = F.col("arr")
+    qty_sum = F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n = F.size(arr)
+    return g.select(
+        "l_orderkey",
+        n.cast("int").alias("n_items"),
+        qty_sum.alias("qty_sum"),
+        F.size(F.filter(arr, lambda x: x >= 30)).cast("int").alias("n_big"),
+        F.exists(arr, lambda x: x >= 49).alias("has_49"),
+        F.forall(arr, lambda x: x > 0).alias("all_pos"),
+        F.concat_ws("-", F.transform(F.slice(arr, 1, 3), lambda x: x.cast("string"))).alias(
+            "head3"
+        ),
+        F.aggregate(
+            F.zip_with(arr, F.sequence(F.lit(1), n), lambda x, i: (x * i).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("idx_weighted"),
+        (qty_sum.cast("double") / n).alias("qty_avg"),
+    )

@@ -1086,3 +1086,162 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= K_NEIGHBORS)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+# MMR re-ranking: pool of MMR_POOL exact top-cosine candidates per query,
+# greedy maximal-marginal-relevance selection of MMR_K with trade-off
+# MMR_LAMBDA — score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s). The
+# retrieval-diversity standard (Carbonell & Goldstein 1998), here fully
+# declarative: k fixed unrolled DataFrame steps, no per-query Python.
+MMR_POOL = 10
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in plain SQL: sel_k builds on sel_{k-1} via a
+    penalty join + windowed argmax — the same k-1 fixed steps the Spark
+    plan runs, so the selection is identical by construction."""
+    sql = _ORACLE_SIMS_CTE + f"""
+    , cand AS (
+      SELECT vec_id, neighbor_id, round(sim, 4) AS rsim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    ), c10 AS (SELECT vec_id, neighbor_id, rsim FROM cand WHERE rn <= {MMR_POOL}),
+    pairs AS (
+      SELECT a.vec_id AS q, a.neighbor_id AS x, b.neighbor_id AS y, round(s.sim, 4) AS psim
+      FROM c10 a JOIN c10 b ON a.vec_id = b.vec_id AND a.neighbor_id <> b.neighbor_id
+      JOIN sims s ON s.vec_id = a.neighbor_id AND s.neighbor_id = b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT vec_id, neighbor_id, rsim, 1 AS mmr_rank FROM (
+        SELECT vec_id, neighbor_id, rsim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY rsim DESC, neighbor_id ASC) AS rn
+        FROM c10) WHERE rn = 1
+    )"""
+    for k in range(2, MMR_K + 1):
+        prev = f"sel{k - 1}"
+        sql += f""",
+    pen{k} AS (
+      SELECT p.q, p.x, max(p.psim) AS pen
+      FROM pairs p JOIN {prev} s ON s.vec_id = p.q AND s.neighbor_id = p.y
+      GROUP BY p.q, p.x
+    ),
+    step{k} AS (
+      SELECT vec_id, neighbor_id, rsim, {k} AS mmr_rank FROM (
+        SELECT c.vec_id, c.neighbor_id, c.rsim,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {MMR_LAMBDA} * c.rsim - {round(1 - MMR_LAMBDA, 10)} * p.pen DESC,
+                                           c.neighbor_id ASC) AS rn
+        FROM c10 c
+        JOIN pen{k} p ON p.q = c.vec_id AND p.x = c.neighbor_id
+        LEFT JOIN {prev} s ON s.vec_id = c.vec_id AND s.neighbor_id = c.neighbor_id
+        WHERE s.neighbor_id IS NULL) WHERE rn = 1
+    ),
+    sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{k})"""
+    sql += f"""
+    SELECT vec_id, CAST(mmr_rank AS INT) AS mmr_rank, neighbor_id, rsim AS sim
+    FROM sel{MMR_K}
+    """
+    return sql
+
+
+@op("sim_rerank_mmr", oracle=_mmr_oracle())
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (r8 addition): each query's
+    exact top-{MMR_POOL} cosine pool is greedily re-ranked to {MMR_K}
+    results balancing relevance against redundancy — score = λ·sim(q,d) −
+    (1−λ)·max sim(d, selected), λ=0.7 — the standard diversification pass
+    a RAG / retrieval stack runs between ANN search and the prompt window
+    (near-duplicate passages waste context; MMR keeps one of each).
+
+    Fully declarative: the pool comes from the blocked broadcast-index
+    kernel (sim_cosine_knn's plan, pool depth {MMR_POOL}); candidate-pair
+    cosines are an _exact_rescore over the ≤ pool²·n_q DISTINCT pairs; the
+    greedy loop is {MMR_K}−1 unrolled join+window steps over those two
+    pinned frames — each step's state is ≤ k rows/query, pinned so
+    Catalyst never re-inlines the growing selection subtree (the minhash
+    5×-recompute trap). The DuckDB oracle unrolls the identical steps, so
+    the op stays EXACT despite being an iterative algorithm. Ordering
+    compares only rounded sims and fixed-literal double arithmetic on
+    them — bit-identical cross-engine.
+
+    Scale: every stage is keyed by query id or (query, candidate) — work
+    is linear in queries × pool², never corpus²; the pool itself comes
+    from the chunk-bounded exact kernel (or, at 100 TB, any ANN sibling —
+    the re-rank consumes (vec_id, neighbor_id, sim) triples, not vectors).
+    """
+    e = load(spark, sf_dir).embeddings
+
+    def emit(np, pd, qids, aids, sims):
+        self_mask = qids[:, None] == aids[None, :]
+        sims = np.where(self_mask, -np.inf, sims)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :MMR_POOL]
+        rows = np.arange(len(qids))[:, None]
+        keep = np.isfinite(sims[rows, top])
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qids, top.shape[1])[keep.ravel()],
+                "neighbor_id": aids[top].ravel()[keep.ravel()],
+                "sim": sims[rows, top].ravel()[keep.ravel()],
+            }
+        )
+
+    union = _blocked_result(spark, sf_dir, emit, "vec_id bigint, neighbor_id bigint, sim double")
+    w10 = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    cand = pin(
+        union.withColumn("rn", F.row_number().over(w10))
+        .where(F.col("rn") <= MMR_POOL)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("rsim"))
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    dpairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+    ).select(
+        F.col("a.vec_id").alias("q"),
+        F.col("a.neighbor_id").alias("x"),
+        F.col("b.neighbor_id").alias("y"),
+    )
+    uniq = dpairs.select(F.col("x").alias("vec_id"), F.col("y").alias("neighbor_id")).distinct()
+    psims = _exact_rescore(e, uniq).select(
+        F.col("vec_id").alias("x"), F.col("neighbor_id").alias("y"), F.round("sim", 4).alias("psim")
+    )
+    pairs = pin(dpairs.join(psims, ["x", "y"]).select("q", "x", "y", "psim"))
+
+    w1 = Window.partitionBy("vec_id").orderBy(F.col("rsim").desc(), F.col("neighbor_id").asc())
+    sel = pin(
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "rsim", F.lit(1).alias("mmr_rank"))
+    )
+    for k in range(2, MMR_K + 1):
+        sel_qy = sel.select(F.col("vec_id").alias("q"), F.col("neighbor_id").alias("y"))
+        pen = pairs.join(sel_qy, ["q", "y"]).groupBy("q", "x").agg(F.max("psim").alias("pen"))
+        sel_key = sel.select(F.col("vec_id").alias("svec"), F.col("neighbor_id").alias("sid"))
+        rem = cand.join(
+            sel_key,
+            (F.col("vec_id") == F.col("svec")) & (F.col("neighbor_id") == F.col("sid")),
+            "left_anti",
+        )
+        scored = rem.join(
+            pen, (rem["vec_id"] == pen["q"]) & (rem["neighbor_id"] == pen["x"])
+        ).select("vec_id", "neighbor_id", "rsim", "pen")
+        w_k = Window.partitionBy("vec_id").orderBy(
+            (F.lit(MMR_LAMBDA) * F.col("rsim") - F.lit(round(1 - MMR_LAMBDA, 10)) * F.col("pen")).desc(),
+            F.col("neighbor_id").asc(),
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(w_k))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "neighbor_id", "rsim", F.lit(k).alias("mmr_rank"))
+        )
+        sel = pin(sel.unionByName(nxt))
+    return sel.select(
+        "vec_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "neighbor_id",
+        F.col("rsim").alias("sim"),
+    )

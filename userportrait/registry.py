@@ -67,18 +67,19 @@ _LOADED = False
 # r08 window (scripts/rotate_window.py over CORRECTNESS_r01..r07: all 177
 # prior ops green, 0 failed ever — the registry closed at 100% in r7, so
 # this is a hardening-round rotation). The never-driver-graded r8 additions
-# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the
+# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the first
 # continuation set: sim_knn_pq, events_attribution, sink_scd2,
-# text_bm25_keywords). Next: ops
+# text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
+# agg_cms_topk, fn_higher_order, sim_rerank_mmr). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
 # dedup_jaccard_verify (verification body factored into the helper the
 # capped variant shares), sim_knn_ivf (probe/rescore factored into the
 # helper the kmeans variant shares). The filler is the oldest-evidence
-# greens, oldest first: the r04-vintage block (the leading r05 rows that
-# padded the pre-continuation window rotated back out when the four new
-# ops took their slots).
+# greens, oldest first: the r04-vintage block (the r04/r05 rows that padded
+# the pre-continuation windows rotated back out as the nine new ops took
+# their slots).
 GRADE_FIRST: tuple[str, ...] = (
     # never driver-graded: r8 additions
     "sim_knn_ivf_kmeans",
@@ -87,6 +88,11 @@ GRADE_FIRST: tuple[str, ...] = (
     "events_attribution",
     "sink_scd2",
     "text_bm25_keywords",
+    "tag_decay_score",
+    "events_ab_ttest",
+    "agg_cms_topk",
+    "fn_higher_order",
+    "sim_rerank_mmr",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -130,11 +136,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_session",
     "stream_dedup_watermark",
     "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_apply_in_pandas",
-    "udf_map_in_pandas",
-    "udtf_python",
 )
 
 
