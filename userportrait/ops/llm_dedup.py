@@ -584,3 +584,83 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_families"),
         (F.col("family_size") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+CONTAIN_MIN = 0.8  # smaller-side containment: |A∩B| / min(|A|,|B|)
+
+
+@op(
+    "dedup_containment",
+    oracle=_CAND_CTE_DUCK
+    + f"""
+    , sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL_DUCK}) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CASE WHEN sa.n_sh <= sb.n_sh THEN i.doc_a ELSE i.doc_b END AS doc_contained,
+           round(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {CONTAIN_MIN}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (r8 addition): for each LSH candidate
+    pair, the SMALLER shingle set's containment |A∩B| / min(|A|,|B|) —
+    the signal Jaccard misses when a short document is wholly quoted
+    inside a long one (J = |A|/|B| stays low while containment hits 1.0).
+    The quote/boilerplate/sub-document duplication detector a crawl
+    pipeline runs alongside symmetric near-dup; emits the pair, which doc
+    is the contained one, and both scores for the keep/drop policy.
+
+    Same scale shape as dedup_jaccard_verify: banded-MinHash candidates
+    only (never n² pairs), one JVM array_intersect per pair over pinned
+    distinct-shingle arrays (_jaccard_on_candidates's kernel, shared via
+    the same shingle-array construction). Threshold 0.8 sits far from the
+    fixture's score gap (1.00 vs 0.56), so the cut is ulp-safe
+    cross-engine."""
+    d = load(spark, sf_dir).documents
+    cand = minhash_candidates(d, with_sigs=False)
+    sh = (
+        d.repartition(64, "doc_id")
+        .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("n_sh"))
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
+    )
+    j = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    cont = F.col("n_inter").cast("double") / F.least("na", "nb")
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        j.where(cont >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_contained"),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

@@ -1010,32 +1010,49 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         def gen(batches):
-            aids, acodes = bc.value  # acodes: (chunk, PQ_M) uint8
+            # pcodes: (chunk, PQ_M//2) uint8 — adjacent 4-bit codes packed
+            # into one byte driver-side, so the scan gathers from 4
+            # PAIR-SUM tables of 256 entries instead of 8 tables of 16
+            # (half the fancy-index traffic — the dominant cost: the r8
+            # profile put 425 of 696 s in this loop before packing)
+            aids, pcodes = bc.value
             rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(aids)))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 qids = pdf["vec_id"].to_numpy(np.int64)
                 Q = np.array(pdf["u"].tolist(), dtype=np.float64)
-                # Tq[b, s, k] = <q_sub, centroid> — the ADC lookup tables
-                Tq = np.einsum("bsd,skd->bsk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books)
+                # Tq[b, s, k] = <q_sub, centroid>, pair-summed into
+                # Tp[b, p, c0*16+c1]; float32 — the ADC scan is the
+                # approximate stage (the exact f64 rescore follows), and
+                # f32 halves the gather bandwidth
+                Tq = np.einsum(
+                    "bsd,skd->bsk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books
+                ).astype(np.float32)
+                Tp = (Tq[:, 0::2, :, None] + Tq[:, 1::2, None, :]).reshape(
+                    len(Q), PQ_M // 2, PQ_K * PQ_K
+                )
                 out = []
                 for t0 in range(0, len(qids), rows_per_tile):
-                    T = Tq[t0 : t0 + rows_per_tile]
-                    sims = np.zeros((len(T), len(aids)))
-                    for s in range(PQ_M):
-                        sims += T[:, s, :][:, acodes[:, s]]
+                    T = Tp[t0 : t0 + rows_per_tile]
+                    sims = np.zeros((len(T), len(aids)), dtype=np.float32)
+                    for p in range(PQ_M // 2):
+                        sims += T[:, p, :][:, pcodes[:, p]]
                     sims[qids[t0 : t0 + rows_per_tile, None] == aids[None, :]] = -np.inf
                     k = min(PQ_CAND, sims.shape[1])
-                    order = np.lexsort((np.broadcast_to(aids, sims.shape), -sims), axis=1)[:, :k]
-                    sel = np.take_along_axis(sims, order, axis=1)
+                    # per-chunk candidates need no intra-chunk order — the
+                    # global top-PQ_CAND window sorts the union by
+                    # (asim desc, id asc); argpartition (deterministic on
+                    # identical input) avoids lexsorting tile×chunk rows
+                    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+                    sel = np.take_along_axis(sims, top, axis=1)
                     keep = np.isfinite(sel)
                     out.append(
                         pd.DataFrame(
                             {
                                 "vec_id": np.repeat(qids[t0 : t0 + rows_per_tile], k)[keep.ravel()],
-                                "neighbor_id": aids[order].ravel()[keep.ravel()],
-                                "asim": sel.ravel()[keep.ravel()],
+                                "neighbor_id": aids[top].ravel()[keep.ravel()],
+                                "asim": sel.ravel()[keep.ravel()].astype(np.float64),
                             }
                         )
                     )
@@ -1058,10 +1075,16 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy(np.int64)
             packed = pdf["code"].to_numpy(np.int64)
-            acodes = np.stack([(packed >> (4 * s)) & 0xF for s in range(PQ_M)], axis=1).astype(
-                np.uint8
-            )
-            bc = spark.sparkContext.broadcast((ids, acodes))
+            # pair-packed: pcodes[:, p] = code_{2p}*16 + code_{2p+1}, the
+            # flat index into the kernel's 256-entry pair-sum tables
+            pcodes = np.stack(
+                [
+                    ((packed >> (8 * p)) & 0xF) * 16 + ((packed >> (8 * p + 4)) & 0xF)
+                    for p in range(PQ_M // 2)
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            bc = spark.sparkContext.broadcast((ids, pcodes))
             try:
                 partials.append(
                     pin(q.mapInPandas(adc_kernel(bc), "vec_id long, neighbor_id long, asim double"))

@@ -70,7 +70,8 @@ _LOADED = False
 # lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the first
 # continuation set: sim_knn_pq, events_attribution, sink_scd2,
 # text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
-# agg_cms_topk, fn_higher_order, sim_rerank_mmr). Next: ops
+# agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment). Next:
+# ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -93,6 +94,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_cms_topk",
     "fn_higher_order",
     "sim_rerank_mmr",
+    "dedup_containment",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -135,7 +137,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_sliding",
     "stream_session",
     "stream_dedup_watermark",
-    "udf_python_scalar",
 )
 
 
