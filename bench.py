@@ -19,6 +19,7 @@ round-over-round instead, VERDICT r6 item 5): the 80+ corpus ops were
 previously invisible to the per-round perf gate.
   q_clean_pipeline  → doc_clean_pipeline (C4-style clean chain)
   q_minhash         → dedup_near_minhash (shingle→minhash→band→bucket-join)
+  q_bm25            → text_bm25_keywords (single-tf-scan BM25 top-3/doc)
 """
 
 from __future__ import annotations
@@ -96,6 +97,7 @@ def main() -> int:
         "q_vector_knn": ops["sim_cosine_knn"].fn,
         "q_clean_pipeline": ops["doc_clean_pipeline"].fn,
         "q_minhash": ops["dedup_near_minhash"].fn,
+        "q_bm25": ops["text_bm25_keywords"].fn,
     }
     # Queries whose op body EXECUTES work at plan-declaration time: the
     # blocked kNN pins per-chunk partials eagerly (so each broadcast can be
