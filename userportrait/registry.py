@@ -70,8 +70,8 @@ _LOADED = False
 # lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the first
 # continuation set: sim_knn_pq, events_attribution, sink_scd2,
 # text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
-# agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment). Next:
-# ops
+# agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment,
+# events_rolling_distinct_users, tag_rule_dsl). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -95,6 +95,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "fn_higher_order",
     "sim_rerank_mmr",
     "dedup_containment",
+    "events_rolling_distinct_users",
+    "tag_rule_dsl",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -135,8 +137,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_tumbling",
     "stream_late_data",
     "stream_sliding",
-    "stream_session",
-    "stream_dedup_watermark",
 )
 
 
