@@ -770,3 +770,21 @@ def test_pq_pair_packed_adc_matches_direct_table_sum():
     for s in range(PQ_M):
         sims_direct += Tq[:, s, :][:, codes[:, s]]
     assert np.allclose(sims_packed, sims_direct, rtol=1e-5, atol=1e-5)
+
+
+def test_hll_rolling_tracks_exact_rolling(spark):
+    """agg_hll_rolling_distinct (ROWS-only) invariants: run-stable, one
+    row per observed day with 1 <= merged-day count <= 7, and every day's
+    sketch-union estimate within ±5% of the exact rolling distinct
+    (events_rolling_distinct_users — the op it swap-replaces at scale)."""
+    a = sorted(map(tuple, OPS["agg_hll_rolling_distinct"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["agg_hll_rolling_distinct"].fn(spark, SF_DIR).collect()))
+    assert a == b, "HLL rolling must be run-stable"
+    exact = {
+        r.day: r.wau_trailing_7d
+        for r in OPS["events_rolling_distinct_users"].fn(spark, SF_DIR).collect()
+    }
+    assert {t[0] for t in a} == set(exact)
+    for day, est, n_days in a:
+        assert 1 <= n_days <= 7
+        assert abs(est - exact[day]) <= 0.05 * exact[day] + 2, (day, est, exact[day])

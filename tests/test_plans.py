@@ -438,6 +438,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "tag_decay_score": "global max-date anchor scalar (1 row)",
         "events_ab_ttest": "arm-pivot aggregate over the 2-row arm frame",
         "text_bm25_keywords": "N-docs + total-token scalar aggregates (1 row each)",
+        "doc_split_drift": "per-split token-total scalar aggregate (1 row)",
     }
     offenders = {}
     for name in OPS:
@@ -483,6 +484,8 @@ def test_no_unaudited_broadcast_hints():
             "per-event-type moments (<= #event_types rows)",
         ("curation.py", 'probes.join(F.broadcast(cells), ["seed", "bucket"])'):
             "count-min sketch cell table (CMS_D x CMS_W = 256 rows by construction)",
+        ("curation.py", "return wide.crossJoin(F.broadcast(tots)).select("):
+            "1-row scalar frame (per-split token totals)",
         ("curation.py", "e.crossJoin(F.broadcast(anchor))"):
             "1-row global week-anchor scalar",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):

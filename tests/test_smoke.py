@@ -31,6 +31,7 @@ def test_registry_contract(spark):
         "ml_lr_propensity",
         "sim_knn_ivf_kmeans",
         "sim_knn_pq",
+        "agg_hll_rolling_distinct",
     }, rows_only
 
 

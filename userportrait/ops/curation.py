@@ -2213,3 +2213,123 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(contrib["day_w"].cast("timestamp").alias("day"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau_trailing_7d"))
     )
+
+
+@op("agg_hll_rolling_distinct", oracle=None)
+def agg_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch form of ``events_rolling_distinct_users`` — the shape
+    that op's docstring names as its 100 TB swap-in: one HLL sketch per
+    (user-activity) day (constant memory, map-side combinable), then each
+    report day UNIONS its trailing-7 daily sketches instead of
+    re-counting distinct users over raw events. Sketch union replaces the
+    7× row expansion with a 7× union of ~KB sketches — memory and shuffle
+    become independent of user cardinality, the property that matters
+    when days have 10⁸ actives. Output: (day, wau_est, n_days_merged).
+
+    ROWS-only by design (engine-specific DataSketches estimates); the
+    invariant test asserts the estimate lands within ±5% of the EXACT
+    sibling on every day and that run-to-run output is identical."""
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(F.to_date("ts").alias("aday")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("aday"), F.date_add(F.col("aday"), 6))).alias("day_w"),
+        "sk",
+        F.col("aday"),
+    )
+    grid = daily.select(F.col("aday").alias("gday")).distinct()
+    return (
+        contrib.join(grid, contrib["day_w"] == grid["gday"])
+        .groupBy(contrib["day_w"].cast("timestamp").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("wau_est"),
+            F.count("*").cast("bigint").alias("n_days_merged"),
+        )
+    )
+
+
+@op(
+    "doc_split_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT (instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('{HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket,
+             text
+      FROM documents
+    ), sp AS (
+      SELECT CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split, text
+      FROM b
+    ), tok AS (
+      SELECT split, unnest(string_split(text, ' ')) AS token FROM sp
+      WHERE split <> 'valid'
+    ), cnt AS (
+      SELECT split, token, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY split, token
+    ), tot AS (
+      SELECT split, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY split
+    ), wide AS (
+      SELECT c.token,
+             CAST(coalesce(max(CASE WHEN c.split = 'train' THEN c.n END), 0) AS BIGINT) AS n_train,
+             CAST(coalesce(max(CASE WHEN c.split = 'test' THEN c.n END), 0) AS BIGINT) AS n_test
+      FROM cnt c GROUP BY c.token
+    )
+    SELECT w.token, w.n_train, w.n_test,
+           CAST(w.n_train AS DOUBLE) / tr.tot AS p_train,
+           CAST(w.n_test AS DOUBLE) / te.tot AS p_test,
+           CAST(w.n_train AS DOUBLE) / tr.tot - CAST(w.n_test AS DOUBLE) / te.tot AS delta
+    FROM wide w
+    CROSS JOIN (SELECT tot FROM tot WHERE split = 'train') tr
+    CROSS JOIN (SELECT tot FROM tot WHERE split = 'test') te
+    """,
+)
+def doc_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift audit between the deterministic train and
+    test splits (doc_train_split's md5-bucket assignment, reproduced here
+    so the audit runs WITHOUT materializing the split) — the check a
+    training pipeline runs before trusting its heldout numbers: a token
+    whose probability mass differs materially between splits signals a
+    skewed split or temporally clustered data. Per token: counts, per-
+    split probabilities, and the signed probability delta — ranked by the
+    consumer, no transcendentals anywhere, so every column is exact
+    IEEE-from-exact-integers and the op differentials bit-for-bit.
+
+    One tokenize scan with the split label attached map-side, one
+    (split, token) groupBy (map-side combinable), two scalar totals
+    broadcast back. Vocabulary-sized output at any corpus scale."""
+    d = load(spark, sf_dir).documents
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    )
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "valid").otherwise("test")
+    )
+    tok = (
+        d.select(split.alias("split"), F.explode(F.split("text", " ")).alias("token"))
+        .where((F.col("split") != "valid") & (F.col("token") != ""))
+    )
+    cnt = tok.groupBy("split", "token").agg(F.count("*").cast("bigint").alias("n"))
+    wide = cnt.groupBy("token").agg(
+        F.coalesce(F.max(F.when(F.col("split") == "train", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.coalesce(F.max(F.when(F.col("split") == "test", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    tots = cnt.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", F.col("n"))).cast("bigint").alias("tot_train"),
+        F.sum(F.when(F.col("split") == "test", F.col("n"))).cast("bigint").alias("tot_test"),
+    )
+    p_train = F.col("n_train").cast("double") / F.col("tot_train")
+    p_test = F.col("n_test").cast("double") / F.col("tot_test")
+    return wide.crossJoin(F.broadcast(tots)).select(
+        "token",
+        "n_train",
+        "n_test",
+        p_train.alias("p_train"),
+        p_test.alias("p_test"),
+        (p_train - p_test).alias("delta"),
+    )

@@ -71,7 +71,8 @@ _LOADED = False
 # continuation set: sim_knn_pq, events_attribution, sink_scd2,
 # text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
 # agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment,
-# events_rolling_distinct_users, tag_rule_dsl). Next: ops
+# events_rolling_distinct_users, tag_rule_dsl, agg_hll_rolling_distinct,
+# doc_split_drift). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -97,6 +98,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "dedup_containment",
     "events_rolling_distinct_users",
     "tag_rule_dsl",
+    "agg_hll_rolling_distinct",
+    "doc_split_drift",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -135,8 +138,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "embed_label_centroid",
     "embed_norm_stats",
     "stream_tumbling",
-    "stream_late_data",
-    "stream_sliding",
 )
 
 
