@@ -788,3 +788,77 @@ def test_hll_rolling_tracks_exact_rolling(spark):
     for day, est, n_days in a:
         assert 1 <= n_days <= 7
         assert abs(est - exact[day]) <= 0.05 * exact[day] + 2, (day, est, exact[day])
+
+
+def test_pca_projection_invariants(spark):
+    """embed_pca_project (ROWS-only) invariants: run-stable, components
+    centered, variances in descending order, cross-component covariance
+    ~0 (orthogonal projection of a centered cloud), and each component's
+    empirical variance equal to the matching covariance eigenvalue —
+    recomputed independently with numpy from the raw parquet."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def pull():
+        rows = OPS["embed_pca_project"].fn(spark, SF_DIR).collect()
+        return np.array(sorted([r.vec_id, r.pc1, r.pc2, r.pc3, r.pc4] for r in rows))
+
+    a, b = pull(), pull()
+    assert np.allclose(a, b, atol=1e-9), "PCA must be run-stable"
+    P = a[:, 1:]
+    n = len(P)
+    assert np.abs(P.mean(0)).max() < 1e-8, "components must be centered"
+    C = (P.T @ P) / (n - 1)
+    var = np.diag(C).copy()
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1)), var
+    off = C - np.diag(var)
+    assert np.abs(off).max() < 1e-6 * var[0], "components must be uncorrelated"
+    X = np.stack(pq.read_table(f"{SF_DIR}/embeddings.parquet")["embedding"].to_pylist()).astype(
+        np.float64
+    )
+    evals = np.sort(np.linalg.eigvalsh(np.cov(X.T)))[::-1][: len(var)]
+    assert np.allclose(var, evals, rtol=1e-6), (var, evals)
+    assert var.sum() <= np.trace(np.cov(X.T)) + 1e-9
+
+
+def test_als_recs_invariants(spark):
+    """ml_als_recs (ROWS-only) invariants: run-stable with the fixed seed,
+    exactly 5 recs per customer with ranks 1..5 and non-increasing scores,
+    recommended parts drawn from the part universe, and a data-derived
+    quality gate: the share of customers whose top-5 contains a part they
+    actually purchased must be at least the random-5-picks base rate
+    1-(1-items_per_user/n_parts)^5 (minus 5pp slack) — at sf0.01 the
+    implicit-ALS rate is >3x that base (0.29 vs 0.087); at the dense
+    sf0.001 fixture the base saturates, so the gate degrades to parity,
+    never below."""
+    a = sorted(map(tuple, OPS["ml_als_recs"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["ml_als_recs"].fn(spark, SF_DIR).collect()))
+    assert a == b, "ALS must be run-stable under the fixed seed"
+    per_user = {}
+    for cust, rank, part, score in a:
+        per_user.setdefault(cust, []).append((rank, part, score))
+    t = load(spark, SF_DIR)
+    parts = {r.p_partkey for r in t.part.select("p_partkey").collect()}
+    for cust, recs in per_user.items():
+        recs.sort()
+        assert [r[0] for r in recs] == [1, 2, 3, 4, 5]
+        scores = [r[2] for r in recs]
+        assert all(s == s and s < float("inf") for s in scores)
+        assert all(scores[i] >= scores[i + 1] for i in range(4)), (cust, scores)
+        assert {r[1] for r in recs} <= parts
+    purch = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    )
+    bought = {}
+    for r in purch:
+        bought.setdefault(r.c, set()).add(r.p)
+    hit = sum(
+        1 for cust, recs in per_user.items() if {x[1] for x in recs} & bought.get(cust, set())
+    )
+    hit_rate = hit / len(per_user)
+    avg_items = sum(len(v) for v in bought.values()) / len(bought)
+    base = 1 - (1 - avg_items / len(parts)) ** 5
+    assert hit_rate >= base - 0.05, (hit_rate, base)

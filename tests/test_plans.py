@@ -327,6 +327,8 @@ def test_no_unaudited_driver_side_pulls():
             "scalar: incremental-agg batch split point",
         ("ranking.py", "combos = work.groupBy(*b_cols).count().collect()"):
             "bounded: <= 32^3-row bucket-count metadata frame",
+        ("llm_similarity.py", "parts = pf.collect()"):
+            "bounded: <= #partitions PCA moment rows (d + d^2 doubles each)",
     }
     found = set()
     for py in root.rglob("*.py"):
@@ -439,6 +441,8 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "events_ab_ttest": "arm-pivot aggregate over the 2-row arm frame",
         "text_bm25_keywords": "N-docs + total-token scalar aggregates (1 row each)",
         "doc_split_drift": "per-split token-total scalar aggregate (1 row)",
+        "dq_profile_columns": "whole-table profile aggregate (1 row, unpivoted to #columns)",
+        "text_cooccur_lift": "N-docs scalar aggregate (1 row)",
     }
     offenders = {}
     for name in OPS:

@@ -32,6 +32,8 @@ def test_registry_contract(spark):
         "sim_knn_ivf_kmeans",
         "sim_knn_pq",
         "agg_hll_rolling_distinct",
+        "embed_pca_project",
+        "ml_als_recs",
     }, rows_only
 
 

@@ -2333,3 +2333,136 @@ def doc_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_test.alias("p_test"),
         (p_train - p_test).alias("delta"),
     )
+
+
+@op(
+    "dq_profile_columns",
+    oracle="""
+    WITH o AS (
+      SELECT *, CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END AS urgent_flag
+      FROM orders
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+             CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+             CAST(sum(CAST(o_orderkey AS DECIMAL(38,0))) AS DOUBLE) / count(o_orderkey) AS av1,
+             CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+             CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
+             CAST(sum(CAST(o_custkey AS DECIMAL(38,0))) AS DOUBLE) / count(o_custkey) AS av2,
+             CAST(count(o_totalprice) AS BIGINT) AS nn3, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn3, CAST(max(o_totalprice) AS DOUBLE) AS mx3,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(o_totalprice) AS av3,
+             CAST(count(o_orderdate) AS BIGINT) AS nn4, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+             CAST(min(CAST(epoch(o_orderdate) AS BIGINT)) AS DOUBLE) AS mn4,
+             CAST(max(CAST(epoch(o_orderdate) AS BIGINT)) AS DOUBLE) AS mx4,
+             CAST(sum(CAST(CAST(epoch(o_orderdate) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+               / count(o_orderdate) AS av4,
+             CAST(count(o_orderstatus) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd5,
+             min(o_orderstatus) AS mns5, max(o_orderstatus) AS mxs5,
+             CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+             min(o_orderpriority) AS mns6, max(o_orderpriority) AS mxs6,
+             CAST(count(urgent_flag) AS BIGINT) AS nn7, CAST(count(DISTINCT urgent_flag) AS BIGINT) AS nd7,
+             min(urgent_flag) AS mns7, max(urgent_flag) AS mxs7
+      FROM o
+    )
+    SELECT 'o_orderkey' AS col, n_rows, n_rows - nn1 AS n_nulls, nd1 AS n_distinct,
+           mn1 AS min_num, mx1 AS max_num, av1 AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2, av2, NULL, NULL FROM s
+    UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn3, nd3, mn3, mx3, av3, NULL, NULL FROM s
+    UNION ALL SELECT 'o_orderdate_epoch_s', n_rows, n_rows - nn4, nd4, mn4, mx4, av4, NULL, NULL FROM s
+    UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn5, nd5, NULL, NULL, NULL, mns5, mxs5 FROM s
+    UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, NULL, NULL, NULL, mns6, mxs6 FROM s
+    UNION ALL SELECT 'urgent_flag', n_rows, n_rows - nn7, nd7, NULL, NULL, NULL, mns7, mxs7 FROM s
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler (the Deequ/Great-Expectations primitive a
+    pipeline runs before trusting a new drop): one row per column with row
+    count, null count, exact distinct count, min/max, and mean — numerics
+    (incl. timestamp as epoch seconds) in double columns, strings
+    lexicographic, plus a derived nullable flag column so null accounting
+    is exercised. Means are decimal-exact sums divided once (fixed-order
+    IEEE on both engines, the agg_stats policy); every cell is exact.
+
+    Scale shape: ONE aggregate over the table — Spark rewrites the
+    multi-column COUNT(DISTINCT) via Expand (7× row fan-out, map-side
+    combined down to each column's value universe before the shuffle), so
+    cost is one scan + per-column-cardinality shuffle, not 7 scans. The
+    final 1-row frame unpivots to 7 rows driver-free via explode(array(
+    struct)). At 100 TB swap exact distinct for approx_count_distinct /
+    HLL (agg_hll_partitioned_merge is the mergeable form) — documented,
+    not silently approximated here."""
+    o = load(spark, sf_dir).orders.withColumn(
+        "urgent_flag",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderpriority")),
+    ).withColumn("o_epoch", F.unix_seconds("o_orderdate"))
+
+    def num_stats(c, dec):
+        return [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+            (F.sum(F.col(c).cast(dec)).cast("double") / F.count(c)).alias(f"av_{c}"),
+        ]
+
+    def str_stats(c):
+        return [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"mns_{c}"),
+            F.max(c).alias(f"mxs_{c}"),
+        ]
+
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *num_stats("o_orderkey", "decimal(38,0)"),
+        *num_stats("o_custkey", "decimal(38,0)"),
+        *num_stats("o_totalprice", "decimal(38,4)"),
+        *num_stats("o_epoch", "decimal(38,0)"),
+        *str_stats("o_orderstatus"),
+        *str_stats("o_orderpriority"),
+        *str_stats("urgent_flag"),
+    )
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+
+    def num_row(name, c):
+        return F.struct(
+            F.lit(name).alias("col"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_num"),
+            F.col(f"mx_{c}").alias("max_num"),
+            F.col(f"av_{c}").alias("avg_num"),
+            snull.alias("min_str"),
+            snull.alias("max_str"),
+        )
+
+    def str_row(name, c):
+        return F.struct(
+            F.lit(name).alias("col"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            dnull.alias("min_num"),
+            dnull.alias("max_num"),
+            dnull.alias("avg_num"),
+            F.col(f"mns_{c}").alias("min_str"),
+            F.col(f"mxs_{c}").alias("max_str"),
+        )
+
+    return a.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                num_row("o_orderkey", "o_orderkey"),
+                num_row("o_custkey", "o_custkey"),
+                num_row("o_totalprice", "o_totalprice"),
+                num_row("o_orderdate_epoch_s", "o_epoch"),
+                str_row("o_orderstatus", "o_orderstatus"),
+                str_row("o_orderpriority", "o_orderpriority"),
+                str_row("urgent_flag", "urgent_flag"),
+            )
+        ).alias("s"),
+    ).select("s.col", "n_rows", "s.n_nulls", "s.n_distinct", "s.min_num", "s.max_num", "s.avg_num", "s.min_str", "s.max_str")

@@ -1268,3 +1268,82 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("rsim").alias("sim"),
     )
+
+
+PCA_K = 4
+
+
+@op("embed_pca_project", oracle=None)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table, projecting every vector
+    onto its top-4 principal components — the dimensionality-reduction /
+    embedding-drift primitive (visualization grids, whitening before
+    clustering, drift monitoring between corpus drops).
+
+    Spark-first shape: the ONLY distributed work is a single
+    ``mapInPandas`` pass emitting one (count, Σx, XᵀX) moment row per
+    Arrow batch — numpy does each batch's d×d matmul, so the pass is one
+    scan with O(d²) state per task and NO shuffle at all. The driver
+    reduces the ≤#partitions moment rows (d + d² doubles each — metadata,
+    not data), forms the covariance, runs a d×d ``eigh`` (64×64 here —
+    microseconds; the d²-state design holds to d ≈ a few thousand, past
+    which the scale path is randomized-SVD sketching), sign-canonicalizes
+    each eigenvector (largest-|coeff| entry positive) so components are
+    stable across eigensolver builds, and ships the d×4 loadings back as
+    plan literals. Projection is a fixed-order zip_with/aggregate fold
+    per component — map-side, deterministic.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5: eigendecomposition is not
+    SQL-expressible). The invariant test pins run-stability, centered
+    means, variance ordering by component, cross-component orthogonality,
+    and agreement of each component's empirical variance with its
+    eigenvalue."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir).embeddings.repartition(16, "vec_id")
+
+    def moments(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {"n": [len(X)], "s": [X.sum(0).tolist()], "xx": [(X.T @ X).ravel().tolist()]}
+            )
+
+    pf = e.select("embedding").mapInPandas(moments, "n long, s array<double>, xx array<double>")
+    parts = pf.collect()
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    xx = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        xx += np.asarray(r["xx"]).reshape(d, d)
+    mu = s / n
+    cov = (xx - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj(j):
+        warr = F.array(*[F.lit(float(x)) for x in W[:, j]])
+        mu_dot = float(mu @ W[:, j])
+        return (
+            F.aggregate(F.zip_with(v, warr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            - F.lit(mu_dot)
+        ).alias(f"pc{j + 1}")
+
+    out = load(spark, sf_dir).embeddings
+    return out.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        *[proj(j) for j in range(PCA_K)],
+    )

@@ -623,3 +623,83 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", F.col("rn").cast("int").alias("kw_rank"), F.col("token").alias("keyword"), "score")
     )
+
+
+COOCCUR_V = 50
+COOCCUR_MIN = 5
+
+
+@op(
+    "text_cooccur_lift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ), vocab AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {COOCCUR_V}
+    ), vt AS (
+      SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)
+    ), pr AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+      HAVING count(*) >= {COOCCUR_MIN}
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT tok_a, tok_b, va.df AS n_a, vb.df AS n_b, n_ab,
+           CAST(n_ab * nd.n AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE) AS lift
+    FROM pr
+    JOIN vocab va ON pr.tok_a = va.tok
+    JOIN vocab vb ON pr.tok_b = vb.tok
+    CROSS JOIN nd
+    """,
+)
+def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift over the top-{V} vocabulary: for every
+    vocab pair co-occurring in >= {MIN} documents, P(a,b)/(P(a)P(b)) as
+    the exact rational n_ab*N / (n_a*n_b) — the collocation / topic-
+    affinity signal (pointwise mutual information is its log; the log is
+    monotone, so ranking by lift IS ranking by PMI, and skipping it keeps
+    every value exact-from-integers, the doc_split_drift policy).
+
+    Scale shape: doc-frequency groupBy (map-side combinable), top-V vocab
+    via orderBy+limit (TakeOrderedAndProject — never a global window),
+    semi-join restriction of the token table to V rows (AQE broadcasts
+    the tiny side on its own), then the pair self-join keyed on doc_id —
+    per-doc fan-out is C(min(V, doc tokens), 2), bounded by V² per doc,
+    and the pair aggregate lands on a <= V²/2-row grid. N-docs is a 1-row
+    scalar joined nested-loop; no driver collect anywhere."""
+    d = load(spark, sf_dir).documents
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), "tok").limit(COOCCUR_V)
+    vt = dt.join(vocab.select("tok"), "tok").select("doc_id", "tok")
+    a, b = vt.alias("a"), vt.alias("b")
+    pr = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= COOCCUR_MIN)
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+    return (
+        pr.join(va, "tok_a")
+        .join(vb, "tok_b")
+        .crossJoin(nd)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            ((F.col("n_ab") * F.col("n")).cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
+        )
+    )

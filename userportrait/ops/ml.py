@@ -120,3 +120,68 @@ def ml_lr_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("is_active"),
         F.round(p1, 3).alias("propensity"),
     ).orderBy("c_custkey")
+
+
+ALS_K = 5
+
+
+@op("ml_als_recs", oracle=None)
+def ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ALS collaborative filtering (the classic recommendation
+    mining tag): implicit ratings = per-(customer, part) total purchased
+    quantity rolled up from the fact table, rank-8 alternating least
+    squares, then top-5 part recommendations per customer, flattened to
+    (c_custkey, rec_rank, p_partkey, score) scalar rows.
+
+    Scale shape: the rating rollup is the only full-fact-table work — one
+    map-side-combinable groupBy to #customer×#part-sparse pairs. The ALS
+    fit itself is MLlib's blocked factorization (user/item factor blocks
+    shuffled per sweep — the engine's own distributed path, not a driver
+    loop), and recommendForAllUsers is a blocked factor×factor matmul
+    emitting only top-k per user, the same emit-only-top-k discipline as
+    the kNN family. Factors are rank×(users+items) — tiny relative to the
+    fact table at any scale; rank and iterations are the knobs that grow,
+    not data motion shape.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5, seeded-ML family): least-squares
+    internals differ across engines. Determinism within Spark: fixed
+    seed + fixed blocking; the invariant test pins run-stability, 5
+    descending-scored recs per customer, and a training-data hit-rate
+    gate (recommendations must beat the random-items base rate by a wide
+    margin)."""
+    from pyspark.ml.recommendation import ALS
+
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    ratings = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=10,
+        regParam=0.1,
+        seed=SEED,
+        implicitPrefs=True,
+        alpha=1.0,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(ALS_K)
+    return recs.select(
+        F.col("user").cast("bigint").alias("c_custkey"),
+        F.posexplode("recommendations").alias("idx", "rec"),
+    ).select(
+        "c_custkey",
+        (F.col("idx") + 1).cast("int").alias("rec_rank"),
+        F.col("rec.item").cast("bigint").alias("p_partkey"),
+        F.col("rec.rating").cast("double").alias("score"),
+    )

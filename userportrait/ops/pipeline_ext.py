@@ -812,3 +812,107 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the drop list scales with the corpus duplicate
     # RATE (30-50% of a raw crawl), not a bounded dim. AQE decides.
     return survivors.join(drop_ids, "doc_id", "left_anti")
+
+
+@op(
+    "graph_triangle_count",
+    oracle="""
+    WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+    ),
+    oed AS (SELECT oe.src, oe.dst, d.deg AS ddeg FROM oe JOIN deg d ON oe.dst = d.node),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oed e1
+      JOIN oed e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+      JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    tn AS (
+      SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+      UNION ALL SELECT c AS node FROM tri
+    )
+    SELECT d.node, d.deg AS degree, CAST(coalesce(t.cnt, 0) AS BIGINT) AS tri_cnt
+    FROM deg d LEFT JOIN (SELECT node, CAST(count(*) AS BIGINT) AS cnt
+                          FROM tn GROUP BY node) t USING (node)
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counting over the part co-purchase graph
+    (parts are adjacent when they share an order) — the clustering /
+    community-density primitive next to graph_pagerank and
+    dedup_cc_clusters in the graph family. Output: (node, degree,
+    tri_cnt) for every node, zero-filled.
+
+    The algorithm is the MapReduce-classic degree-ordered orientation
+    (Cohen 2009 / Suri-Vassilvitskii "Counting Triangles and the Curse of
+    the Last Reducer"): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, enumerate wedges from each source's
+    out-neighbors, then hash-join wedges against the oriented edge set.
+    Orientation bounds every out-degree by O(sqrt(2m)) — the hub that
+    makes naive wedge enumeration quadratic has huge in-degree but tiny
+    out-degree, so the wedge stage is Σ C(outdeg, 2) ≤ O(m^1.5) TOTAL and
+    each join is a plain equi-shuffle (AQE-splittable) rather than a
+    last-reducer hotspot. Per-order pair fan-out is C(order size, 2) —
+    bounded by the max basket, map-side.
+
+    Everything is integer arithmetic on both engines (tuple comparison =
+    Spark struct ordering = DuckDB row ordering), so the op differentials
+    exactly."""
+    li = load(spark, sf_dir).lineitem
+    ip = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = pairs.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    oe = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+    oed = oe.join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    e1, e2 = oed.alias("e1"), oed.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.struct(F.col("e1.ddeg"), F.col("e1.dst")) < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))),
+    ).select(F.col("e1.src").alias("ta"), F.col("e1.dst").alias("tb"), F.col("e2.dst").alias("tc"))
+    tri = wedges.join(
+        oe.select(F.col("src").alias("tb"), F.col("dst").alias("tc")), ["tb", "tc"]
+    ).persist()
+    tn = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return deg.join(tn, "node", "left").select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("tri_cnt"),
+    )

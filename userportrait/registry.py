@@ -72,7 +72,8 @@ _LOADED = False
 # text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
 # agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment,
 # events_rolling_distinct_users, tag_rule_dsl, agg_hll_rolling_distinct,
-# doc_split_drift). Next: ops
+# doc_split_drift, then the third: dq_profile_columns, graph_triangle_count,
+# text_cooccur_lift, embed_pca_project, ml_als_recs). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -100,6 +101,11 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_rule_dsl",
     "agg_hll_rolling_distinct",
     "doc_split_drift",
+    "dq_profile_columns",
+    "graph_triangle_count",
+    "text_cooccur_lift",
+    "embed_pca_project",
+    "ml_als_recs",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -132,12 +138,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_tokenize_topk",
     "text_ngram",
     "text_tfidf",
-    "text_lang_source_stats",
-    "dedup_exact",
     "dedup_near_minhash",
-    "embed_label_centroid",
-    "embed_norm_stats",
-    "stream_tumbling",
 )
 
 
