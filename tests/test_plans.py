@@ -443,6 +443,9 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "doc_split_drift": "per-split token-total scalar aggregate (1 row)",
         "dq_profile_columns": "whole-table profile aggregate (1 row, unpivoted to #columns)",
         "text_cooccur_lift": "N-docs scalar aggregate (1 row)",
+        "events_forecast_holt": "global day-range scalar aggregate (1 row)",
+        "doc_importance_resample": "corpus-total scalar aggregates (1 row each)",
+        "events_cuped_adjust": "split-date anchor scalar + arm-pivot over the 2-row arm frame",
     }
     offenders = {}
     for name in OPS:

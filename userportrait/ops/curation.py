@@ -2466,3 +2466,415 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("s.col", "n_rows", "s.n_nulls", "s.n_distinct", "s.min_num", "s.max_num", "s.avg_num", "s.min_str", "s.max_str")
+
+
+# Holt double-exponential smoothing coefficients — exact binary fractions
+# (0.5 = 2^-1, 0.25 = 2^-2) so every smoothing step is correctly-rounded
+# IEEE arithmetic that reproduces bit-identically on any engine.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_HORIZON = 7
+
+
+@op(
+    "events_forecast_holt",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ), days AS (
+      SELECT d0 + CAST(i AS INTEGER) AS day
+      FROM g, (SELECT unnest(generate_series(0, 3650)) AS i)
+      WHERE d0 + CAST(i AS INTEGER) <= d1
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), cnt AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT t.event_type, d.day,
+             CAST(row_number() OVER (PARTITION BY t.event_type ORDER BY d.day) AS BIGINT) AS idx,
+             CAST(coalesce(c.c, 0) AS DOUBLE) AS y
+      FROM types t CROSS JOIN days d
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day
+    ), holt AS (
+      SELECT event_type, idx, y AS level, CAST(0 AS DOUBLE) AS trend
+      FROM series WHERE idx = 1
+      UNION ALL
+      SELECT s.event_type, s.idx,
+             CAST(0.5 AS DOUBLE) * s.y + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * s.y + CAST(0.5 AS DOUBLE) * (h.level + h.trend)) - h.level)
+               + CAST(0.75 AS DOUBLE) * h.trend
+      FROM holt h JOIN series s ON s.event_type = h.event_type AND s.idx = h.idx + 1
+    ), last AS (
+      SELECT h.event_type, h.level, h.trend
+      FROM holt h JOIN (SELECT event_type, max(idx) AS mi FROM series GROUP BY event_type) m
+        ON h.event_type = m.event_type AND h.idx = m.mi
+    )
+    SELECT event_type, CAST(hz.h AS INTEGER) AS h, level, trend,
+           level + CAST(hz.h AS DOUBLE) * trend AS forecast
+    FROM last, (SELECT unnest(generate_series(1, 7)) AS h) hz
+    """,
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast of the
+    daily event-count series per event type, horizons 1..7 days — the
+    capacity-planning / ingest-forecast primitive a portrait pipeline runs
+    on its own volume telemetry. Missing days are zero-filled on the
+    observed global [min, max] day grid so the recurrence sees a dense
+    series; level_1 = y_1, trend_1 = 0, then the classic recurrence
+    level_i = a*y_i + (1-a)(level+trend), trend_i = b*(level_i - level) +
+    (1-b)*trend with a = 0.5, b = 0.25.
+
+    Determinism (the reason this op can be EXACT-oracled at all): the
+    coefficients are exact binary fractions, the inputs are integers, and
+    the recurrence is evaluated in day order by construction — Spark folds
+    a day-sorted array with ``F.aggregate`` (one fixed-order pass per
+    type), DuckDB walks the same series with a recursive CTE. Every step
+    is the same correctly-rounded IEEE expression tree, so 30 chained
+    steps stay bit-identical cross-engine.
+
+    Scale shape: the per-(type, day) count is the only full-scan work —
+    map-side combinable onto a #types × #days grid; everything after runs
+    on that tiny grid (collect_list per type is bounded by the calendar,
+    not the data; the global day range is a 1-row scalar aggregate). At
+    100 TB the series table is a rollup the warehouse already maintains,
+    and the fold cost is O(#series × #days) regardless of event volume."""
+    e = load(spark, sf_dir).events.select(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    )
+    g = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = g.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy("event_type", "day").agg(F.count("*").cast("bigint").alias("c"))
+    series = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).cast("double").alias("y")
+        )
+    )
+    per_type = series.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    ys = F.transform(F.col("arr"), lambda s: s["y"])
+
+    def step(acc, y):
+        a, b = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+        nl = a * y + (F.lit(1.0) - a) * (acc["level"] + acc["trend"])
+        nt = b * (nl - acc["level"]) + (F.lit(1.0) - b) * acc["trend"]
+        return F.struct(nl.alias("level"), nt.alias("trend"))
+
+    init = F.struct(
+        F.element_at(ys, 1).alias("level"), F.lit(0.0).alias("trend")
+    )
+    fitted = per_type.select(
+        "event_type",
+        F.aggregate(
+            F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))), init, step
+        ).alias("st"),
+    ).select("event_type", F.col("st.level").alias("level"), F.col("st.trend").alias("trend"))
+    return fitted.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(HOLT_HORIZON))).alias("h0"),
+        "level",
+        "trend",
+    ).select(
+        "event_type",
+        F.col("h0").cast("int").alias("h"),
+        "level",
+        "trend",
+    ).select(
+        "event_type",
+        "h",
+        "level",
+        "trend",
+        (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias("forecast"),
+    )
+
+
+RESAMPLE_TOPN = 100
+
+
+@op(
+    "doc_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tk AS (
+      SELECT doc_id, lang, tok FROM toks WHERE tok <> ''
+    ), dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id, tok
+    ), cr AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_r FROM tk GROUP BY tok
+    ), ct AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM tk WHERE lang = 'en' GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(count(*) AS BIGINT) AS v FROM cr
+    ), tot_t AS (
+      SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS n_t FROM ct
+    ), terms AS (
+      SELECT dt.doc_id, dt.tok, dt.n,
+             CAST(dt.n AS DOUBLE)
+               * (CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE) / CAST(cr.c_r + 1 AS DOUBLE)) AS term
+      FROM dt JOIN cr USING (tok) LEFT JOIN ct USING (tok)
+    ), folded AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             list_reduce(list(CAST(term AS DOUBLE) ORDER BY tok), (a, b) -> a + b) AS raw_sum
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, f.n_tokens,
+           (CAST(t.n_r + t.v AS DOUBLE) / CAST(tt.n_t + t.v AS DOUBLE)) * f.raw_sum AS score
+    FROM folded f
+    JOIN documents d USING (doc_id)
+    CROSS JOIN tot t CROSS JOIN tot_t tt
+    ORDER BY score DESC, doc_id
+    LIMIT {RESAMPLE_TOPN}
+    """,
+)
+def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public
+    arXiv 2302.03169): score every raw document by how well its unigram
+    distribution matches a TARGET slice (here lang='en'), then keep the
+    top-N — the data-selection step that reweights a 100 TB crawl toward
+    a curated target domain. The weight is the add-1-smoothed ratio form
+    w(doc) = [(N_r+V)/(N_t+V)] * Σ_tok n_tok * (c_t(tok)+1)/(c_r(tok)+1)
+    — a monotone, log-free surrogate of the DSIR likelihood ratio that
+    keeps every arithmetic step correctly-rounded IEEE from exact
+    integers (the repo-wide no-transcendentals policy for EXACT ops;
+    per-term division and one final scale are the only roundings, and the
+    per-doc sum is evaluated in sorted-token order on BOTH engines: a
+    fixed-order ``F.aggregate`` fold here, ``list_reduce`` over a
+    ``list(... ORDER BY tok)`` in DuckDB).
+
+    Scale shape: two map-side-combinable token groupBys ((doc, tok) and
+    (tok), the same shuffles text_tfidf already pays), a broadcast-sized
+    join of per-token target/raw counts back onto doc-token rows (AQE
+    picks broadcast when the vocab is small; plain shuffle join when it
+    is not), 1-row corpus totals crossed in, and a global top-N that
+    plans as TakeOrderedAndProject — no window, no collect. Selection at
+    real scale would hash-threshold on the score instead of top-N; the
+    ranking kernel is identical."""
+    d = load(spark, sf_dir).documents
+    tk = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dt = tk.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("n"))
+    cr = tk.groupBy("tok").agg(F.count("*").cast("bigint").alias("c_r"))
+    ct = (
+        tk.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_t"))
+    )
+    tot = cr.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"), F.count("*").cast("bigint").alias("v")
+    )
+    tot_t = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"))
+    terms = (
+        dt.join(cr, "tok")
+        .join(ct, "tok", "left")
+        .select(
+            "doc_id",
+            "tok",
+            "n",
+            (
+                F.col("n").cast("double")
+                * (
+                    (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                    / (F.col("c_r") + 1).cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "term"))), lambda s: s["term"]
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("raw_sum"),
+    )
+    k = (F.col("n_r") + F.col("v")).cast("double") / (F.col("n_t") + F.col("v")).cast("double")
+    return (
+        folded.join(d.select("doc_id", "lang"), "doc_id")
+        .crossJoin(tot)
+        .crossJoin(tot_t)
+        .select("doc_id", "lang", "n_tokens", (k * F.col("raw_sum")).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RESAMPLE_TOPN)
+    )
+
+
+@op(
+    "events_cuped_adjust",
+    oracle="""
+    WITH a AS (
+      SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), u AS (
+      SELECT user_id,
+             CASE WHEN instr('0123456789abcdef',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(CAST(coalesce(
+                 CAST(sum(CAST(value AS DECIMAL(38,4)))
+                      FILTER (event_type = 'purchase'
+                              AND CAST(ts AS DATE) < d0 + 15) AS DOUBLE), 0) AS DOUBLE)
+               * 100) AS BIGINT) AS x,
+             CAST(round(CAST(coalesce(
+                 CAST(sum(CAST(value AS DECIMAL(38,4)))
+                      FILTER (event_type = 'purchase'
+                              AND CAST(ts AS DATE) >= d0 + 15) AS DOUBLE), 0) AS DOUBLE)
+               * 100) AS BIGINT) AS y
+      FROM events CROSS JOIN a GROUP BY user_id, d0
+    ), s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM u GROUP BY arm
+    ), p AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'A' THEN sx END) AS sxa,
+        max(CASE WHEN arm = 'B' THEN sx END) AS sxb,
+        max(CASE WHEN arm = 'A' THEN sy END) AS sya,
+        max(CASE WHEN arm = 'B' THEN sy END) AS syb,
+        CAST(max(CASE WHEN arm = 'A' THEN n END)
+             + max(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n,
+        max(CASE WHEN arm = 'A' THEN sx END) + max(CASE WHEN arm = 'B' THEN sx END) AS sx,
+        max(CASE WHEN arm = 'A' THEN sy END) + max(CASE WHEN arm = 'B' THEN sy END) AS sy,
+        max(CASE WHEN arm = 'A' THEN sxy END) + max(CASE WHEN arm = 'B' THEN sxy END) AS sxy,
+        max(CASE WHEN arm = 'A' THEN sxx END) + max(CASE WHEN arm = 'B' THEN sxx END) AS sxx,
+        max(CASE WHEN arm = 'A' THEN syy END) + max(CASE WHEN arm = 'B' THEN syy END) AS syy
+      FROM s
+    ), t AS (
+      SELECT p.*,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+      FROM p
+    )
+    SELECT n_a, n_b, theta,
+           sx / n / 100.0 AS mean_x,
+           sya / n_a / 100.0 AS mean_y_a,
+           syb / n_b / 100.0 AS mean_y_b,
+           sya / n_a / 100.0 - theta * (sxa / n_a / 100.0 - sx / n / 100.0) AS adj_mean_a,
+           syb / n_b / 100.0 - theta * (sxb / n_b / 100.0 - sx / n / 100.0) AS adj_mean_b,
+           (sya / n_a / 100.0 - theta * (sxa / n_a / 100.0 - sx / n / 100.0))
+             - (syb / n_b / 100.0 - theta * (sxb / n_b / 100.0 - sx / n / 100.0)) AS lift_adj,
+           (syy - sy * sy / n) / (n - 1) / 10000.0 AS var_y,
+           ((syy - CAST(2 AS DOUBLE) * theta * sxy + theta * theta * sxx)
+              - (sy - theta * sx) * (sy - theta * sx) / n) / (n - 1) / 10000.0 AS var_y_adj
+    FROM t
+    """,
+)
+def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data", public WSDM paper) — the standard
+    companion to events_ab_ttest: the observation window splits at
+    first-day + 15 into a PRE period (covariate X = per-user purchase
+    cents) and an EXPERIMENT period (metric Y), theta = cov(X,Y)/var(X)
+    is fitted pooled across arms, and each arm's mean is adjusted by
+    theta * (mean_x_arm - mean_x_pooled). Output is one row: per-arm
+    raw and adjusted means, the adjusted lift, and the pooled realized
+    variance before/after adjustment (var_y_adj from the same moment
+    set: Σ(y-θx)² = Σy² - 2θΣxy + θ²Σx²).
+
+    Determinism is the ab_ttest policy verbatim: per-user metrics are
+    DECIMAL-exact sums quantized to integer cents, all moments (Σx, Σy,
+    Σxy, Σx², Σy²) are DECIMAL(38,0) sums of exact integer products, and
+    theta / means / variances are FIXED double expression trees over
+    those exact moments — no float accumulation, bit-identical
+    cross-engine. Scale shape: one events scan (the 1-row split-date
+    anchor is crossed in, never collected), one map-side-combinable
+    user groupBy, then a 2-row arm aggregate pivoted to one row. At any
+    corpus size the post-rollup work is constant."""
+    e = load(spark, sf_dir).events
+    anchor = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    v = F.col("value").cast("decimal(38,4)")
+    day = F.to_date("ts")
+    split = F.date_add(F.col("d0"), 15)
+    nib = F.instr(F.lit(HEX), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+
+    def cents(cond):
+        return (
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(cond, v)).cast("double"),
+                    F.lit(0.0),
+                )
+                * 100
+            )
+            .cast("bigint")
+        )
+
+    u = (
+        e.crossJoin(anchor)
+        .groupBy("user_id", "d0")
+        .agg(
+            cents((F.col("event_type") == "purchase") & (day < split)).alias("x"),
+            cents((F.col("event_type") == "purchase") & (day >= split)).alias("y"),
+        )
+        .select(F.when(nib < 8, "A").otherwise("B").alias("arm"), "x", "y")
+    )
+    s = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+
+    def arm(col, w):
+        return F.max(F.when(F.col("arm") == w, F.col(col)))
+
+    p = s.groupBy().agg(
+        arm("n", "A").alias("n_a"),
+        arm("n", "B").alias("n_b"),
+        arm("sx", "A").alias("sxa"),
+        arm("sx", "B").alias("sxb"),
+        arm("sy", "A").alias("sya"),
+        arm("sy", "B").alias("syb"),
+        (arm("n", "A") + arm("n", "B")).cast("bigint").alias("n"),
+        (arm("sx", "A") + arm("sx", "B")).alias("sx"),
+        (arm("sy", "A") + arm("sy", "B")).alias("sy"),
+        (arm("sxy", "A") + arm("sxy", "B")).alias("sxy"),
+        (arm("sxx", "A") + arm("sxx", "B")).alias("sxx"),
+        (arm("syy", "A") + arm("syy", "B")).alias("syy"),
+    )
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    n, n_a, n_b = F.col("n"), F.col("n_a"), F.col("n_b")
+    theta_e = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    t = p.withColumn("theta", theta_e)
+    theta = F.col("theta")
+    mean_x = sx / n / 100.0
+    adj_a = F.col("sya") / n_a / 100.0 - theta * (F.col("sxa") / n_a / 100.0 - mean_x)
+    adj_b = F.col("syb") / n_b / 100.0 - theta * (F.col("sxb") / n_b / 100.0 - mean_x)
+    return t.select(
+        "n_a",
+        "n_b",
+        "theta",
+        mean_x.alias("mean_x"),
+        (F.col("sya") / n_a / 100.0).alias("mean_y_a"),
+        (F.col("syb") / n_b / 100.0).alias("mean_y_b"),
+        adj_a.alias("adj_mean_a"),
+        adj_b.alias("adj_mean_b"),
+        (adj_a - adj_b).alias("lift_adj"),
+        ((syy - sy * sy / n) / (n - 1) / 10000.0).alias("var_y"),
+        (
+            (
+                (syy - F.lit(2.0) * theta * sxy + theta * theta * sxx)
+                - (sy - theta * sx) * (sy - theta * sx) / n
+            )
+            / (n - 1)
+            / 10000.0
+        ).alias("var_y_adj"),
+    )

@@ -73,7 +73,8 @@ _LOADED = False
 # agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment,
 # events_rolling_distinct_users, tag_rule_dsl, agg_hll_rolling_distinct,
 # doc_split_drift, then the third: dq_profile_columns, graph_triangle_count,
-# text_cooccur_lift, embed_pca_project, ml_als_recs). Next: ops
+# text_cooccur_lift, embed_pca_project, ml_als_recs, then the fourth:
+# events_forecast_holt, doc_importance_resample, events_cuped_adjust). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -106,6 +107,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_cooccur_lift",
     "embed_pca_project",
     "ml_als_recs",
+    "events_forecast_holt",
+    "doc_importance_resample",
+    "events_cuped_adjust",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -135,9 +139,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "profile_assemble",
     "ml_kmeans_rfm",
     "ml_tree_segment",
-    "text_tokenize_topk",
-    "text_ngram",
-    "text_tfidf",
     "dedup_near_minhash",
 )
 
