@@ -862,3 +862,114 @@ def test_als_recs_invariants(spark):
     avg_items = sum(len(v) for v in bought.values()) / len(bought)
     base = 1 - (1 - avg_items / len(parts)) ** 5
     assert hit_rate >= base - 0.05, (hit_rate, base)
+
+
+def test_gbt_churn_is_stable_and_monotone(spark):
+    """ml_gbt_churn: two fits agree exactly at 3dp (seeded determinism),
+    scores are valid probabilities, and higher-score customers show a
+    higher observed active rate (the same coarse AUC proxy as LR)."""
+    a = OPS["ml_gbt_churn"].fn(spark, SF_DIR).collect()
+    b = OPS["ml_gbt_churn"].fn(spark, SF_DIR).collect()
+    assert [(r.c_custkey, r.churn_score) for r in a] == [
+        (r.c_custkey, r.churn_score) for r in b
+    ]
+    assert all(0.0 <= r.churn_score <= 1.0 for r in a)
+    lo = [r.is_active for r in a if r.churn_score < 0.5]
+    hi = [r.is_active for r in a if r.churn_score >= 0.5]
+    if lo and hi:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_dim_ablation_histograms_conserve_and_order(spark):
+    """embed_dim_ablation semantics beyond the mirrored oracle: each
+    truncation's histogram accounts for every query vector, and mean
+    recall must IMPROVE with width (32 of 64 dims beats 16 — if it ever
+    doesn't, the truncation plumbing is scrambling dimensions)."""
+    rows = OPS["embed_dim_ablation"].fn(spark, SF_DIR).collect()
+    n_vecs = load(spark, SF_DIR).embeddings.count()
+    means = {}
+    for dim in (16, 32):
+        h = [r for r in rows if r.trunc_dim == dim]
+        assert sum(r.n_vecs for r in h) == n_vecs, dim
+        assert all(0 <= r.n_hits <= 5 for r in h), dim
+        means[dim] = sum(r.n_hits * r.n_vecs for r in h) / n_vecs
+    assert means[32] > means[16]
+
+
+def test_zorder_files_are_disjoint_and_lossless(spark):
+    """sink_zorder_layout semantics the per-cell oracle cannot state
+    globally: file z-ranges are DISJOINT and ordered (the property that
+    makes min/max pruning work), every file's range lives inside its
+    file_id's bit prefix, and no row was lost or duplicated."""
+    rows = sorted(OPS["sink_zorder_layout"].fn(spark, SF_DIR).collect(), key=lambda r: r.file_id)
+    for r in rows:
+        assert r.z_min >> 16 == r.file_id
+        assert r.z_max >> 16 == r.file_id
+        assert r.z_min <= r.z_max
+    for a, b in zip(rows, rows[1:]):
+        assert a.z_max < b.z_min
+    assert sum(r.n_rows for r in rows) == load(spark, SF_DIR).lineitem.count()
+
+
+def test_survival_curve_is_reverse_cumulative(spark):
+    """events_survival_curve: survivors decrease as lifetime grows, the
+    shortest observed lifetime accounts for every user, and fractions are
+    n_surviving/n_total exactly."""
+    rows = sorted(
+        OPS["events_survival_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.lifetime_days,
+    )
+    assert rows[0].n_surviving == rows[0].n_total
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_surviving > b.n_surviving
+        assert a.n_surviving - a.n_users == b.n_surviving
+    for r in rows:
+        assert r.survival_frac == r.n_surviving / r.n_total
+
+
+def test_fk_audit_star_edges_are_clean(spark):
+    """dq_referential_integrity: the TPC-H generator guarantees clean FK
+    edges, so orphan counts must be zero there — and the audit's row/key
+    accounting must reconcile (n_distinct_fk = orphan keys + matched
+    keys <= n_child)."""
+    rows = {r.edge: r for r in OPS["dq_referential_integrity"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 9
+    for edge in (
+        "lineitem.l_orderkey->orders",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+        "nation.n_regionkey->region",
+    ):
+        assert rows[edge].n_orphan_rows == 0, edge
+        assert rows[edge].orphan_rate == 0.0, edge
+    for r in rows.values():
+        assert r.n_distinct_fk <= r.n_child
+        assert r.n_orphan_keys <= r.n_distinct_fk
+        assert r.n_unref_parents <= r.n_parent
+
+
+def test_gopher_report_accounts_every_document(spark):
+    """doc_gopher_quality: per-source doc counts sum to the corpus size,
+    and no fail/pass count can exceed its source's doc count."""
+    rows = OPS["doc_gopher_quality"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == load(spark, SF_DIR).documents.count()
+    for r in rows:
+        for c in (
+            "fail_word_count",
+            "fail_word_len",
+            "fail_stopwords",
+            "fail_repetition",
+            "fail_alpha",
+            "n_pass",
+        ):
+            assert 0 <= getattr(r, c) <= r.n_docs
+        assert r.n_pass + max(
+            getattr(r, c)
+            for c in (
+                "fail_word_count",
+                "fail_word_len",
+                "fail_stopwords",
+                "fail_repetition",
+                "fail_alpha",
+            )
+        ) <= r.n_docs

@@ -446,6 +446,9 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "events_forecast_holt": "global day-range scalar aggregate (1 row)",
         "doc_importance_resample": "corpus-total scalar aggregates (1 row each)",
         "events_cuped_adjust": "split-date anchor scalar + arm-pivot over the 2-row arm frame",
+        "doc_vocab_growth": "max-doc_id anchor scalar + cumulative window over the fixed 20-bucket grid",
+        "events_survival_curve": "cumulative window over distinct lifetime values (bounded by the corpus day horizon)",
+        "dq_referential_integrity": "per-edge 1-row audit aggregates (#edges = 9)",
     }
     offenders = {}
     for name in OPS:
@@ -547,6 +550,8 @@ def test_no_unaudited_broadcast_hints():
             "stream-static dim side (must be resident per microbatch)",
         ("windows.py", 'ranked_local.join(F.broadcast(offsets), "pid")'):
             "<= n_partitions-row offset metadata",
+        ("quality.py", "d.crossJoin(F.broadcast(anchor))"):
+            "1-row scalar (max doc_id for the vocab-growth bucket grid)",
     }
     found = set()
     for py in root.rglob("*.py"):

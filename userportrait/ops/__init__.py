@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     udfs,
     pipeline_ext,
     curation,
+    quality,
 )
 
 ALL_MODULES = [
@@ -41,4 +42,5 @@ ALL_MODULES = [
     udfs,
     pipeline_ext,
     curation,
+    quality,
 ]

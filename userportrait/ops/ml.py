@@ -185,3 +185,46 @@ def ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("bigint").alias("p_partkey"),
         F.col("rec.rating").cast("double").alias("score"),
     )
+
+
+@op("ml_gbt_churn", oracle=None)
+def ml_gbt_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted-tree churn classifier (seeded, depth 3 x 10
+    trees): same recently-active label and frequency/monetary features as
+    ml_lr_propensity, but through MLlib's GBTClassifier — the nonlinear
+    member of the mining-tag family (kmeans / tree / LR / ALS / GBT now
+    all covered). Emits the positive-class score bucketed to 3dp.
+
+    Scale shape: like the other mining tags, the fit runs on the
+    per-customer aggregate frame (one map-side-combinable shuffle to
+    build), and GBT training is MLlib's distributed histogram-split
+    implementation — per-iteration cost is #rows x #features binning, no
+    driver-side data. Oracle = ROWS (SURVEY §2.0 rule 5, seeded-ML
+    family); the invariant test pins run-stability and score-bucket
+    monotonicity vs the actual label, the same gates as LR."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    feats = rfm_base(spark, sf_dir).select(
+        "c_custkey",
+        F.col("frequency").cast("double").alias("f"),
+        F.col("monetary").cast("double").alias("m"),
+        (F.col("recency_days") <= 90).cast("double").alias("label"),
+    )
+    data = VectorAssembler(inputCols=["f", "m"], outputCol="features").transform(feats)
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol="label",
+        maxDepth=3,
+        maxIter=10,
+        stepSize=0.1,
+        seed=SEED,
+    ).fit(data)
+    pred = gbt.transform(data)
+    p1 = F.element_at(vector_to_array("probability"), 2)
+    return pred.select(
+        "c_custkey",
+        F.col("label").cast("int").alias("is_active"),
+        F.round(p1, 3).alias("churn_score"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,714 @@
+"""§2.O (round 8 continuation) — corpus quality gates, data-quality audits,
+layout sinks, and embedding-dimension ablation.
+
+The remaining first-class surfaces a 100 TB training-data pipeline runs
+around the §2.K–§2.N core: published-rule document quality filtering (the
+Gopher-style report card), vocabulary-growth (Heaps-curve) corpus stats,
+user-lifetime survival curves and inter-arrival distributions on the events
+side, a cross-table referential-integrity audit (the Deequ-style FK check),
+a Z-order clustered sink (the 2-D data-layout story behind multi-column
+range pruning), and a matryoshka-style truncated-dimension recall ablation
+over the embedding column (how much kNN quality survives dim 16/32 of 64).
+
+All EXACT-oracled. The reference has no analog for any of these (SURVEY
+§0.1 — its workload is the portrait tag pipeline); they extend the engine
+the way §2.N did, with the §2.0 determinism conventions: integer
+cross-multiplication instead of float thresholds, decimal-exact sums, and
+int/int double divisions written identically on both engines.
+
+Scale notes (100 TB):
+- the doc ops are one explode → (doc, token) groupBy → per-doc groupBy
+  chain, all map-side combinable, shuffle keys high-cardinality and even;
+- vocab growth aggregates to a FIXED bucket grid (20 rows) before its
+  cumulative window — the window never sees data-sized input (contrast
+  doc_pack_sequences, which documents the per-doc-window caveat);
+- the survival curve's window runs over distinct lifetime values, bounded
+  by the corpus day horizon (~tens of rows at any data scale);
+- the FK audit shuffles each child table once on its fk (map-side
+  combined to the key universe) and joins key-universe-sized frames; AQE
+  picks broadcast for the dim sides at measured size (no hard hints —
+  the r8 broadcast policy);
+- the Z-order sink's file assignment is a pure per-row bit interleave
+  (no shuffle beyond the partitioned write), and the layout it produces
+  is exactly what makes min/max row-group pruning work for 2-D range
+  predicates at scale;
+- the dim ablation reuses the §2.K blocked broadcast-index kernel
+  (sequential bounded chunks, tiled matmul) at each truncation width; at
+  100 TB it runs on a deterministic hash-sample of queries, like the
+  recall gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, pin, read_table
+from ..registry import OPS, op
+
+# ---------------------------------------------------------------------------
+# doc_gopher_quality — published-rule quality filter report card
+# ---------------------------------------------------------------------------
+
+# Gopher-style rule set (Rae et al. 2021, Appendix A), thresholds scaled to
+# this corpus's 10–99-word documents. Each rule is evaluated with integer
+# cross-multiplication so no float threshold can wobble across engines.
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "with", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@op(
+    "doc_gopher_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, source, token
+    ), pd AS (
+      SELECT doc_id, source,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(sum(cnt * len(token)) AS BIGINT) AS sum_len,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             CAST(count(CASE WHEN token IN ({_STOP_SQL}) THEN 1 END) AS BIGINT) AS n_stop,
+             CAST(sum(CASE WHEN regexp_matches(token, '^[a-z]+$') THEN cnt ELSE 0 END) AS BIGINT) AS alpha_words
+      FROM tc GROUP BY doc_id, source
+    ), fl AS (
+      SELECT source,
+             (n_words BETWEEN 20 AND 90) AS p_count,
+             (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS p_wordlen,
+             (n_stop >= 2) AS p_stop,
+             (8 * max_cnt <= n_words) AS p_rep,
+             (5 * alpha_words >= 4 * n_words) AS p_alpha
+      FROM pd
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN NOT p_count THEN 1 END) AS BIGINT) AS fail_word_count,
+           CAST(count(CASE WHEN NOT p_wordlen THEN 1 END) AS BIGINT) AS fail_word_len,
+           CAST(count(CASE WHEN NOT p_stop THEN 1 END) AS BIGINT) AS fail_stopwords,
+           CAST(count(CASE WHEN NOT p_rep THEN 1 END) AS BIGINT) AS fail_repetition,
+           CAST(count(CASE WHEN NOT p_alpha THEN 1 END) AS BIGINT) AS fail_alpha,
+           CAST(count(CASE WHEN p_count AND p_wordlen AND p_stop AND p_rep AND p_alpha
+                      THEN 1 END) AS BIGINT) AS n_pass
+    FROM fl GROUP BY source
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter report card (Rae et al. 2021, Appendix A,
+    thresholds scaled to this corpus): per document, five pass/fail rules —
+    word count in [20, 90], mean word length in [3, 10], >=2 distinct
+    stopwords present, top-word dominance <= 1/8 of tokens (the repetition
+    proxy; the line-based Gopher rules don't apply to single-line docs),
+    and >=80% purely-alphabetic words — rolled up per source as the
+    keep/drop report a curation run reads before committing a filter.
+    Every threshold is an integer cross-multiplication (3n <= sum_len,
+    8·max_cnt <= n, 5·alpha >= 4n) — no float compares anywhere.
+
+    One explode → (doc, token) groupBy → per-doc groupBy → per-source
+    groupBy, each map-side combinable; the token shuffle is the only wide
+    stage and its key (doc_id) is perfectly even. Output is #sources rows."""
+    d = load(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tc = tok.groupBy("doc_id", "source", "token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    pd_ = tc.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("token")).cast("bigint").alias("sum_len"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.count(F.when(F.col("token").isin(*_STOPWORDS), 1))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.when(F.col("token").rlike("^[a-z]+$"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("alpha_words"),
+    )
+    p_count = F.col("n_words").between(20, 90)
+    p_wordlen = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    p_stop = F.col("n_stop") >= 2
+    p_rep = 8 * F.col("max_cnt") <= F.col("n_words")
+    p_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    fl = pd_.select(
+        "source",
+        p_count.alias("p_count"),
+        p_wordlen.alias("p_wordlen"),
+        p_stop.alias("p_stop"),
+        p_rep.alias("p_rep"),
+        p_alpha.alias("p_alpha"),
+    )
+    return fl.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(~F.col("p_count"), 1)).cast("bigint").alias("fail_word_count"),
+        F.count(F.when(~F.col("p_wordlen"), 1)).cast("bigint").alias("fail_word_len"),
+        F.count(F.when(~F.col("p_stop"), 1)).cast("bigint").alias("fail_stopwords"),
+        F.count(F.when(~F.col("p_rep"), 1)).cast("bigint").alias("fail_repetition"),
+        F.count(F.when(~F.col("p_alpha"), 1)).cast("bigint").alias("fail_alpha"),
+        F.count(
+            F.when(
+                F.col("p_count")
+                & F.col("p_wordlen")
+                & F.col("p_stop")
+                & F.col("p_rep")
+                & F.col("p_alpha"),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_vocab_growth — Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 20
+
+
+@op(
+    "doc_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    tok AS (
+      SELECT CAST((doc_id * {_N_BUCKETS}) // (m + 1) AS BIGINT) AS bucket,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents, mx
+    ), bt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY bucket
+    ), ft AS (
+      SELECT token, min(bucket) AS bucket FROM tok GROUP BY token
+    ), nt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM ft GROUP BY bucket
+    ), j AS (
+      SELECT b.bucket, b.n_tokens, COALESCE(n.new_types, 0) AS new_types
+      FROM bt b LEFT JOIN nt n USING (bucket)
+    )
+    SELECT bucket, n_tokens, new_types,
+           CAST(sum(new_types) OVER w AS BIGINT) AS cum_types,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(new_types) OVER w AS DOUBLE)
+             / CAST(sum(n_tokens) OVER w AS BIGINT) AS type_token_ratio
+    FROM j
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: documents are swept in doc_id
+    order through a fixed {20}-bucket grid; per bucket, the token count,
+    the count of NEVER-SEEN-BEFORE token types (first-occurrence bucket =
+    min bucket per token), and the cumulative type/token curve — how fast
+    the corpus's vocabulary saturates, the stat behind tokenizer-vocab and
+    dedup-saturation decisions.
+
+    The cumulative window runs over the FIXED 20-row bucket grid, never
+    over data-sized input: new-type attribution is a groupBy token →
+    min(bucket) (vocabulary-sized, map-side combinable), token totals a
+    20-key groupBy. The only scalar pulled is the 1-row max-doc_id anchor
+    broadcast into the bucket expression."""
+    d = load(spark, sf_dir).documents
+    anchor = d.agg(F.max("doc_id").alias("m"))
+    tok = (
+        d.crossJoin(F.broadcast(anchor))
+        .select(
+            F.expr(f"(doc_id * {_N_BUCKETS}) div (m + 1)").alias("bucket"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    bt = tok.groupBy("bucket").agg(F.count("*").cast("bigint").alias("n_tokens"))
+    ft = tok.groupBy("token").agg(F.min("bucket").alias("bucket"))
+    nt = ft.groupBy("bucket").agg(F.count("*").cast("bigint").alias("new_types"))
+    j = bt.join(nt, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        (
+            F.sum("new_types").over(w).cast("double")
+            / F.sum("n_tokens").over(w).cast("bigint")
+        ).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_survival_curve — discrete user-lifetime survival
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "events_survival_curve",
+    oracle="""
+    WITH ul AS (
+      SELECT user_id,
+             CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS INT)
+               AS lifetime_days
+      FROM events GROUP BY user_id
+    ), lc AS (
+      SELECT lifetime_days, CAST(count(*) AS BIGINT) AS n_users
+      FROM ul GROUP BY lifetime_days
+    ), c AS (
+      SELECT lifetime_days, n_users,
+             CAST(sum(n_users) OVER (ORDER BY lifetime_days DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_surviving,
+             CAST(sum(n_users) OVER () AS BIGINT) AS n_total
+      FROM lc
+    )
+    SELECT lifetime_days, n_users, n_surviving, n_total,
+           CAST(n_surviving AS DOUBLE) / n_total AS survival_frac
+    FROM c
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete user-lifetime survival curve (the no-censoring Kaplan-Meier
+    special case): lifetime = days between a user's first and last event;
+    for each observed lifetime L, how many users reached at least L days
+    (reverse-cumulative count) and the surviving fraction — the churn
+    curve a retention team reads before defining "churned".
+
+    One groupBy user_id (map-side min/max combine), one groupBy over the
+    resulting lifetimes, then a cumulative window over DISTINCT lifetime
+    values — bounded by the corpus day horizon (~tens of rows at any
+    scale), so the SinglePartition window never sees data. survival_frac
+    is an int/int double division, exact IEEE on both engines."""
+    e = load(spark, sf_dir).events
+    ul = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("int")
+        .alias("lifetime_days")
+    )
+    lc = ul.groupBy("lifetime_days").agg(F.count("*").cast("bigint").alias("n_users"))
+    w_desc = Window.orderBy(F.col("lifetime_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = lc.select(
+        "lifetime_days",
+        "n_users",
+        F.sum("n_users").over(w_desc).cast("bigint").alias("n_surviving"),
+        F.sum("n_users").over(w_all).cast("bigint").alias("n_total"),
+    )
+    return c.select(
+        "lifetime_days",
+        "n_users",
+        "n_surviving",
+        "n_total",
+        (F.col("n_surviving").cast("double") / F.col("n_total")).alias("survival_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_stats — per-type inter-event gap distribution
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 6) AS mean_gap_s,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 6) AS p50_gap_s,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0, 6) AS p90_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: for each user's
+    consecutive same-type events (ordered by timestamp, event_id
+    tie-break), the gap in seconds — count, mean, exact p50/p90, max.
+    This is the stat that picks sessionization thresholds
+    (sessionize_events' 30-min gap) and streaming watermark horizons from
+    data instead of folklore.
+
+    One window shuffle on user_id (the lag), one groupBy on event_type
+    (map-side combinable except the exact percentiles — the sketch path
+    for 100 TB is percentile_approx, as agg_approx_percentile documents).
+    Gap sums are exact bigint microseconds; the mean divides identically
+    ordered (sum / n / 1e6) on both engines; percentiles share the
+    (n-1)·p interpolation definition (agg_percentile precedent)."""
+    e = load(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0, 6
+        ).alias("mean_gap_s"),
+        F.round(F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5)") / 1000000.0, 6).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.expr("percentile(CAST(gap_us AS DOUBLE), 0.9)") / 1000000.0, 6).alias(
+            "p90_gap_s"
+        ),
+        F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_integrity — cross-table FK audit
+# ---------------------------------------------------------------------------
+
+# (edge label, child table, fk column, parent table, pk column)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+)
+
+
+def _fk_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS n_child,
+           CAST(count(CASE WHEN n_rows IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct_fk,
+           CAST(COALESCE(sum(CASE WHEN hit IS NULL THEN n_rows ELSE 0 END), 0) AS BIGINT) AS n_orphan_rows,
+           CAST(count(CASE WHEN hit IS NULL AND n_rows IS NOT NULL THEN 1 END) AS BIGINT) AS n_orphan_keys,
+           CAST(count(CASE WHEN hit IS NOT NULL THEN 1 END) AS BIGINT) AS n_parent,
+           CAST(count(CASE WHEN n_rows IS NULL AND hit IS NOT NULL THEN 1 END) AS BIGINT) AS n_unref_parents,
+           CAST(COALESCE(sum(CASE WHEN hit IS NULL THEN n_rows ELSE 0 END), 0) AS DOUBLE)
+             / COALESCE(sum(n_rows), 0) AS orphan_rate
+    FROM (
+      SELECT c.key, c.n_rows, p.hit FROM
+        (SELECT {fk} AS key, CAST(count(*) AS BIGINT) AS n_rows FROM {child} GROUP BY 1) c
+      FULL JOIN
+        (SELECT DISTINCT {pk} AS key, 1 AS hit FROM {parent}) p
+      USING (key)
+    )
+    """
+
+
+@op(
+    "dq_referential_integrity",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (the Deequ/Great-
+    Expectations FK check): for every FK edge in the star schema — plus
+    the events->customer and embeddings->documents edges that tie the
+    behavioral and corpus sides to their dimensions — child-row and
+    distinct-key counts, orphan rows/keys (fk with no parent), parent
+    cardinality, and never-referenced parents. One row per edge; a clean
+    corpus reads all-zero orphans, which is exactly what the audit is for.
+
+    Each child shuffles ONCE on its fk (map-side combined to the key
+    universe), then full-outer-joins the parent's key set — key-universe-
+    sized frames on both sides, AQE broadcasts the small ones at measured
+    size (no hard hints, the r8 policy). Output is #edges rows."""
+    t = load(spark, sf_dir)
+    parts = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        ck = (
+            getattr(t, child)
+            .groupBy(F.col(fk).alias("key"))
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+        )
+        pks = getattr(t, parent).select(F.col(pk).alias("key")).distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        j = ck.join(pks, "key", "full")
+        orphan_rows = F.coalesce(
+            F.sum(F.when(F.col("hit").isNull(), F.col("n_rows")).otherwise(0)), F.lit(0)
+        )
+        parts.append(
+            j.agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_child"),
+                F.count(F.when(F.col("n_rows").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_distinct_fk"),
+                orphan_rows.cast("bigint").alias("n_orphan_rows"),
+                F.count(F.when(F.col("hit").isNull() & F.col("n_rows").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+                F.count(F.when(F.col("hit").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_parent"),
+                F.count(F.when(F.col("n_rows").isNull() & F.col("hit").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_unref_parents"),
+                (
+                    orphan_rows.cast("double") / F.coalesce(F.sum("n_rows"), F.lit(0))
+                ).alias("orphan_rate"),
+            ).select(F.lit(edge).alias("edge"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sink_zorder_layout — Z-order clustered parquet sink
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10 bits per key -> 20-bit z value -> 16 files via z >> 16
+
+
+def _z_expr_spark() -> str:
+    k1, k2 = "(l_orderkey % 1024)", "(l_partkey % 1024)"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({k1}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({k2}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+def _z_expr_duck() -> str:
+    k1, k2 = "(l_orderkey % 1024)", "(l_partkey % 1024)"
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({k1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({k2} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@op(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST({_z_expr_duck()} AS BIGINT) AS zval, l_quantity FROM lineitem
+    )
+    SELECT CAST(zval >> 16 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink: lineitem rows get a 20-bit Morton code
+    (bit-interleave of l_orderkey%1024 and l_partkey%1024), land in one of
+    16 files by the code's top 4 bits, sorted by the code within each file
+    — the Delta/Iceberg OPTIMIZE ZORDER layout, built from first
+    principles. Because each file owns a CONTIGUOUS z range, its parquet
+    min/max stats are tight for BOTH key dimensions at once, so a 2-D
+    range predicate prunes most files — the property a 100 TB table needs
+    when two columns share the filter workload and hive-partitioning can
+    serve only one. The readback aggregates per-file row counts, z ranges
+    (disjoint by construction — the oracle proves it), and a quantity
+    checksum proving the roundtrip lossless.
+
+    The file assignment is a pure per-row bit expression (JVM codegen, no
+    UDF); the write shuffles once on file_id. The oracle computes the
+    identical layout algebraically — if the sink dropped or duplicated a
+    row, a z value crossed files, or sorting changed content, some cell
+    diverges."""
+    from .scans import _scratch
+
+    path = _scratch("lineitem_zorder")
+    li = load(spark, sf_dir).lineitem
+    z = li.withColumn("zval", F.expr(_z_expr_spark()).cast("bigint")).withColumn(
+        "file_id", F.expr("zval >> 16").cast("bigint")
+    )
+    (
+        z.repartition(16, "file_id")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("file_id").cast("bigint").alias("file_id")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("zval").cast("bigint").alias("z_min"),
+        F.max("zval").cast("bigint").alias("z_max"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_dim_ablation — matryoshka-style truncated-dimension recall
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (16, 32)
+
+
+def _trunc_knn_oracle(dim: int) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ), sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM sims
+    )
+    SELECT vec_id, neighbor_id FROM ranked WHERE rn <= 5
+    """
+
+
+def _dim_ablation_oracle() -> str:
+    full = OPS["sim_cosine_knn"].oracle
+    ctes = [f"ex AS ({full})"]
+    hists = []
+    for dim in _TRUNC_DIMS:
+        ctes.append(f"t{dim} AS ({_trunc_knn_oracle(dim)})")
+        hists.append(
+            f"""
+        SELECT CAST({dim} AS INT) AS trunc_dim, e.vec_id,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM ex e LEFT JOIN t{dim} t
+          ON t.vec_id = e.vec_id AND t.neighbor_id = e.neighbor_id
+        GROUP BY e.vec_id
+        """
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM ({h})" for h in hists)
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT trunc_dim, n_hits, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ({union}) GROUP BY trunc_dim, n_hits
+    """
+
+
+def _truncated_knn(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """Exact top-5 cosine kNN over the FIRST ``dim`` embedding dimensions —
+    the §2.K blocked broadcast-index kernel (sequential bounded chunks,
+    per-chunk top-5, window re-rank) with the index and query sides
+    truncated-then-renormalized. Chunks come from llm_similarity's
+    ``_index_chunks`` (full-dim, already row-normalized); slicing then
+    renormalizing the slice is exact because normalization is
+    scale-invariant."""
+    from functools import reduce
+
+    from pyspark.storagelevel import StorageLevel
+
+    from .llm_similarity import K_NEIGHBORS, KNN_TILE_ELEMS, _index_chunks
+
+    schema = "vec_id bigint, neighbor_id bigint, sim double"
+
+    def kernel(bc):
+        import numpy as np
+        import pandas as pd
+
+        rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(bc.value[0])))
+
+        def gen(batches):
+            aids, amat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf["vec_id"].to_numpy(np.int64)
+                qmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+                for lo in range(0, len(qids), rows_per_tile):
+                    tq = qids[lo : lo + rows_per_tile]
+                    sims = qmat[lo : lo + rows_per_tile] @ amat.T
+                    self_mask = tq[:, None] == aids[None, :]
+                    sims = np.where(self_mask, -np.inf, sims)
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :K_NEIGHBORS]
+                    rows = np.arange(len(tq))[:, None]
+                    keep = np.isfinite(sims[rows, top])
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(tq, top.shape[1])[keep.ravel()],
+                            "neighbor_id": aids[top].ravel()[keep.ravel()],
+                            "sim": sims[rows, top].ravel()[keep.ravel()],
+                        }
+                    )
+
+        return gen
+
+    q = (
+        load(spark, sf_dir)
+        .embeddings.select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    partials: list[DataFrame] = []
+    try:
+        for ids, mat in _index_chunks(spark, sf_dir):
+            import numpy as np
+
+            sub = mat[:, :dim].copy()
+            sub /= np.linalg.norm(sub, axis=1, keepdims=True)
+            bc = spark.sparkContext.broadcast((ids, sub))
+            try:
+                partials.append(pin(q.mapInPandas(kernel(bc), schema)))
+            finally:
+                bc.destroy()
+    finally:
+        q.unpersist()
+    if not partials:
+        return spark.createDataFrame([], schema)
+    union = reduce(DataFrame.unionAll, partials)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        union.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K_NEIGHBORS)
+        .select("vec_id", "neighbor_id")
+    )
+
+
+@op("embed_dim_ablation", oracle=_dim_ablation_oracle())
+def embed_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension ablation (Kusupati et al. 2022's eval
+    shape): exact top-5 kNN recomputed with embeddings truncated to their
+    first 16 and 32 of 64 dimensions, each scored against the full-dim
+    exact top-5 as a recall histogram (trunc_dim, n_hits 0..5, n_vecs) —
+    the measurement that decides whether an index can store quarter-width
+    vectors. Complements embed_quantize (precision ablation) with the
+    dimension axis.
+
+    Reuses the §2.K blocked kernel at each width (sequential bounded
+    chunks, tiled matmul, O(chunk) memory); the full-dim side is
+    sim_cosine_knn itself, pinned so its chunks evaluate once across both
+    joins. At 100 TB this eval runs on a deterministic hash-sample of
+    queries, like the recall gates."""
+    from .pipeline_ext import _recall_histogram
+    from .llm_similarity import sim_cosine_knn
+
+    full = pin(sim_cosine_knn(spark, sf_dir).select("vec_id", "neighbor_id"))
+    parts = []
+    for dim in _TRUNC_DIMS:
+        tr = _truncated_knn(spark, sf_dir, dim)
+        parts.append(
+            _recall_histogram(full, tr).select(
+                F.lit(dim).cast("int").alias("trunc_dim"), "n_hits", "n_vecs"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -110,6 +110,16 @@ GRADE_FIRST: tuple[str, ...] = (
     "events_forecast_holt",
     "doc_importance_resample",
     "events_cuped_adjust",
+    # never driver-graded: r8 fifth-session additions (quality gates, DQ
+    # audit, layout sink, dim ablation, GBT)
+    "doc_gopher_quality",
+    "doc_vocab_growth",
+    "events_survival_curve",
+    "events_interarrival_stats",
+    "dq_referential_integrity",
+    "sink_zorder_layout",
+    "embed_dim_ablation",
+    "ml_gbt_churn",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
