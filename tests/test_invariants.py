@@ -973,3 +973,69 @@ def test_gopher_report_accounts_every_document(spark):
                 "fail_alpha",
             )
         ) <= r.n_docs
+
+
+def test_power_analysis_orders_by_power(spark):
+    """events_power_analysis: 90% power demands more samples than 80%,
+    and every requirement is a positive integer count."""
+    rows = {r.target_power: r for r in OPS["events_power_analysis"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {0.8, 0.9}
+    assert rows[0.9].n_required_per_arm > rows[0.8].n_required_per_arm > 0
+    for r in rows.values():
+        assert r.var_sum > 0 and r.mde_abs > 0
+
+
+def test_funnel_ttc_shrinks_and_orders(spark):
+    """events_funnel_ttc: funnel stages can only lose users, delays are
+    non-negative, and quantiles are ordered (p50 <= p90 <= max implied by
+    mean sanity)."""
+    rows = {r.stage: r for r in OPS["events_funnel_ttc"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"view->click", "click->purchase"}
+    assert rows["view->click"].n_users >= rows["click->purchase"].n_users
+    for r in rows.values():
+        assert r.n_users > 0
+        assert 0 <= r.p50_hours <= r.p90_hours
+        assert r.mean_hours >= 0
+
+
+def test_revenue_concentration_is_a_pareto_curve(spark):
+    """tag_revenue_concentration: exactly 10 deciles, cumulative share
+    strictly increasing to 1.0, and the top decile out-earns the bottom
+    (the whole point of the curve)."""
+    rows = sorted(OPS["tag_revenue_concentration"].fn(spark, SF_DIR).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_rev_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    assert rows[0].decile_rev > rows[-1].decile_rev
+    assert shares[0] > 0.1  # top decile holds MORE than a uniform share
+
+
+def test_lpa_conserves_nodes_and_labels_are_members(spark):
+    """graph_label_propagation: community sizes sum to the node count of
+    the co-purchase graph, and every community label is itself a node
+    (min-label invariant)."""
+    rows = OPS["graph_label_propagation"].fn(spark, SF_DIR).collect()
+    li = load(spark, SF_DIR).lineitem
+    ip = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    nodes = set(
+        r.p
+        for r in a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("p"))
+        .distinct()
+        .collect()
+    )
+    assert sum(r.n_nodes for r in rows) == len(nodes)
+    assert all(r.community in nodes for r in rows)
+
+
+def test_expect_suite_verdicts_match_metrics(spark):
+    """dq_expect_suite: the pass flag must equal observed >= threshold for
+    every rule, and the known-clean completeness rules must pass."""
+    rows = {r.rule_id: r for r in OPS["dq_expect_suite"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r.__getattr__("pass") == (r.observed >= r.threshold), r.rule_id
+    assert rows["orders.o_custkey.completeness"].observed == 1.0
+    assert rows["lineitem.l_shipdate.completeness"].observed == 1.0

@@ -449,6 +449,9 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "doc_vocab_growth": "max-doc_id anchor scalar + cumulative window over the fixed 20-bucket grid",
         "events_survival_curve": "cumulative window over distinct lifetime values (bounded by the corpus day horizon)",
         "dq_referential_integrity": "per-edge 1-row audit aggregates (#edges = 9)",
+        "events_power_analysis": "inherits events_ab_ttest's arm-pivot aggregate over the 2-row arm frame",
+        "tag_revenue_concentration": "customer-total scalar + cumulative window over the 10-row decile frame (rank itself is ranking.global_row_number — no data through one task)",
+        "dq_expect_suite": "per-rule 1-row check aggregates (#rules = 7)",
     }
     offenders = {}
     for name in OPS:
@@ -552,6 +555,8 @@ def test_no_unaudited_broadcast_hints():
             "<= n_partitions-row offset metadata",
         ("quality.py", "d.crossJoin(F.broadcast(anchor))"):
             "1-row scalar (max doc_id for the vocab-growth bucket grid)",
+        ("quality.py", "dec = ranked.crossJoin(F.broadcast(tot)).select("):
+            "1-row scalar (customer total for the decile cut)",
     }
     found = set()
     for py in root.rglob("*.py"):

@@ -712,3 +712,444 @@ def embed_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# events_power_analysis — experiment sample-size planning
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA2 = "1.959963984540054"  # two-sided alpha = 0.05
+_POWERS = ((0.80, "0.8416212335729143"), (0.90, "1.2815515655446004"))
+
+
+def _power_oracle() -> str:
+    base = OPS["events_ab_ttest"].oracle
+    rows = ", ".join(f"({p}, {z})" for p, z in _POWERS)
+    return f"""
+    WITH base AS ({base}),
+    powers(target_power, z_beta) AS (VALUES {rows})
+    SELECT CAST(p.target_power AS DOUBLE) AS target_power,
+           CAST(p.z_beta AS DOUBLE) AS z_beta,
+           0.05 * b.mean_a AS mde_abs,
+           b.var_a + b.var_b AS var_sum,
+           CAST(ceil(({_Z_ALPHA2} + CAST(p.z_beta AS DOUBLE)) * ({_Z_ALPHA2} + CAST(p.z_beta AS DOUBLE))
+                     * (b.var_a + b.var_b)
+                     / ((0.05 * b.mean_a) * (0.05 * b.mean_a))) AS BIGINT) AS n_required_per_arm
+    FROM base b CROSS JOIN powers p
+    """
+
+
+@op("events_power_analysis", oracle=_power_oracle())
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning, the design-time pair of
+    events_ab_ttest's readout: from the observed per-arm variance of the
+    per-user purchase metric, the required users PER ARM to detect a 5%
+    lift of the control mean at two-sided alpha=0.05 with 80% / 90% power
+    — n = (z_a/2 + z_b)^2 (var_A + var_B) / delta^2. The z constants are
+    double literals; every other input is events_ab_ttest's decimal-exact
+    moment output, so the ceil() lands on bitwise-identical doubles on
+    both engines.
+
+    Scale shape: inherits the readout's two map-side-combinable shuffles;
+    the planning math is a 2-row cross of a 1-row frame."""
+    from .curation import events_ab_ttest
+
+    base = events_ab_ttest(spark, sf_dir)
+    powers = spark.createDataFrame(
+        [(p, float(z)) for p, z in _POWERS], "target_power double, z_beta double"
+    )
+    za = float(_Z_ALPHA2)
+    mde = 0.05 * F.col("mean_a")
+    var_sum = F.col("var_a") + F.col("var_b")
+    return base.crossJoin(powers).select(
+        "target_power",
+        "z_beta",
+        mde.alias("mde_abs"),
+        var_sum.alias("var_sum"),
+        F.ceil(
+            (F.lit(za) + F.col("z_beta"))
+            * (F.lit(za) + F.col("z_beta"))
+            * var_sum
+            / (mde * mde)
+        )
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_ttc — time-to-convert distribution between funnel stages
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "events_funnel_ttc",
+    oracle="""
+    WITH uv AS (
+      SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), uc AS (
+      SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+      FROM events e JOIN uv ON uv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= uv.v_us
+      GROUP BY e.user_id
+    ), up AS (
+      SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+      FROM events e JOIN uc ON uc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= uc.c_us
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT 'view->click' AS stage, uc.c_us - uv.v_us AS delta_us
+      FROM uv JOIN uc ON uv.user_id = uc.user_id
+      UNION ALL
+      SELECT 'click->purchase' AS stage, up.p_us - uc.c_us AS delta_us
+      FROM uc JOIN up ON uc.user_id = up.user_id
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(delta_us) AS DOUBLE) / count(*) / 3600000000.0, 6) AS mean_hours,
+           round(quantile_cont(CAST(delta_us AS DOUBLE), 0.5) / 3600000000.0, 6) AS p50_hours,
+           round(quantile_cont(CAST(delta_us AS DOUBLE), 0.9) / 3600000000.0, 6) AS p90_hours
+    FROM d GROUP BY stage
+    """,
+)
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution between funnel stages: per user, first
+    view, first click at-or-after that view, first purchase at-or-after
+    that click (tag_funnel's stage semantics), then per stage-pair the
+    count, mean, exact p50/p90 of the conversion delay in hours — the
+    latency view tag_funnel's pure counts can't give (how LONG the funnel
+    takes, not just how many survive).
+
+    Three filtered min-groupBys (each map-side combinable, each scan
+    pushing its event_type filter into parquet) chained by user_id equi-
+    joins, then a 2-key aggregate. Deltas are exact bigint microseconds;
+    mean divides identically ordered; percentiles share the (n-1)p
+    interpolation (agg_percentile precedent)."""
+    e = load(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    uv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("v_us"))
+    )
+    uc = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", us.alias("e_us"))
+        .join(uv, "user_id")
+        .where(F.col("e_us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("c_us"))
+    )
+    up = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("e_us"))
+        .join(uc, "user_id")
+        .where(F.col("e_us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("p_us"))
+    )
+    d = (
+        uv.join(uc, "user_id")
+        .select(F.lit("view->click").alias("stage"), (F.col("c_us") - F.col("v_us")).alias("delta_us"))
+        .unionAll(
+            uc.join(up, "user_id").select(
+                F.lit("click->purchase").alias("stage"),
+                (F.col("p_us") - F.col("c_us")).alias("delta_us"),
+            )
+        )
+    )
+    return d.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("delta_us").cast("double") / F.count("*") / 3600000000.0, 6
+        ).alias("mean_hours"),
+        F.round(
+            F.expr("percentile(CAST(delta_us AS DOUBLE), 0.5)") / 3600000000.0, 6
+        ).alias("p50_hours"),
+        F.round(
+            F.expr("percentile(CAST(delta_us AS DOUBLE), 0.9)") / 3600000000.0, 6
+        ).alias("p90_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag_revenue_concentration — Pareto/decile revenue share
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "tag_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev,
+             CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS total
+      FROM rev
+    ), dec AS (
+      SELECT CAST(1 + ((rn - 1) * 10) // total AS INT) AS decile, rev FROM ranked
+    ), agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS decile_rev
+      FROM dec GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_rev,
+           CAST(sum(decile_rev) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(decile_rev) OVER () AS DOUBLE) AS cum_rev_share
+    FROM agg
+    """,
+)
+def tag_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: customers ranked by total
+    order revenue, cut into 10 exact global deciles, each with its
+    customer count, revenue, and cumulative revenue share — the
+    whale-dependency stat behind every "top 10% of customers drive X%"
+    readout, and the portrait feature that prices retention spend.
+
+    The global rank uses ranking.global_row_number (range-repartition +
+    partition-offset prefix sum) — NO Exchange SinglePartition over data;
+    the decile is pure arithmetic on (rank, total), sidestepping
+    ntile()'s remainder-distribution convention entirely (both engines
+    compute 1 + (rn-1)*10 div N). Revenue is decimal-exact; the share is
+    a decimal/decimal double division over the 10-row decile frame."""
+    from ..ranking import global_row_number
+
+    o = load(spark, sf_dir).orders
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev")
+    )
+    ranked = global_row_number(
+        rev, [F.col("rev").desc(), F.col("o_custkey").asc()], "o_custkey"
+    )
+    tot = ranked.agg(F.count("*").cast("bigint").alias("total"))
+    dec = ranked.crossJoin(F.broadcast(tot)).select(
+        (1 + F.expr("((rn - 1) * 10) div total")).cast("int").alias("decile"), "rev"
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.col("decile_rev").cast("double").alias("decile_rev"),
+        (
+            F.sum("decile_rev").over(w_cum).cast("double")
+            / F.sum("decile_rev").over(w_all).cast("double")
+        ).alias("cum_rev_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — community detection by min-label sweeps
+# ---------------------------------------------------------------------------
+
+_LPA_SWEEPS = 3
+
+_LPA_EDGES_CTE = """
+    WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v AS src, u AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)
+"""
+
+
+def _lpa_oracle() -> str:
+    parts = [_LPA_EDGES_CTE]
+    for k in range(_LPA_SWEEPS):
+        parts.append(f"""
+    , l{k + 1} AS (
+      SELECT l.node, least(l.label, min(n.label)) AS label
+      FROM l{k} l
+      JOIN sym e ON e.src = l.node
+      JOIN l{k} n ON n.node = e.dst
+      GROUP BY l.node, l.label
+    )""")
+    parts.append(f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_SWEEPS} GROUP BY label
+    """)
+    return "".join(parts)
+
+
+@op("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation (3 fixed sweeps) over the part co-purchase
+    graph — the deterministic LPA variant: every node starts labeled with
+    its own id, each sweep takes the min of its label and its neighbors'
+    labels, communities report as (min-node-id label, member count). Three
+    sweeps of min-propagation = community structure at radius 3 — the
+    cheap community pass next to graph_pagerank (centrality),
+    graph_triangle_count (density), and dedup_cc_clusters (exact
+    components via the full fixpoint; this op is the bounded-sweep
+    approximation that never needs a convergence probe).
+
+    Each sweep is one equi-join of the label frame against the symmetric
+    edge list + a node groupBy — the iteration count is FIXED, so the plan
+    is 3 chained shuffles on node id, no driver-side convergence collect.
+    Labels are integers; least/min arithmetic is engine-exact."""
+    li = load(spark, sf_dir).lineitem
+    ip = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    sym = pin(
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_SWEEPS):
+        nb = (
+            sym.join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("min_nb"))
+        )
+        labels = labels.join(nb, labels.node == nb.src).select(
+            "node", F.least("label", "min_nb").alias("label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_expect_suite — declarative expectation checks
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "dq_expect_suite",
+    oracle="""
+    SELECT 'orders.o_custkey.completeness' AS rule_id,
+           CAST(count(o_custkey) AS DOUBLE) / count(*) AS observed,
+           CAST(1.0 AS DOUBLE) AS threshold,
+           CAST(count(o_custkey) AS DOUBLE) / count(*) >= 1.0 AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.uniqueness',
+           CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*),
+           CAST(1.0 AS DOUBLE), CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.range_0_600k',
+           CAST(count(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000 THEN 1 END) AS DOUBLE)
+             / count(*),
+           CAST(1.0 AS DOUBLE),
+           CAST(count(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000 THEN 1 END) AS DOUBLE)
+             / count(*) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           CAST(count(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 END) AS DOUBLE)
+             / count(*),
+           CAST(1.0 AS DOUBLE),
+           CAST(count(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 END) AS DOUBLE)
+             / count(*) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_acctbal.nonneg_fraction',
+           CAST(count(CASE WHEN c_acctbal >= 0 THEN 1 END) AS DOUBLE) / count(*),
+           CAST(0.85 AS DOUBLE),
+           CAST(count(CASE WHEN c_acctbal >= 0 THEN 1 END) AS DOUBLE) / count(*) >= 0.85
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.orderkey_linenumber.uniqueness',
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*),
+           CAST(1.0 AS DOUBLE),
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) >= 1.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_shipdate.completeness',
+           CAST(count(l_shipdate) AS DOUBLE) / count(*),
+           CAST(1.0 AS DOUBLE), CAST(count(l_shipdate) AS DOUBLE) / count(*) >= 1.0
+    FROM lineitem
+    """,
+)
+def dq_expect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Deequ/Great-Expectations CHECK
+    surface, complementing dq_profile_columns' stats and
+    dq_referential_integrity's FK edges): seven rules — completeness,
+    single- and composite-key uniqueness, range conformance, accepted
+    values, and a distribution expectation — each a row with its observed
+    metric, threshold, and verdict. Observed metrics are int/int double
+    divisions (exact IEEE); a failing drop surfaces as pass=false, not a
+    crashed pipeline.
+
+    Each rule is one aggregate over its table (the distinct-count rules
+    shuffle on the key universe; the rest are scan-only map-side
+    combines); output is #rules rows."""
+    t = load(spark, sf_dir)
+
+    def frac(df, num, rule_id, threshold):
+        obs = num.cast("double") / F.count("*")
+        return df.agg(
+            obs.alias("observed"),
+            F.lit(threshold).alias("threshold"),
+            (obs >= threshold).alias("pass"),
+        ).select(F.lit(rule_id).alias("rule_id"), "*")
+
+    parts = [
+        frac(t.orders, F.count("o_custkey"), "orders.o_custkey.completeness", 1.0),
+        frac(
+            t.orders,
+            F.count_distinct(F.col("o_orderkey")),
+            "orders.o_orderkey.uniqueness",
+            1.0,
+        ),
+        frac(
+            t.orders,
+            F.count(
+                F.when(
+                    (F.col("o_totalprice") >= 0) & (F.col("o_totalprice") <= 600000), 1
+                )
+            ),
+            "orders.o_totalprice.range_0_600k",
+            1.0,
+        ),
+        frac(
+            t.orders,
+            F.count(F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1)),
+            "orders.o_orderstatus.accepted_values",
+            1.0,
+        ),
+        frac(
+            t.customer,
+            F.count(F.when(F.col("c_acctbal") >= 0, 1)),
+            "customer.c_acctbal.nonneg_fraction",
+            0.85,
+        ),
+        frac(
+            t.lineitem,
+            F.count_distinct(F.struct("l_orderkey", "l_linenumber")),
+            "lineitem.orderkey_linenumber.uniqueness",
+            1.0,
+        ),
+        frac(
+            t.lineitem, F.count("l_shipdate"), "lineitem.l_shipdate.completeness", 1.0
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

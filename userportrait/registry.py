@@ -120,6 +120,14 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_zorder_layout",
     "embed_dim_ablation",
     "ml_gbt_churn",
+    # never driver-graded: r8 sixth-session additions (experimentation
+    # planning, funnel latency, Pareto deciles, LPA communities,
+    # expectation suite)
+    "events_power_analysis",
+    "events_funnel_ttc",
+    "tag_revenue_concentration",
+    "graph_label_propagation",
+    "dq_expect_suite",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
