@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, pin, read_table
+from ..catalog import load, pin
 from ..registry import OPS, op
 
 # ---------------------------------------------------------------------------
@@ -558,8 +558,22 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRUNC_DIMS = (16, 32)
 
+# The ablation is an EVAL, so it runs on a deterministic hash-sample of
+# query vectors (first md5 nibble < 4 -> exactly the engine-independent
+# 25% doc_train_split selects with) while ranking against the FULL index —
+# the property that keeps the eval's wall sublinear in corpus size where
+# the all-queries form pays 3 full O(n²) kNN passes (1076 s at the 100×
+# replica; the sampled form is a quarter of that, and the knob tightens
+# further as the corpus grows).
+_Q_NIBBLE = 4
+_Q_SAMPLE_DUCK = (
+    "instr('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1 < "
+    + str(_Q_NIBBLE)
+)
+
 
 def _trunc_knn_oracle(dim: int) -> str:
+    qfilter = _Q_SAMPLE_DUCK.format(col="a.vec_id")
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding[1:{dim}], x -> CAST(x AS DOUBLE)) AS v
@@ -570,6 +584,7 @@ def _trunc_knn_oracle(dim: int) -> str:
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE {qfilter}
     ), ranked AS (
       SELECT vec_id, neighbor_id,
              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
@@ -581,7 +596,8 @@ def _trunc_knn_oracle(dim: int) -> str:
 
 def _dim_ablation_oracle() -> str:
     full = OPS["sim_cosine_knn"].oracle
-    ctes = [f"ex AS ({full})"]
+    ex_filter = _Q_SAMPLE_DUCK.format(col="vec_id")
+    ctes = [f"ex AS (SELECT * FROM ({full}) WHERE {ex_filter})"]
     hists = []
     for dim in _TRUNC_DIMS:
         ctes.append(f"t{dim} AS ({_trunc_knn_oracle(dim)})")
@@ -650,9 +666,14 @@ def _truncated_knn(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
 
         return gen
 
+    q_nibble = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1))
+        - 1
+    )
     q = (
         load(spark, sf_dir)
-        .embeddings.select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
+        .embeddings.where(q_nibble < _Q_NIBBLE)
+        .select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -697,9 +718,12 @@ def embed_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins. At 100 TB this eval runs on a deterministic hash-sample of
     queries, like the recall gates."""
     from .pipeline_ext import _recall_histogram
-    from .llm_similarity import sim_cosine_knn
 
-    full = pin(sim_cosine_knn(spark, sf_dir).select("vec_id", "neighbor_id"))
+    # Full-dim reference top-5 for the SAME sampled queries, via the same
+    # kernel at the full width (slice(1, 64) is the identity) — so the
+    # reference pass pays the sampled cost too, instead of filtering a
+    # full all-queries sim_cosine_knn run after the fact.
+    full = pin(_truncated_knn(spark, sf_dir, 64))
     parts = []
     for dim in _TRUNC_DIMS:
         tr = _truncated_knn(spark, sf_dir, dim)

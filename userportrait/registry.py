@@ -74,7 +74,12 @@ _LOADED = False
 # events_rolling_distinct_users, tag_rule_dsl, agg_hll_rolling_distinct,
 # doc_split_drift, then the third: dq_profile_columns, graph_triangle_count,
 # text_cooccur_lift, embed_pca_project, ml_als_recs, then the fourth:
-# events_forecast_holt, doc_importance_resample, events_cuped_adjust). Next: ops
+# events_forecast_holt, doc_importance_resample, events_cuped_adjust, then
+# the fifth: doc_gopher_quality, doc_vocab_growth, events_survival_curve,
+# events_interarrival_stats, dq_referential_integrity, sink_zorder_layout,
+# embed_dim_ablation, ml_gbt_churn, then the sixth: events_power_analysis,
+# events_funnel_ttc, tag_revenue_concentration, graph_label_propagation,
+# dq_expect_suite). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
