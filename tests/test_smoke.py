@@ -34,6 +34,7 @@ def test_registry_contract(spark):
         "agg_hll_rolling_distinct",
         "embed_pca_project",
         "ml_als_recs",
+        "ml_gbt_churn",
     }, rows_only
 
 

@@ -1177,3 +1177,40 @@ def dq_expect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# scan_text_roundtrip — raw line-oriented text source/sink
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT md5(text) AS line_md5, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented raw text source/sink — the format raw crawl drops
+    actually arrive in, completing the source matrix (parquet / CSV /
+    JSON / ORC / custom datasource / text). Documents are written with
+    the text sink (one line per doc; the corpus is newline-free by
+    construction, the precondition any line-oriented landing format
+    imposes), read back with the text source, and verified content-exact
+    by an md5-per-line histogram against the parquet original — a
+    lossless roundtrip proof that does not depend on file order or
+    partitioning.
+
+    The histogram groupBy is map-side combinable on the hash key; at
+    100 TB the text scan is splittable by line like any newline-delimited
+    landing data."""
+    from .scans import _scratch
+
+    path = _scratch("documents_text")
+    d = load(spark, sf_dir).documents
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.groupBy(F.md5("value").alias("line_md5")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )

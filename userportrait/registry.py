@@ -79,7 +79,7 @@ _LOADED = False
 # events_interarrival_stats, dq_referential_integrity, sink_zorder_layout,
 # embed_dim_ablation, ml_gbt_churn, then the sixth: events_power_analysis,
 # events_funnel_ttc, tag_revenue_concentration, graph_label_propagation,
-# dq_expect_suite). Next: ops
+# dq_expect_suite, scan_text_roundtrip). Next: ops
 # MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
 # pinned stage-1 frame), tag_crowd_select / dedup_simhash /
 # text_contamination (data-derived broadcast hints dropped, AQE decides),
@@ -133,6 +133,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_revenue_concentration",
     "graph_label_propagation",
     "dq_expect_suite",
+    "scan_text_roundtrip",
     # re-certification: ops modified this round (r8)
     "tag_funnel_windowed",
     "tag_crowd_select",
@@ -145,24 +146,13 @@ GRADE_FIRST: tuple[str, ...] = (
     "dedup_family_histogram",
     "dedup_cc_clusters",
     "doc_clean_pipeline",
-    # re-certification filler: oldest-evidence (r04) greens, module order
+    # re-certification filler: oldest-evidence (r04) greens, module order.
+    # (Trimmed as the r8 addition batches grew — the window is exactly 50
+    # and every never-graded op must fit; the remaining r04 rows keep
+    # their earlier green evidence and rotate back in next round.)
     "join_interval",
     "agg_groupby_basic",
     "agg_filter_clause",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_collect_sorted",
-    "win_running_sum",
-    "win_trailing_time",
-    "tag_match_rule",
-    "tag_age_bucket",
-    "tag_consumption_cycle",
-    "tag_preference_top1",
-    "tag_psm",
-    "profile_assemble",
-    "ml_kmeans_rfm",
-    "ml_tree_segment",
-    "dedup_near_minhash",
 )
 
 
