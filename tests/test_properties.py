@@ -239,3 +239,65 @@ def test_jaccard_kernel_matches_bruteforce(spark, docs):
                 Decimal(repr(jac)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
             )
     assert got == want
+
+
+zpairs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=10**9)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=zpairs)
+@settings(**SETTINGS)
+def test_zorder_morton_matches_bruteforce(spark, rows):
+    """sink_zorder_layout's SQL bit-interleave must equal a reference
+    Morton encoder for any key pair (mod-1024 keys, 20-bit codes)."""
+    from userportrait.ops.quality import _z_expr_spark
+
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = [
+        r.z
+        for r in df.select(F.expr(_z_expr_spark()).cast("bigint").alias("z")).collect()
+    ]
+
+    def morton(k1, k2):
+        k1, k2, z = k1 % 1024, k2 % 1024, 0
+        for i in range(10):
+            z |= ((k1 >> i) & 1) << (2 * i + 1)
+            z |= ((k2 >> i) & 1) << (2 * i)
+        return z
+
+    assert got == [morton(a, b) for a, b in rows]
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_lpa_sweeps_match_khop_bfs(spark, edges):
+    """graph_label_propagation's sweep loop must assign every node the min
+    node id within its 3-hop neighborhood — checked against an independent
+    pure-python BFS on arbitrary random graphs."""
+    from userportrait.ops.quality import lpa_min_label_sweeps
+
+    es = [(a, b) for a, b in edges if a != b]
+    sym_rows = [(a, b) for a, b in es] + [(b, a) for a, b in es]
+    sym = spark.createDataFrame(sym_rows, "src long, dst long")
+    got = {r.node: r.label for r in lpa_min_label_sweeps(sym, 3).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node in adj:
+        frontier, seen = {node}, {node}
+        for _ in range(3):
+            frontier = {n for f in frontier for n in adj[f]} - seen
+            seen |= frontier
+        assert got[node] == min(seen), node

@@ -1040,10 +1040,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
     )
+    labels = lpa_min_label_sweeps(sym, _LPA_SWEEPS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+def lpa_min_label_sweeps(sym: DataFrame, sweeps: int) -> DataFrame:
+    """``sweeps`` rounds of min-label propagation over a symmetric
+    (src, dst) edge frame -> (node, label). Factored so the property test
+    can drive arbitrary graphs against an independent BFS reference
+    (label after k sweeps == min node id within the k-hop neighborhood)."""
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(_LPA_SWEEPS):
+    for _ in range(sweeps):
         nb = (
             sym.join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
             .groupBy("src")
@@ -1052,9 +1063,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.join(nb, labels.node == nb.src).select(
             "node", F.least("label", "min_nb").alias("label")
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count("*").cast("bigint").alias("n_nodes")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------
