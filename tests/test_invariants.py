@@ -359,6 +359,8 @@ def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
             "tag_funnel_windowed",  # curation: pinned per-user stage firsts (r7)
             "dedup_near_minhash",  # llm_dedup: pinned signature table (r7)
             "sim_cosine_knn",  # llm_similarity: pinned per-chunk partials (r7)
+            "events_funnel_ttc",  # quality: pinned stage-first frames (r8)
+            "graph_label_propagation",  # quality: pinned symmetric edges (r8)
         ):
             res = compare_op(spark, duck, name, SF_DIR)
             assert res["status"] == "PASS", res

@@ -852,12 +852,17 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation (agg_percentile precedent)."""
     e = load(spark, sf_dir).events
     us = F.unix_micros("ts")
-    uv = (
+    # uv feeds the click-stage build AND the first delta; uc feeds the
+    # purchase-stage build AND both deltas. Catalyst re-evaluates an
+    # unpinned subtree per consumer (the same finding as tag_funnel's
+    # stage pinning: the unpinned plan scanned events 7x), so pin one
+    # physical evaluation of each shared stage frame.
+    uv = pin(
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(us).alias("v_us"))
     )
-    uc = (
+    uc = pin(
         e.where(F.col("event_type") == "click")
         .select("user_id", us.alias("e_us"))
         .join(uv, "user_id")
