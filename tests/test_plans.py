@@ -573,3 +573,48 @@ def test_no_unaudited_broadcast_hints():
                 found.add((py.name, ls))
     unaudited = found - set(allowed)
     assert not unaudited, f"unaudited broadcast hints: {sorted(unaudited)}"
+
+
+SCRATCH_ZORDER = __import__('pathlib').Path(__file__).parent.parent / '_scratch' / 'lineitem_zorder'
+
+
+def test_zorder_prefix_predicate_prunes_partitions(spark):
+    """The Z-order sink's layout must actually BUY pruning: a z-range
+    query with its derived file-prefix predicate (file_id = z >> 16 —
+    what any z-aware query layer emits) compiles to PartitionFilters
+    that keep a single file_id directory, with the residual zval bounds
+    pushed to the parquet scan; and the physical row-group stats are
+    tight (each file's zval min/max stays inside its prefix range), so
+    min/max pruning works for readers that only see row-group stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rows = sorted(OPS["sink_zorder_layout"].fn(spark, SF_DIR).collect(), key=lambda r: r.n_rows)
+    target = rows[-1]  # densest file: guarantees the probe range has rows
+    lo, hi = int(target.z_min), int(target.z_max)
+    back = spark.read.parquet(str(SCRATCH_ZORDER))
+    q = back.where(
+        (F.col("file_id") >= lo >> 16)
+        & (F.col("file_id") <= hi >> 16)
+        & (F.col("zval") >= lo)
+        & (F.col("zval") <= hi)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert f"(file_id#" in pf and ">= " in pf  # partition-level bounds present
+    assert "GreaterThanOrEqual(zval" in plan and "LessThanOrEqual(zval" in plan
+    assert q.count() == target.n_rows
+
+    for d in glob.glob(str(SCRATCH_ZORDER) + "/file_id=*"):
+        fid = int(d.rsplit("=", 1)[1])
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: i
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                st = md.row_group(rg).column(cols["zval"]).statistics
+                assert st.min >> 16 == fid and st.max >> 16 == fid
