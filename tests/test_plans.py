@@ -618,3 +618,29 @@ def test_zorder_prefix_predicate_prunes_partitions(spark):
                 }
                 st = md.row_group(rg).column(cols["zval"]).statistics
                 assert st.min >> 16 == fid and st.max >> 16 == fid
+
+
+def test_zorder_box_predicate_is_exact_and_prunes(spark):
+    """End-to-end 2-D box query through the z-curve planner
+    (userportrait/zcurve.py): the generated predicate must return exactly
+    the rows the plain key predicate returns, while its plan prunes
+    partitions via the file-prefix IN-list — the read path that justifies
+    the Z-order layout at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from userportrait.zcurve import z_box_predicate
+
+    OPS["sink_zorder_layout"].fn(spark, SF_DIR).count()  # materialize sink
+    back = spark.read.parquet(str(SCRATCH_ZORDER))
+    x0, x1, y0, y1 = 100, 400, 20, 150
+    fast = back.where(z_box_predicate(x0, x1, y0, y1))
+    direct = back.where(
+        F.expr("(l_orderkey % 1024)").between(x0, x1)
+        & F.expr("(l_partkey % 1024)").between(y0, y1)
+    )
+    got = sorted((r.l_orderkey, r.l_partkey, r.l_linenumber) for r in fast.collect())
+    want = sorted((r.l_orderkey, r.l_partkey, r.l_linenumber) for r in direct.collect())
+    assert got == want and len(got) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "file_id" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]

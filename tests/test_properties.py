@@ -301,3 +301,50 @@ def test_lpa_sweeps_match_khop_bfs(spark, edges):
             frontier = {n for f in frontier for n in adj[f]} - seen
             seen |= frontier
         assert got[node] == min(seen), node
+
+
+boxes = st.tuples(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+points = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1023), st.integers(min_value=0, max_value=1023)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(box=boxes, pts=points)
+@settings(max_examples=50, deadline=None)
+def test_z_box_ranges_cover_exactly(box, pts):
+    """z_box_ranges is an EXACT cover: a point's Morton code falls inside
+    the range union iff the point is inside the box — for any box and any
+    point. (Pure python, no Spark: 50 examples are cheap.)"""
+    from userportrait.zcurve import z_box_ranges, z_encode
+
+    a, b, c, d = box
+    x0, x1, y0, y1 = min(a, b), max(a, b), min(c, d), max(c, d)
+    ranges = z_box_ranges(x0, x1, y0, y1)
+    assert all(lo <= hi for lo, hi in ranges)
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    for x, y in pts:
+        z = z_encode(x, y)
+        inside_box = x0 <= x <= x1 and y0 <= y <= y1
+        inside_ranges = any(lo <= z <= hi for lo, hi in ranges)
+        assert inside_box == inside_ranges, (x, y, z)
+
+
+@given(box=boxes)
+@settings(max_examples=25, deadline=None)
+def test_coarsened_ranges_are_a_superset(box):
+    from userportrait.zcurve import coarsen_ranges, z_box_ranges
+
+    a, b, c, d = box
+    exact = z_box_ranges(min(a, b), max(a, b), min(c, d), max(c, d))
+    coarse = coarsen_ranges(exact, 8)
+    assert len(coarse) <= max(8, 1)
+    # every exact range is contained in some coarse range
+    for lo, hi in exact:
+        assert any(clo <= lo and hi <= chi for clo, chi in coarse)

@@ -1,0 +1,127 @@
+"""Z-order (Morton) curve query planning — the query-layer half of
+``sink_zorder_layout``'s storage layout.
+
+The sink writes rows clustered by a 20-bit Morton code (10 bits per key,
+x = l_orderkey % 1024 on the odd bit positions, y = l_partkey % 1024 on the
+even ones), 16 files keyed by the code's top 4 bits. A 2-D box predicate
+``x in [x0, x1] AND y in [y0, y1]`` does NOT map to one contiguous z range —
+the classic problem Tropf & Herzog's BIGMIN construction solves. This module
+implements the equivalent quadtree decomposition: the minimal set of
+contiguous z ranges that exactly cover the box, plus a bounded "coarsened"
+form for predicate-size budgets (a superset cover — callers keep the exact
+x/y residual predicate, so coarsening trades scan rows, never correctness).
+
+Everything here is driver-side planning arithmetic on literals — the output
+is a plain Spark Column (range BETWEENs + a file_id IN-list + the exact
+residuals), so the executed plan gets PartitionFilters on the file prefix
+and min/max-prunable zval bounds with zero runtime machinery.
+"""
+
+from __future__ import annotations
+
+Z_BITS = 10  # bits per key; keep in sync with ops/quality.py's sink
+
+
+def z_encode(x: int, y: int, bits: int = Z_BITS) -> int:
+    """Morton-interleave two ``bits``-wide ints (x on odd positions, y on
+    even — the ops/quality.py sink layout)."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def z_box_ranges(
+    x0: int, x1: int, y0: int, y1: int, bits: int = Z_BITS
+) -> list[tuple[int, int]]:
+    """EXACT cover: the ascending, merged list of inclusive (z_lo, z_hi)
+    ranges whose union contains precisely the z codes of the box
+    ``[x0, x1] x [y0, y1]``. Quadtree recursion: a cell fully inside the box
+    emits its whole contiguous z block; a partial cell splits into its four
+    z-ordered quadrants; a disjoint cell emits nothing."""
+    if x1 < x0 or y1 < y0:
+        return []
+    out: list[tuple[int, int]] = []
+
+    def rec(xlo: int, xhi: int, ylo: int, yhi: int, zbase: int, level: int) -> None:
+        if xhi < x0 or xlo > x1 or yhi < y0 or ylo > y1:
+            return
+        if x0 <= xlo and xhi <= x1 and y0 <= ylo and yhi <= y1:
+            out.append((zbase, zbase + 4**level - 1))
+            return
+        half = (xhi - xlo + 1) // 2
+        quarter = 4 ** (level - 1)
+        xm, ym = xlo + half, ylo + half
+        # children in ascending-z order: (xbit, ybit) = 00, 01, 10, 11
+        rec(xlo, xm - 1, ylo, ym - 1, zbase + 0 * quarter, level - 1)
+        rec(xlo, xm - 1, ym, yhi, zbase + 1 * quarter, level - 1)
+        rec(xm, xhi, ylo, ym - 1, zbase + 2 * quarter, level - 1)
+        rec(xm, xhi, ym, yhi, zbase + 3 * quarter, level - 1)
+
+    rec(0, 2**bits - 1, 0, 2**bits - 1, 0, bits)
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] + 1 == lo:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def coarsen_ranges(
+    ranges: list[tuple[int, int]], max_ranges: int
+) -> list[tuple[int, int]]:
+    """Reduce a sorted range list to at most ``max_ranges`` entries by
+    repeatedly bridging the SMALLEST gaps — a superset of the input cover
+    (extra z codes scanned, never missed), which is safe whenever the exact
+    x/y residual predicate rides along."""
+    rs = [list(r) for r in ranges]
+    while len(rs) > max_ranges:
+        gaps = [(rs[i + 1][0] - rs[i][1], i) for i in range(len(rs) - 1)]
+        _, i = min(gaps)
+        rs[i][1] = rs[i + 1][1]
+        del rs[i + 1]
+    return [(lo, hi) for lo, hi in rs]
+
+
+def z_box_predicate(
+    x0: int,
+    x1: int,
+    y0: int,
+    y1: int,
+    *,
+    bits: int = Z_BITS,
+    prefix_shift: int = 16,
+    max_ranges: int = 32,
+    zval_col: str = "zval",
+    file_col: str = "file_id",
+    x_expr: str = "(l_orderkey % 1024)",
+    y_expr: str = "(l_partkey % 1024)",
+):
+    """Spark Column for the 2-D box over a ``sink_zorder_layout`` table:
+
+      file_id IN (<touched prefixes>)        -> PartitionFilters (dir pruning)
+      AND (zval BETWEEN ... OR ...)          -> row-group min/max pruning
+      AND x BETWEEN x0 AND x1 AND y ...      -> exact residual (coarsening-safe)
+
+    All literals are computed driver-side; the plan carries no runtime
+    machinery."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ranges = coarsen_ranges(z_box_ranges(x0, x1, y0, y1, bits), max_ranges)
+    if not ranges:
+        return F.lit(False)
+    z = F.col(zval_col)
+    z_cond = reduce(
+        lambda a, b: a | b, [z.between(lo, hi) for lo, hi in ranges]
+    )
+    prefixes = sorted(
+        {p for lo, hi in ranges for p in range(lo >> prefix_shift, (hi >> prefix_shift) + 1)}
+    )
+    residual = (
+        F.expr(x_expr).between(x0, x1) & F.expr(y_expr).between(y0, y1)
+    )
+    return F.col(file_col).isin(prefixes) & z_cond & residual
