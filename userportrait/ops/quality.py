@@ -1040,11 +1040,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
-    sym = pin(
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    # persist(), not pin(): the edge list is DETERMINISTIC (no sampling
+    # anywhere upstream), so re-evaluation is a cost problem, not a
+    # correctness one — and the DataFrame cache stores compressed columnar
+    # batches where localCheckpoint stores deserialized row objects (~10×
+    # the footprint; the checkpointed form OOM-killed the 100× ladder at
+    # 180M symmetric edge rows).
+    sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).persist()
     labels = lpa_min_label_sweeps(sym, _LPA_SWEEPS)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
@@ -1060,6 +1064,16 @@ def lpa_min_label_sweeps(sym: DataFrame, sweeps: int) -> DataFrame:
         "label", F.col("node")
     )
     for _ in range(sweeps):
+        # Each sweep consumes `labels` TWICE (the neighbor-min build and
+        # the outer join), so an unmaterialized chain doubles its
+        # evaluation tree per sweep — 2^sweeps re-evaluations of sweep one
+        # (the dedup_cc_clusters per-round finding, re-found here by the
+        # 100× ladder: 152 s). One columnar cache per sweep stops the
+        # blowup; the cached frame is one row per node, bounded at any
+        # scale, and every input is deterministic so a lost block recomputes
+        # identically (persist, not checkpoint, is sufficient AND memory-safe
+        # — see the sym note in graph_label_propagation).
+        labels = labels.persist()
         nb = (
             sym.join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
             .groupBy("src")
