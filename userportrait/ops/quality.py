@@ -949,9 +949,13 @@ def tag_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ranking import global_row_number
 
     o = load(spark, sf_dir).orders
+    # cached: global_row_number consumes rev twice (the range-partitioned
+    # rank pass and the final rank join-back); one columnar cache stops the
+    # revenue groupBy from running twice. Deterministic input -> persist,
+    # not checkpoint (the LPA sizing lesson).
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev")
-    )
+    ).persist()
     ranked = global_row_number(
         rev, [F.col("rev").desc(), F.col("o_custkey").asc()], "o_custkey"
     )
