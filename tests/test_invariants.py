@@ -1046,3 +1046,20 @@ def test_expect_suite_verdicts_match_metrics(spark):
         assert r.__getattr__("pass") == (r.observed >= r.threshold), r.rule_id
     assert rows["orders.o_custkey.completeness"].observed == 1.0
     assert rows["lineitem.l_shipdate.completeness"].observed == 1.0
+
+
+def test_minhash_vectorized_kernel_bit_identical(spark):
+    """The Arrow-batched hashlib MinHash kernel (minhash_sig_wide) must be
+    bit-identical to the declarative spec it replaced
+    (minhash_sig_wide_expr) — the 16 md5-fold lambdas remain the
+    semantics-defining form (and every DuckDB oracle still states it), so
+    any drift in the Python kernel (encoding, shingle bounds, min
+    tie-breaks) shows up here before it shows up as a driver hash
+    mismatch."""
+    from userportrait.catalog import load
+    from userportrait.ops.llm_dedup import minhash_sig_wide, minhash_sig_wide_expr
+
+    d = load(spark, SF_DIR).documents
+    vec = {r.doc_id: tuple(r)[1:] for r in minhash_sig_wide(d).collect()}
+    spec = {r.doc_id: tuple(r)[1:] for r in minhash_sig_wide_expr(d).collect()}
+    assert vec == spec
