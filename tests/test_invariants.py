@@ -868,8 +868,10 @@ def test_als_recs_invariants(spark):
 
 def test_gbt_churn_is_stable_and_monotone(spark):
     """ml_gbt_churn: two fits agree exactly at 3dp (seeded determinism),
-    scores are valid probabilities, and higher-score customers show a
-    higher observed active rate (the same coarse AUC proxy as LR)."""
+    scores are valid probabilities, and higher-churn-score customers show
+    a LOWER observed active rate — churn_score is 1 - P(active), so the
+    monotonicity gate runs inverted vs LR's propensity (ADVICE r8: the
+    first cut emitted P(active) under the churn name)."""
     a = OPS["ml_gbt_churn"].fn(spark, SF_DIR).collect()
     b = OPS["ml_gbt_churn"].fn(spark, SF_DIR).collect()
     assert [(r.c_custkey, r.churn_score) for r in a] == [
@@ -879,7 +881,7 @@ def test_gbt_churn_is_stable_and_monotone(spark):
     lo = [r.is_active for r in a if r.churn_score < 0.5]
     hi = [r.is_active for r in a if r.churn_score >= 0.5]
     if lo and hi:
-        assert sum(hi) / len(hi) > sum(lo) / len(lo)
+        assert sum(lo) / len(lo) > sum(hi) / len(hi)
 
 
 def test_dim_ablation_histograms_conserve_and_order(spark):

@@ -289,7 +289,10 @@ def test_lpa_sweeps_match_khop_bfs(spark, edges):
     es = [(a, b) for a, b in edges if a != b]
     sym_rows = [(a, b) for a, b in es] + [(b, a) for a, b in es]
     sym = spark.createDataFrame(sym_rows, "src long, dst long")
-    got = {r.node: r.label for r in lpa_min_label_sweeps(sym, 3).collect()}
+    caches = []
+    got = {r.node: r.label for r in lpa_min_label_sweeps(sym, 3, caches).collect()}
+    for c in caches:  # don't accumulate cached blocks across examples
+        c.unpersist()
 
     adj: dict[int, set[int]] = {}
     for a, b in es:

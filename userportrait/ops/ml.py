@@ -26,6 +26,34 @@ from .portrait import rfm_base
 SEED = 20260813
 
 
+def _warn_if_no_native_blas(spark: SparkSession) -> str:
+    """Return the netlib BLAS backend class name; warn loudly when it is
+    not NativeBLAS. MLlib's blocked GEMM paths (ALS recommendForAllUsers
+    above all) run 10-50x slower on the pure-JVM fallbacks (F2j, and to a
+    lesser degree the JDK17 VectorBLAS) — on a BLAS-less image the r8
+    100x ALS ladder never finished, silently (VERDICT r8 wrong #3). A
+    warning, not an output change: results are identical either way, only
+    the wall clock differs, and any serious cluster image ships
+    netlib-native."""
+    import warnings
+
+    try:
+        backend = (
+            spark._jvm.dev.ludovic.netlib.blas.BLAS.getInstance().getClass().getName()
+        )
+    except Exception:  # netlib not on the classpath at all
+        backend = "unavailable"
+    if "NativeBLAS" not in backend:
+        warnings.warn(
+            f"MLlib linear algebra is running on {backend} — no native BLAS "
+            "loaded. ALS recommendForAllUsers and other blocked GEMM paths "
+            "will be 10-50x slower than on an image with netlib-native.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return backend
+
+
 def _rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM features assembled + min-max scaled to [0,1] vectors."""
     from pyspark.ml.feature import MinMaxScaler, VectorAssembler
@@ -153,6 +181,7 @@ def ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load
 
+    _warn_if_no_native_blas(spark)
     t = load(spark, sf_dir)
     ratings = (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
@@ -201,7 +230,11 @@ def ml_gbt_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation — per-iteration cost is #rows x #features binning, no
     driver-side data. Oracle = ROWS (SURVEY §2.0 rule 5, seeded-ML
     family); the invariant test pins run-stability and score-bucket
-    monotonicity vs the actual label, the same gates as LR."""
+    monotonicity vs the actual label, the same gates as LR.
+
+    churn_score is 1 - P(recently active): high score = likely churned.
+    (ADVICE r8: the first cut emitted the positive-class probability
+    under the churn name, inverting the semantics for any consumer.)"""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
@@ -226,5 +259,5 @@ def ml_gbt_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.select(
         "c_custkey",
         F.col("label").cast("int").alias("is_active"),
-        F.round(p1, 3).alias("churn_score"),
+        F.round(1.0 - p1, 3).alias("churn_score"),
     ).orderBy("c_custkey")

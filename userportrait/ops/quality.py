@@ -963,10 +963,16 @@ def tag_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = ranked.crossJoin(F.broadcast(tot)).select(
         (1 + F.expr("((rn - 1) * 10) div total")).cast("int").alias("decile"), "rev"
     )
-    agg = dec.groupBy("decile").agg(
-        F.count("*").cast("bigint").alias("n_customers"),
-        F.sum("rev").alias("decile_rev"),
+    # pin the 10-row decile aggregate, then release the revenue cache —
+    # the cumulative-share windows below only need these 10 rows, and the
+    # cache would otherwise outlive the op (ADVICE r8).
+    agg = pin(
+        dec.groupBy("decile").agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("rev").alias("decile_rev"),
+        )
     )
+    rev.unpersist()
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1053,17 +1059,33 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).persist()
-    labels = lpa_min_label_sweeps(sym, _LPA_SWEEPS)
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count("*").cast("bigint").alias("n_nodes")
+    caches: list[DataFrame] = []
+    labels = lpa_min_label_sweeps(sym, _LPA_SWEEPS, caches)
+    # pin the (tiny, #communities-row) aggregate, then drop every cached
+    # block — without this the sym edge cache and one label frame per sweep
+    # accumulate across a driver session that runs all 216 ops (ADVICE r8).
+    out = pin(
+        labels.groupBy(F.col("label").alias("community")).agg(
+            F.count("*").cast("bigint").alias("n_nodes")
+        )
     )
+    for c in [sym, *caches]:
+        c.unpersist()
+    return out
 
 
-def lpa_min_label_sweeps(sym: DataFrame, sweeps: int) -> DataFrame:
+def lpa_min_label_sweeps(
+    sym: DataFrame, sweeps: int, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """``sweeps`` rounds of min-label propagation over a symmetric
     (src, dst) edge frame -> (node, label). Factored so the property test
     can drive arbitrary graphs against an independent BFS reference
-    (label after k sweeps == min node id within the k-hop neighborhood)."""
+    (label after k sweeps == min node id within the k-hop neighborhood).
+
+    Each sweep's label frame is persist()ed (see the loop comment); the
+    caller passes ``caches`` to collect those frames and unpersist them
+    once the result is materialized — the caches are consumed lazily, so
+    they can only be dropped AFTER the downstream action (ADVICE r8)."""
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -1078,6 +1100,8 @@ def lpa_min_label_sweeps(sym: DataFrame, sweeps: int) -> DataFrame:
         # identically (persist, not checkpoint, is sufficient AND memory-safe
         # — see the sym note in graph_label_propagation).
         labels = labels.persist()
+        if caches is not None:
+            caches.append(labels)
         nb = (
             sym.join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "nlabel"), "dst")
             .groupBy("src")

@@ -76,6 +76,8 @@ def coarsen_ranges(
     repeatedly bridging the SMALLEST gaps — a superset of the input cover
     (extra z codes scanned, never missed), which is safe whenever the exact
     x/y residual predicate rides along."""
+    if max_ranges < 1:
+        raise ValueError(f"max_ranges must be >= 1, got {max_ranges}")
     rs = [list(r) for r in ranges]
     while len(rs) > max_ranges:
         gaps = [(rs[i + 1][0] - rs[i][1], i) for i in range(len(rs) - 1)]
