@@ -20,6 +20,9 @@ previously invisible to the per-round perf gate.
   q_clean_pipeline  → doc_clean_pipeline (C4-style clean chain)
   q_minhash         → dedup_near_minhash (shingle→minhash→band→bucket-join)
   q_bm25            → text_bm25_keywords (single-tf-scan BM25 top-3/doc)
+  q_jaccard_capped  → dedup_jaccard_verify_capped (bucket-capped LSH verify)
+  q_ivf             → sim_knn_ivf_kmeans (trained-quantizer ANN; r9, so the
+                      r8 scale work stays regression-tracked — VERDICT r8 #6)
 """
 
 from __future__ import annotations
@@ -98,6 +101,8 @@ def main() -> int:
         "q_clean_pipeline": ops["doc_clean_pipeline"].fn,
         "q_minhash": ops["dedup_near_minhash"].fn,
         "q_bm25": ops["text_bm25_keywords"].fn,
+        "q_jaccard_capped": ops["dedup_jaccard_verify_capped"].fn,
+        "q_ivf": ops["sim_knn_ivf_kmeans"].fn,
     }
     # Queries whose op body EXECUTES work at plan-declaration time: the
     # blocked kNN pins per-chunk partials eagerly (so each broadcast can be
@@ -107,7 +112,7 @@ def main() -> int:
     # list to parquet. For these, building the DataFrame outside the timed
     # region would hide that work from the clock; re-declare per run so the
     # timed number includes it.
-    eager = {"q_vector_knn", "q_minhash", "q_clean_pipeline"}
+    eager = {"q_vector_knn", "q_minhash", "q_clean_pipeline", "q_jaccard_capped", "q_ivf"}
     spark = get_spark("userportrait-bench")
     timings: dict[str, float] = {}
     for name, fn in queries.items():

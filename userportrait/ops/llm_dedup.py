@@ -325,7 +325,7 @@ def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     replica). No broadcast hint anywhere: the array table is one row per
     DOCUMENT — corpus-sized, not a dim; AQE picks the join strategy."""
     sh = (
-        d.repartition(64, "doc_id")
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
         .distinct()
         .groupBy("doc_id")
@@ -696,7 +696,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir).documents
     cand = minhash_candidates(d, with_sigs=False)
     sh = (
-        d.repartition(64, "doc_id")
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
         .distinct()
         .groupBy("doc_id")
