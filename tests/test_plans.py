@@ -644,3 +644,74 @@ def test_zorder_box_predicate_is_exact_and_prunes(spark):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "file_id" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+SCRATCH_HILBERT = __import__('pathlib').Path(__file__).parent.parent / '_scratch' / 'lineitem_hilbert'
+
+
+def test_hilbert_prefix_predicate_prunes_partitions(spark):
+    """sink_hilbert_layout must buy the same pruning its Z-order sibling
+    proves: a derived file-prefix predicate compiles to PartitionFilters
+    keeping the target file_id directories, hval bounds reach the scan,
+    and every row group's hval stats stay inside its file's prefix range
+    (min/max pruning works from stats alone)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rows = sorted(OPS["sink_hilbert_layout"].fn(spark, SF_DIR).collect(), key=lambda r: r.n_rows)
+    target = rows[-1]
+    lo, hi = int(target.h_min), int(target.h_max)
+    back = spark.read.parquet(str(SCRATCH_HILBERT))
+    q = back.where(
+        (F.col("file_id") >= lo >> 16)
+        & (F.col("file_id") <= hi >> 16)
+        & (F.col("hval") >= lo)
+        & (F.col("hval") <= hi)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "(file_id#" in pf and ">= " in pf
+    assert "GreaterThanOrEqual(hval" in plan and "LessThanOrEqual(hval" in plan
+    assert q.count() == target.n_rows
+
+    for d in glob.glob(str(SCRATCH_HILBERT) + "/file_id=*"):
+        fid = int(d.rsplit("=", 1)[1])
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: i
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                st = md.row_group(rg).column(cols["hval"]).statistics
+                assert st.min >> 16 == fid and st.max >> 16 == fid
+
+
+def test_hilbert_box_predicate_is_exact_and_prunes(spark):
+    """End-to-end 2-D box query through the Hilbert planner
+    (userportrait/hilbert.py): the generated predicate returns exactly the
+    rows the plain key predicate returns, while pruning partitions via the
+    file-prefix IN-list — and its exact cover must not need more BETWEENs
+    than the Z-order planner's on the same box (the locality payoff)."""
+    from pyspark.sql import functions as F
+
+    from userportrait.hilbert import hilbert_box_predicate, hilbert_box_ranges
+    from userportrait.zcurve import z_box_ranges
+
+    OPS["sink_hilbert_layout"].fn(spark, SF_DIR).count()  # materialize sink
+    back = spark.read.parquet(str(SCRATCH_HILBERT))
+    x0, x1, y0, y1 = 100, 400, 20, 150
+    fast = back.where(hilbert_box_predicate(x0, x1, y0, y1))
+    direct = back.where(
+        F.expr("(l_orderkey % 1024)").between(x0, x1)
+        & F.expr("(l_partkey % 1024)").between(y0, y1)
+    )
+    got = sorted((r.l_orderkey, r.l_partkey, r.l_linenumber) for r in fast.collect())
+    want = sorted((r.l_orderkey, r.l_partkey, r.l_linenumber) for r in direct.collect())
+    assert got == want and len(got) > 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "file_id" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert len(hilbert_box_ranges(x0, x1, y0, y1)) <= len(z_box_ranges(x0, x1, y0, y1))

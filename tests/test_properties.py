@@ -351,3 +351,64 @@ def test_coarsened_ranges_are_a_superset(box):
     # every exact range is contained in some coarse range
     for lo, hi in exact:
         assert any(clo <= lo and hi <= chi for clo, chi in coarse)
+
+
+@given(box=boxes, pts=points)
+@settings(max_examples=50, deadline=None)
+def test_hilbert_box_ranges_cover_exactly(box, pts):
+    """hilbert_box_ranges is an EXACT cover: a point's Hilbert index falls
+    inside the range union iff the point is inside the box — this also
+    proves the corner-entry construction (cell range = min corner d +
+    size²-1) the cover relies on. (Pure python, no Spark.)"""
+    from userportrait.hilbert import hilbert_box_ranges, hilbert_xy2d
+
+    a, b, c, d = box
+    x0, x1, y0, y1 = min(a, b), max(a, b), min(c, d), max(c, d)
+    ranges = hilbert_box_ranges(x0, x1, y0, y1)
+    assert all(lo <= hi for lo, hi in ranges)
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    for x, y in pts:
+        h = hilbert_xy2d(x, y)
+        inside_box = x0 <= x <= x1 and y0 <= y <= y1
+        inside_ranges = any(lo <= h <= hi for lo, hi in ranges)
+        assert inside_box == inside_ranges, (x, y, h)
+
+
+def test_hilbert_curve_is_bijective_and_local():
+    """hilbert_xy2d at small bit widths: a bijection onto [0, 4^bits) whose
+    consecutive indices are ALWAYS grid-adjacent (Manhattan distance 1) —
+    the no-diagonal-jumps locality property that distinguishes the layout
+    from Morton order, where consecutive codes can jump across the grid."""
+    from userportrait.hilbert import hilbert_xy2d
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        seen = {}
+        for x in range(n):
+            for y in range(n):
+                dd = hilbert_xy2d(x, y, bits)
+                assert 0 <= dd < n * n and dd not in seen
+                seen[dd] = (x, y)
+        for dd in range(n * n - 1):
+            (xa, ya), (xb, yb) = seen[dd], seen[dd + 1]
+            assert abs(xa - xb) + abs(ya - yb) == 1
+
+
+def test_hilbert_covers_no_wider_than_zorder():
+    """The headline locality claim, measured: across a grid of box shapes,
+    the Hilbert cover never needs more ranges than the Morton cover needs
+    on the same box family in aggregate (per-box either may win; the sum
+    is what the BETWEEN-count budget sees)."""
+    from userportrait.hilbert import hilbert_box_ranges
+    from userportrait.zcurve import z_box_ranges
+
+    boxes_ = [
+        (x0, x0 + w, y0, y0 + h)
+        for x0 in (0, 100, 511, 700)
+        for y0 in (0, 37, 512, 900)
+        for w, h in ((10, 10), (100, 30), (300, 300), (1023, 5))
+        if x0 + w <= 1023 and y0 + h <= 1023
+    ]
+    n_h = sum(len(hilbert_box_ranges(*bx)) for bx in boxes_)
+    n_z = sum(len(z_box_ranges(*bx)) for bx in boxes_)
+    assert n_h <= n_z, (n_h, n_z)

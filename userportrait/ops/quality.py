@@ -663,6 +663,80 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sink_hilbert_layout — Hilbert-curve clustered parquet sink
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle_sql() -> str:
+    """DuckDB oracle: the unrolled xy→d walk as nested subselects, reading
+    the SAME expression text per step as the Spark sink
+    (userportrait/hilbert.py::hilbert_step_exprs)."""
+    from ..hilbert import hilbert_step_exprs
+
+    steps = hilbert_step_exprs()
+    q = (
+        "SELECT l_quantity, (l_orderkey % 1024) AS hx0, (l_partkey % 1024) AS hy0, "
+        "0 AS hd0 FROM lineitem"
+    )
+    for i, (ex, ey, ed) in enumerate(steps):
+        q = f"SELECT *, {ex} AS hx{i + 1}, {ey} AS hy{i + 1}, {ed} AS hd{i + 1} FROM ({q})"
+    return f"""
+    WITH h AS (SELECT CAST(hd{len(steps)} AS BIGINT) AS hval, l_quantity FROM ({q}))
+    SELECT CAST(hval >> 16 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(hval) AS BIGINT) AS h_min,
+           CAST(max(hval) AS BIGINT) AS h_max,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM h GROUP BY 1
+    """
+
+
+@op("sink_hilbert_layout", oracle=_hilbert_oracle_sql())
+def sink_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustered sink — sink_zorder_layout's locality-improved
+    sibling (VERDICT r8 "Next round" #7): lineitem rows get a 20-bit
+    Hilbert index (10-step unrolled xy→d walk over l_orderkey%1024 /
+    l_partkey%1024 — pure CASE/bit expressions, whole-stage codegen, no
+    UDF), land in one of 16 files by the index's top 4 bits, sorted by the
+    index within each file. The Hilbert curve has no Morton diagonal
+    jumps, so consecutive index values are always grid-adjacent — a 2-D
+    box covers fewer, longer contiguous ranges (fewer BETWEENs from
+    hilbert_box_predicate for the same exact cover) and skewed boxes get
+    tighter per-file stats. Write path is identical to the Z-order sink:
+    one shuffle on file_id, sortWithinPartitions(hval); the readback
+    aggregate proves the roundtrip lossless cell by cell."""
+    from ..hilbert import hilbert_step_exprs
+    from .scans import _scratch
+
+    path = _scratch("lineitem_hilbert")
+    li = load(spark, sf_dir).lineitem
+    df = li.selectExpr(
+        "*", "(l_orderkey % 1024) AS hx0", "(l_partkey % 1024) AS hy0", "0 AS hd0"
+    )
+    steps = hilbert_step_exprs()
+    for i, (ex, ey, ed) in enumerate(steps):
+        df = df.selectExpr("*", f"{ex} AS hx{i + 1}", f"{ey} AS hy{i + 1}", f"{ed} AS hd{i + 1}")
+    n = len(steps)
+    z = df.select(
+        *li.columns, F.col(f"hd{n}").cast("bigint").alias("hval")
+    ).withColumn("file_id", F.expr("hval >> 16").cast("bigint"))
+    (
+        z.repartition(16, "file_id")
+        .sortWithinPartitions("hval")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("file_id").cast("bigint").alias("file_id")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("hval").cast("bigint").alias("h_min"),
+        F.max("hval").cast("bigint").alias("h_max"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embed_dim_ablation — matryoshka-style truncated-dimension recall
 # ---------------------------------------------------------------------------
 
