@@ -783,14 +783,21 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant test (tests/test_invariants.py) against the exact blocked
     kNN — the same gate the LSH and label-IVF paths carry.
 
-    Scale: the fit touches one row per vector (and would subsample in a
-    real deploy; measured 19 s for k=448 on 200k×64-d). k is env-tunable
-    (UP_IVF_KMEANS_K) because cells must GROW ~√n with the corpus —
-    candidates/query ≈ nprobe·(n/k), so fixed k at 100× data means
-    100×-wider cells. Centroids stay k × dim driver literals →
+    Scale: the quantizer trains on a deterministic md5-derived HALF-SAMPLE
+    of the corpus (first md5 nibble of vec_id < 8 — the doc_train_split
+    convention; the FAISS practice of fitting coarse cells on a sample and
+    assigning everything), coalesced to defaultParallelism — training cost
+    is bounded by the sample, not the corpus, and a 100 TB deploy would
+    additionally cap the sample's absolute size (~256·k rows is the FAISS
+    guideline). Assignment still touches every vector exactly once. k is
+    env-tunable (UP_IVF_KMEANS_K) because cells must GROW ~√n with the
+    corpus — candidates/query ≈ nprobe·(n/k), so fixed k at 100× data
+    means 100×-wider cells. Centroids stay k × dim driver literals →
     broadcast."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from ..ops.curation import HEX
 
     e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -800,7 +807,12 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
         .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
     )
-    feats = unit.select("vec_id", array_to_vector("u").alias("features"))
+    samp = unit.where(
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 < 8
+    )
+    feats = samp.select("vec_id", array_to_vector("u").alias("features")).coalesce(
+        spark.sparkContext.defaultParallelism
+    )
     model = KMeans(
         k=IVF_KMEANS_K, seed=IVF_KMEANS_SEED, initMode="k-means||", maxIter=20
     ).fit(feats)

@@ -64,95 +64,69 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r08 window (scripts/rotate_window.py over CORRECTNESS_r01..r07: all 177
-# prior ops green, 0 failed ever — the registry closed at 100% in r7, so
-# this is a hardening-round rotation). The never-driver-graded r8 additions
-# lead (sim_knn_ivf_kmeans, dedup_jaccard_verify_capped, then the first
-# continuation set: sim_knn_pq, events_attribution, sink_scd2,
-# text_bm25_keywords, then the second: tag_decay_score, events_ab_ttest,
-# agg_cms_topk, fn_higher_order, sim_rerank_mmr, dedup_containment,
-# events_rolling_distinct_users, tag_rule_dsl, agg_hll_rolling_distinct,
-# doc_split_drift, then the third: dq_profile_columns, graph_triangle_count,
-# text_cooccur_lift, embed_pca_project, ml_als_recs, then the fourth:
-# events_forecast_holt, doc_importance_resample, events_cuped_adjust, then
-# the fifth: doc_gopher_quality, doc_vocab_growth, events_survival_curve,
-# events_interarrival_stats, dq_referential_integrity, sink_zorder_layout,
-# embed_dim_ablation, ml_gbt_churn, then the sixth: events_power_analysis,
-# events_funnel_ttc, tag_revenue_concentration, graph_label_propagation,
-# dq_expect_suite, scan_text_roundtrip). Next: ops
-# MODIFIED this round — tag_funnel_windowed (semi-join pre-filter of the
-# pinned stage-1 frame), tag_crowd_select / dedup_simhash /
-# text_contamination (data-derived broadcast hints dropped, AQE decides),
-# dedup_jaccard_verify (verification body factored into the helper the
-# capped variant shares), sim_knn_ivf (probe/rescore factored into the
-# helper the kmeans variant shares). The filler is the oldest-evidence
-# greens, oldest first: the r04-vintage block (the r04/r05 rows that padded
-# the pre-continuation windows rotated back out as the nine new ops took
-# their slots).
+# r09 window: the three never-driver-graded r9 additions lead
+# (stream_funnel_stages, doc_quality_drift, sink_hilbert_layout). Next,
+# re-certification of every op MODIFIED this round: the whole
+# minhash_sig_wide consumer family (the signature kernel became an
+# Arrow-batched hashlib pandas_udf — bit-identical by test, but the driver
+# hash is the authority), ml_gbt_churn (churn_score now 1 - P(active)),
+# ml_als_recs (BLAS guard), graph_label_propagation /
+# tag_revenue_concentration (cache-release rework), sim_knn_ivf_kmeans
+# (quantizer now trains on the md5 half-sample), doc_gopher_quality
+# (per-doc flags factored into gopher_doc_flags). Filler: oldest-evidence
+# greens from scripts/rotate_window.py propose over CORRECTNESS_r01..r08
+# (the r04/r05-vintage block), oldest first, window capped at 50.
 GRADE_FIRST: tuple[str, ...] = (
-    # never driver-graded: r8 additions
-    "sim_knn_ivf_kmeans",
-    "dedup_jaccard_verify_capped",
-    "sim_knn_pq",
-    "events_attribution",
-    "sink_scd2",
-    "text_bm25_keywords",
-    "tag_decay_score",
-    "events_ab_ttest",
-    "agg_cms_topk",
-    "fn_higher_order",
-    "sim_rerank_mmr",
-    "dedup_containment",
-    "events_rolling_distinct_users",
-    "tag_rule_dsl",
-    "agg_hll_rolling_distinct",
-    "doc_split_drift",
-    "dq_profile_columns",
-    "graph_triangle_count",
-    "text_cooccur_lift",
-    "embed_pca_project",
-    "ml_als_recs",
-    "events_forecast_holt",
-    "doc_importance_resample",
-    "events_cuped_adjust",
-    # never driver-graded: r8 fifth-session additions (quality gates, DQ
-    # audit, layout sink, dim ablation, GBT)
-    "doc_gopher_quality",
-    "doc_vocab_growth",
-    "events_survival_curve",
-    "events_interarrival_stats",
-    "dq_referential_integrity",
-    "sink_zorder_layout",
-    "embed_dim_ablation",
-    "ml_gbt_churn",
-    # never driver-graded: r8 sixth-session additions (experimentation
-    # planning, funnel latency, Pareto deciles, LPA communities,
-    # expectation suite)
-    "events_power_analysis",
-    "events_funnel_ttc",
-    "tag_revenue_concentration",
-    "graph_label_propagation",
-    "dq_expect_suite",
-    "scan_text_roundtrip",
-    # re-certification: ops modified this round (r8)
-    "tag_funnel_windowed",
-    "tag_crowd_select",
-    "dedup_simhash",
-    "text_contamination",
+    "stream_funnel_stages",
+    "doc_quality_drift",
+    "sink_hilbert_layout",
+    "dedup_near_minhash",
     "dedup_jaccard_verify",
-    "sim_knn_ivf",
-    # re-certification: the other minhash_candidates consumers (the r8
-    # bucket-cap work factored the banding helper they all share)
+    "dedup_jaccard_verify_capped",
+    "dedup_containment",
+    "dedup_incremental",
     "dedup_family_histogram",
     "dedup_cc_clusters",
     "doc_clean_pipeline",
-    # re-certification filler: oldest-evidence (r04) greens, module order.
-    # (Trimmed as the r8 addition batches grew — the window is exactly 50
-    # and every never-graded op must fit; the remaining r04 rows keep
-    # their earlier green evidence and rotate back in next round.)
-    "join_interval",
-    "agg_groupby_basic",
-    "agg_filter_clause",
+    "dedup_split_leakage",
+    "ml_gbt_churn",
+    "ml_als_recs",
+    "graph_label_propagation",
+    "tag_revenue_concentration",
+    "sim_knn_ivf_kmeans",
+    "doc_gopher_quality",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_collect_sorted",
+    "win_running_sum",
+    "win_trailing_time",
+    "tag_match_rule",
+    "tag_age_bucket",
+    "tag_consumption_cycle",
+    "tag_preference_top1",
+    "tag_psm",
+    "profile_assemble",
+    "ml_kmeans_rfm",
+    "ml_tree_segment",
+    "text_tokenize_topk",
+    "text_ngram",
+    "text_tfidf",
+    "text_lang_source_stats",
+    "dedup_exact",
+    "embed_label_centroid",
+    "embed_norm_stats",
+    "stream_tumbling",
+    "stream_late_data",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_watermark",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "udtf_python",
+    "agg_approx_percentile",
 )
 
 
