@@ -238,7 +238,9 @@ def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tot_docs² < 2^63); promote the comparison to DECIMAL beyond that.
     Plan: the gopher_doc_flags per-doc pipeline (token shuffle keyed by
     doc_id), one (source, week) groupBy, one #sources-row rollup joined
-    back broadcast-size. Output is #sources × #weeks rows."""
+    back (no broadcast hint: #sources is data-derived — per the r8 hint
+    policy AQE picks broadcast at its measured size). Output is
+    #sources × #weeks rows."""
     fl = gopher_doc_flags(load(spark, sf_dir).documents)
     week = (
         (F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1)
@@ -259,7 +261,7 @@ def doc_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("tot_docs"),
         F.sum("n_keep").cast("bigint").alias("tot_keep"),
     )
-    j = sw.join(F.broadcast(tot), "source")
+    j = sw.join(tot, "source")
     return j.select(
         "source",
         "week",
