@@ -252,3 +252,66 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, media_kind string, n_bytes bigint, "
         "bin0 bigint, bin1 bigint, bin2 bigint, bin3 bigint, mean_byte double",
     )
+
+
+N_SAMPLED_FRAMES = 8  # keyframe budget per video
+
+
+@op(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(p.i AS INT) AS frame_idx,
+           CAST(p.i * {FRAME_STRIDE} + 1 AS INT) AS byte_pos,
+           CAST(ascii(substring(d.text, p.i * {FRAME_STRIDE} + 1, 1)) AS INT) AS frame_val,
+           md5(substring(d.text, p.i * {FRAME_STRIDE} + 1,
+                         least({FRAME_STRIDE}, length(d.text) - p.i * {FRAME_STRIDE}))) AS frame_md5
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, {N_SAMPLED_FRAMES - 1})) AS i) p
+    WHERE d.doc_id % 3 = 2 AND p.i * {FRAME_STRIDE} + 1 <= length(d.text)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads — the keyframe-budget pass of a
+    video ingestion pipeline (prompt mandate: decode / feature-extract /
+    resize / FRAME-SAMPLE): each video payload yields its first
+    {N_SAMPLED_FRAMES} stride-{FRAME_STRIDE} "frames" as one ROW PER FRAME
+    (doc_id, frame_idx, byte offset, first frame byte, md5 of the frame
+    slice) — the exploded shape downstream per-frame feature extraction
+    consumes, vs mm_decode_stub's per-document aggregate. The fake codec
+    treats every {FRAME_STRIDE}-byte slice as a frame (a real demuxer
+    dispatches on the container format here); the fan-out is bounded by
+    the budget, never by payload length — the property that keeps the
+    output row count O(#videos · budget) at 100 TB.
+
+    Arrow-batched ``mapInPandas`` over (payload, media_kind); non-video
+    rows are filtered JVM-side BEFORE the Python stage so the codec only
+    ever sees the rows it must touch (the same predicate the oracle
+    states)."""
+
+    def sample(batches: Iterator["object"]) -> Iterator["object"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n_frames = min(N_SAMPLED_FRAMES, (len(arr) + FRAME_STRIDE - 1) // FRAME_STRIDE)
+                for i in range(n_frames):
+                    pos = i * FRAME_STRIDE
+                    frame = bytes(arr[pos : pos + FRAME_STRIDE])
+                    rows.append(
+                        (doc_id, i, pos + 1, int(arr[pos]), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_pos", "frame_val", "frame_md5"]
+            )
+
+    p = _payloads(spark, sf_dir).where(F.col("media_kind") == "video")
+    return p.mapInPandas(
+        sample,
+        "doc_id bigint, frame_idx int, byte_pos int, frame_val int, frame_md5 string",
+    )

@@ -80,6 +80,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_funnel_stages",
     "doc_quality_drift",
     "sink_hilbert_layout",
+    "mm_frame_sample",
     "dedup_near_minhash",
     "dedup_jaccard_verify",
     "dedup_jaccard_verify_capped",
@@ -126,7 +127,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
     "udtf_python",
-    "agg_approx_percentile",
 )
 
 
