@@ -37,6 +37,42 @@ def _query(src, which):
         return src.groupBy(S.F.session_window("ts", "30 minutes"), "user_id").agg(
             F.count("*").cast("bigint").alias("n_events")
         )
+    if which == "funnel":
+        # the stream_funnel_stages body (r9): per-user stage-frontier state
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        stages = src.where(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+
+        def advance(key, pdfs, state: GroupState):
+            v, c, p = state.get if state.exists else (None, None, None)
+            for pdf in pdfs:
+                for us, et in sorted(zip(pdf["us"], pdf["event_type"])):
+                    us = int(us)
+                    if et == "view":
+                        if v is None:
+                            v = us
+                    elif et == "click":
+                        if c is None and v is not None and us > v:
+                            c = us
+                    elif p is None and c is not None and us > c:
+                        p = us
+            state.update((v, c, p))
+            if v is None:
+                return
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "stage": [3 if p is not None else 2 if c is not None else 1]}
+            )
+
+        return stages.groupBy("user_id").applyInPandasWithState(
+            advance,
+            outputStructType="user_id bigint, stage bigint",
+            stateStructType="v bigint, c bigint, p bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     clicks = src.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
