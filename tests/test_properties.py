@@ -412,3 +412,68 @@ def test_hilbert_covers_no_wider_than_zorder():
     n_h = sum(len(hilbert_box_ranges(*bx)) for bx in boxes_)
     n_z = sum(len(z_box_ranges(*bx)) for bx in boxes_)
     assert n_h <= n_z, (n_h, n_z)
+
+
+events_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.integers(min_value=0, max_value=50),         # ts (seconds)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(seq=events_seq)
+@settings(**SETTINGS)
+def test_funnel_stage_chain_matches_sequential_walk(spark, seq):
+    """The batch min-view/min-later-click/min-later-purchase chain (the
+    stream_funnel_stages oracle algebra) must equal a sequential
+    event-time walk of each user's stream applying the strict-progression
+    state machine — for ANY event sequence, including ties (strict '>'
+    makes tie order irrelevant) and stage events arriving 'out of order'
+    in time. This is the equivalence the streaming op's incremental update
+    relies on."""
+    rows = [(u, t, e) for u, t, e in seq]
+    df = spark.createDataFrame(rows, "user_id int, us long, event_type string")
+    v = df.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("v"))
+    c = (
+        df.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c"))
+    )
+    p = (
+        df.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p"))
+    )
+    got = {
+        r.user_id: (3 if r.p is not None else 2 if r.c is not None else 1)
+        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
+    }
+
+    # sequential strict-progression walk, sorted by (ts, type) like the op
+    state: dict[int, list] = {}
+    for u, t, e in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        vv, cc, pp = state.get(u, (None, None, None))
+        if e == "view":
+            if vv is None:
+                vv = t
+        elif e == "click":
+            if cc is None and vv is not None and t > vv:
+                cc = t
+        elif e == "purchase":
+            if pp is None and cc is not None and t > cc:
+                pp = t
+        state[u] = (vv, cc, pp)
+    want = {
+        u: (3 if pp is not None else 2 if cc is not None else 1)
+        for u, (vv, cc, pp) in state.items()
+        if vv is not None
+    }
+    assert got == want
