@@ -308,29 +308,55 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_on_candidates(d, minhash_candidates(d, with_sigs=False))
 
 
+def _distinct_shingles_batch(texts: pd.Series) -> pd.Series:
+    """Arrow batch kernel: Series[str] -> Series[list of DISTINCT 5-char
+    shingles]. A Python set per row is O(k); element order is arbitrary —
+    exactly as arbitrary as the shuffle order the explode+distinct+
+    collect_list form produced, and no consumer is order-sensitive
+    (array_intersect + size only)."""
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        n = max(len(t) - 4, 1)
+        out.append(list({t[i : i + 5] for i in range(n)}))
+    return pd.Series(out)
+
+
+def distinct_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, arr, n_sh): each doc's distinct 5-gram shingle set as one
+    bounded array column, built in a single Arrow-batched map — ZERO
+    shuffles. Replaces the r8 explode → shuffle-distinct → collect_list
+    form, whose two shuffles moved Σ|shingles| rows (~150M at the 100×
+    corpus replica) just to rebuild a per-row set the kernel can emit
+    directly. (A JVM ``array_distinct(transform(...))`` would also avoid
+    the shuffle but evaluates the interpreted higher-order shingle lambda,
+    the same CodegenFallback class the r9 MinHash rework retired.)"""
+    arr = F.pandas_udf(_distinct_shingles_batch, "array<string>")(F.col("text"))
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return (
+        d.repartition(n, "doc_id")
+        .select("doc_id", arr.alias("arr"))
+        .select("doc_id", "arr", F.size("arr").cast("bigint").alias("n_sh"))
+    )
+
+
 def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact 5-gram-shingle Jaccard for each candidate (doc_a, doc_b) pair,
     keeping pairs ≥ JACCARD_MIN.
 
-    Shape: per-doc DISTINCT shingle ARRAYS (explode + shuffle-distinct —
-    not O(k²) ``array_distinct`` on the raw list — then one
-    ``collect_list`` back per doc), joined to each side of the candidate
-    pair; the intersection is one JVM ``array_intersect`` (hash-set
-    build, O(|a|+|b|) per pair). This replaces the r7 shingle-keyed
-    join+groupBy, whose intermediate was Σ_pairs |shingles(doc_a)| rows —
-    ~1.8B rows for the capped 100× replica's 2M pairs — with one bounded
-    array column per pair side (array width ≤ doc length, the same
-    volume the explode already processed; measured 2.2× on the
-    verification stage at sf0.1, 262 s → 219 s full-op at the 100×
-    replica). No broadcast hint anywhere: the array table is one row per
-    DOCUMENT — corpus-sized, not a dim; AQE picks the join strategy."""
-    sh = (
-        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("n_sh"))
-    )
+    Shape: per-doc DISTINCT shingle ARRAYS (one Arrow-batched map, no
+    shuffle — distinct_shingle_arrays), joined to each side of the
+    candidate pair; the intersection is one JVM ``array_intersect``
+    (hash-set build, O(|a|+|b|) per pair). This replaced the r7
+    shingle-keyed join+groupBy, whose intermediate was
+    Σ_pairs |shingles(doc_a)| rows — ~1.8B rows for the capped 100×
+    replica's 2M pairs — with one bounded array column per pair side; the
+    r9 kernel then removed the two set-building shuffles as well. No
+    broadcast hint anywhere: the array table is one row per DOCUMENT —
+    corpus-sized, not a dim; AQE picks the join strategy."""
+    sh = distinct_shingle_arrays(d)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
     )
@@ -695,13 +721,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine."""
     d = load(spark, sf_dir).documents
     cand = minhash_candidates(d, with_sigs=False)
-    sh = (
-        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(F.expr(_SHINGLE_SQL_SPARK)).alias("shingle"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("n_sh"))
-    )
+    sh = distinct_shingle_arrays(d)
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
     )
