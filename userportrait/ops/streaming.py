@@ -617,3 +617,128 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_table(spark, out, "funnel_stages")
+
+
+def _stage_docs(sf_dir: str) -> tuple[str, int]:
+    """Stage the NEW documents (doc_id > floor(0.8·max) — the
+    dedup_incremental cutoff convention) as an ordered 2-chunk parquet
+    stream dir; returns (dir, cutoff). Idempotent per sf via marker."""
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_STAGE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "docs_ingest")
+    marker = os.path.join(out, "_staged.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return out, json.load(f)["cut"]
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cut = int(math.floor(0.8 * pc.max(t["doc_id"]).as_py()))
+    new = t.filter(pc.greater(t["doc_id"], cut)).sort_by("doc_id")
+    n = len(new)
+    for i, chunk in enumerate([new.slice(0, n // 2), new.slice(n // 2)]):
+        path = os.path.join(out, f"chunk_{i:02d}.parquet")
+        pq.write_table(chunk, path)
+        os.utime(path, (1000 + 100 * i, 1000 + 100 * i))
+    with open(marker, "w") as f:
+        json.dump({"cut": cut}, f)
+    return out, cut
+
+
+def _dedup_ingest_oracle() -> str:
+    """Batch-equivalence oracle: new docs' band keys anti-joined against
+    old docs' distinct band keys (the dedup_incremental cutoff)."""
+    from .llm_dedup import _BAND_KEYS_DUCK, _SIG_COLS_DUCK, N_BANDS
+
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_SIG_COLS_DUCK}
+      FROM documents
+    ), cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents),
+    banded AS (
+      SELECT doc_id, b.b, CASE b.b {_BAND_KEYS_DUCK} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b) b
+    ),
+    idx AS (
+      SELECT DISTINCT band_key FROM banded, cut WHERE doc_id <= cut.c
+    ),
+    newb AS (
+      SELECT doc_id, band_key FROM banded, cut WHERE doc_id > cut.c
+    )
+    SELECT n.doc_id,
+           CAST(count(i.band_key) AS INT) AS n_hit_bands,
+           count(i.band_key) = 0 AS novel
+    FROM newb n LEFT JOIN idx i ON n.band_key = i.band_key
+    GROUP BY n.doc_id
+    """
+
+
+@op("stream_dedup_ingest", oracle=_dedup_ingest_oracle())
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup-on-ingest — dedup_incremental's streaming
+    sibling, and the 100 TB ingestion topology: documents arriving on a
+    stream have their 16 MinHash signatures computed in the SAME
+    Arrow-batched kernel the batch ops use (minhash_sig_wide works
+    unchanged on a streaming frame), their 4 band keys derived as COLUMNS
+    (not an explode — so novelty needs no streaming aggregation and no
+    watermark: the query is fully stateless, append mode, each doc
+    emitted exactly once), and each key probed against the existing
+    corpus's band-key index via four stream-static left-outer equi-joins.
+    novel = zero band hits; n_hit_bands ∈ 0..4 is the triage signal (hit
+    docs flow to exact verification — dedup_jaccard_verify's kernel — in
+    a full pipeline).
+
+    Scale notes: the index stays DISTRIBUTED (distinct band keys,
+    persisted once before the stream starts — no driver-side collect, no
+    broadcast hint; AQE sizes each micro-batch join). At 100 TB the
+    production prefilter is a bloom over the index keys
+    (bloom_filter_agg / might_contain) with the exact join demoted to the
+    verify path for bloom hits — the four exact joins here ARE that
+    verify path, so the shape is the honest one minus the probabilistic
+    shortcut. Index freshness is the deployment knob (rebuild cadence vs
+    foreachBatch appends).
+
+    Oracle = EXACT batch equivalence: novel/hit flags equal the batch
+    anti-join of new docs' band keys against old docs' band keys."""
+    from ..catalog import load, pin
+    from .llm_dedup import minhash_sig_wide
+
+    stage_dir, cut = _stage_docs(sf_dir)
+    d = load(spark, sf_dir).documents
+    old_wide = pin(minhash_sig_wide(d.where(F.col("doc_id") <= cut)))
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"s{4 * b + j}") for j in range(4)])).alias(f"b{b}")
+        for b in range(4)
+    ]
+    idx = old_wide.select(*band_cols)
+    idx = (
+        idx.select(F.explode(F.array(*[F.col(f"b{b}") for b in range(4)])).alias("band_key"))
+        .distinct()
+        .persist()
+    )
+    idx.count()  # materialize once; the streaming query reuses the cache
+    try:
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage_dir)
+        )
+        bands = minhash_sig_wide(src).select("doc_id", *band_cols)
+        j = bands
+        hits = []
+        for b in range(4):
+            ib = idx.select(F.col("band_key").alias(f"k{b}"))
+            j = j.join(ib, F.col(f"b{b}") == F.col(f"k{b}"), "left_outer")
+            hits.append(F.when(F.col(f"k{b}").isNotNull(), 1).otherwise(0))
+        out = j.select(
+            "doc_id",
+            sum(hits).cast("int").alias("n_hit_bands"),
+            (sum(hits) == 0).alias("novel"),
+        )
+        return _run_to_table(spark, out, "dedup_ingest")
+    finally:
+        idx.unpersist()

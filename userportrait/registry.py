@@ -81,6 +81,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "doc_quality_drift",
     "sink_hilbert_layout",
     "mm_frame_sample",
+    "stream_dedup_ingest",
     "dedup_near_minhash",
     "dedup_jaccard_verify",
     "dedup_jaccard_verify_capped",
@@ -126,7 +127,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "udf_pandas_grouped_agg",
     "udf_apply_in_pandas",
     "udf_map_in_pandas",
-    "udtf_python",
 )
 
 
