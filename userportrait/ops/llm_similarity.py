@@ -718,12 +718,18 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates per query ≈ nprobe × (n/cells); centroids stay tiny
     (cells × dim) → broadcast; the cell join is a hash join on cell id."""
     e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return _ivf_probe_rescore(e, label_centroids(e))
 
+
+def label_centroids(e: DataFrame) -> DataFrame:
+    """(cell, c: array<double>, cnrm): the decimal-exact per-label mean
+    vectors — the deterministic coarse quantizer shared by sim_knn_ivf and
+    sink_ivf_layout (same construction as embed_label_centroid)."""
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     exploded = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
         "label", "pos", F.col("val").cast("double").alias("val")
     )
-    cent = (
+    return (
         exploded.groupBy("label", "pos")
         .agg(
             (F.sum(F.col("val").cast("decimal(38,8)")).cast("double") / F.count("*"))
@@ -738,7 +744,31 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
     )
-    return _ivf_probe_rescore(e, cent)
+
+
+def ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): each vector's nearest cell by cosine (csim desc,
+    cell asc tie-break) — the assignment half of _ivf_probe_rescore's
+    scoring, factored for the persisted-index sink."""
+    from pyspark.sql import Window
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    vc = vn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1).select(
+        "vec_id", "cell"
+    )
 
 
 # k is env-tunable because the IVF cost model needs cells to GROW with the
@@ -1358,4 +1388,60 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").cast("int").alias("label"),
         *[proj(j) for j in range(PCA_K)],
+    )
+
+
+# The oracle's quantize+assign CTE chain, sliced from _ORACLE_IVF verbatim
+# (string slice, not a copy — the two can never drift).
+_IVF_ASSIGN_CTE_DUCK = _ORACLE_IVF[: _ORACLE_IVF.index(", probes AS")]
+
+
+@op(
+    "sink_ivf_layout",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + """
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(a.vec_id) AS BIGINT) AS vecid_sum,
+           CAST(min(a.vec_id) AS BIGINT) AS vec_min,
+           CAST(max(a.vec_id) AS BIGINT) AS vec_max
+    FROM assign a GROUP BY a.cell
+    """,
+)
+def sink_ivf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index — the build-once/query-many half of the ANN
+    story the in-memory sim_knn_ivf* ops leave implicit: every embedding
+    is assigned to its nearest deterministic cell (label_centroids +
+    ivf_assign — the sim_knn_ivf quantizer) and written CELL-PARTITIONED
+    (``partitionBy(cell)``, vec_id-sorted within each cell) — the layout
+    where a query's nprobe cells map to nprobe DIRECTORIES, so the serving
+    scan reads only probed partitions (PartitionFilters — proved by
+    tests/test_plans.py::test_ivf_layout_probe_prunes_partitions, the
+    zorder/hilbert proof pattern applied to ANN). At 100 TB this is the
+    difference between an ANN query touching nprobe/k of the index files
+    and re-scanning the corpus; index freshness is the rebuild cadence.
+
+    The readback rollup (per cell: count + exact vec_id checksum + id
+    range) proves the write lossless cell by cell; the oracle recomputes
+    the assignment algebraically (the _ORACLE_IVF CTE chain, sliced —
+    shared text, zero drift)."""
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings
+    assign = ivf_assign(e, label_centroids(e))
+    idx = e.join(assign, "vec_id").select("vec_id", "embedding", "cell")
+    path = _scratch("embeddings_ivf")
+    (
+        idx.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+        F.min("vec_id").cast("bigint").alias("vec_min"),
+        F.max("vec_id").cast("bigint").alias("vec_max"),
     )

@@ -82,6 +82,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_hilbert_layout",
     "mm_frame_sample",
     "stream_dedup_ingest",
+    "sink_ivf_layout",
+    "sim_knn_ivf",
     "dedup_near_minhash",
     "dedup_jaccard_verify",
     "dedup_jaccard_verify_capped",
@@ -125,8 +127,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "udf_python_scalar",
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
-    "udf_apply_in_pandas",
-    "udf_map_in_pandas",
 )
 
 
