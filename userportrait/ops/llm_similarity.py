@@ -1396,6 +1396,26 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ASSIGN_CTE_DUCK = _ORACLE_IVF[: _ORACLE_IVF.index(", probes AS")]
 
 
+def _write_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the cell-partitioned IVF index to scratch; returns its path.
+    Shared by sink_ivf_layout (rollup proof) and scan_ivf_probe (serving
+    read path)."""
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings
+    assign = ivf_assign(e, label_centroids(e))
+    idx = e.join(assign, "vec_id").select("vec_id", "embedding", "cell")
+    path = _scratch("embeddings_ivf")
+    (
+        idx.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return path
+
+
 @op(
     "sink_ivf_layout",
     oracle=_IVF_ASSIGN_CTE_DUCK
@@ -1425,23 +1445,107 @@ def sink_ivf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     range) proves the write lossless cell by cell; the oracle recomputes
     the assignment algebraically (the _ORACLE_IVF CTE chain, sliced —
     shared text, zero drift)."""
-    from .scans import _scratch
-
-    e = load(spark, sf_dir).embeddings
-    assign = ivf_assign(e, label_centroids(e))
-    idx = e.join(assign, "vec_id").select("vec_id", "embedding", "cell")
-    path = _scratch("embeddings_ivf")
-    (
-        idx.repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(_write_ivf_index(spark, sf_dir))
     return back.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum("vec_id").cast("bigint").alias("vecid_sum"),
         F.min("vec_id").cast("bigint").alias("vec_min"),
         F.max("vec_id").cast("bigint").alias("vec_max"),
+    )
+
+
+_IVF_PROBE_SAMPLE_DUCK = (
+    "instr('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR)), 1, 1)) - 1 = 0"
+)
+
+
+@op(
+    "scan_ivf_probe",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + f"""
+    , probes AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM vc
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      WHERE {_IVF_PROBE_SAMPLE_DUCK}
+    ), scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM cand c JOIN vn a ON a.vec_id = c.vec_id JOIN vn b ON b.vec_id = c.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, round(sim, 4) AS sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def scan_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED index — the query-many half of
+    sink_ivf_layout: a deterministic query sample (first md5 nibble of
+    vec_id = 0, the doc_train_split convention — a serving op answers a
+    query workload, not the whole corpus) scores the broadcast centroids
+    for its 2 nearest cells, then candidate NEIGHBOR vectors come from the
+    cell-partitioned parquet index (the hash join on cell touches only
+    probed cells' data; the static-probe pruning proof is the plan test on
+    the sink). Exact cosine rescore — same fold summation order as the
+    oracle — top-5 per query. Identical math to sim_knn_ivf with one
+    difference that IS the point: neighbors are read from storage, not
+    recomputed — the build-once/query-many topology an ANN service runs.
+
+    Scale: query-side work is O(sample × nprobe × cell width); the index
+    scan reads only probed cells; centroids stay a broadcast literal."""
+    from pyspark.sql import Window
+
+    from .curation import HEX
+
+    e = load(spark, sf_dir).embeddings
+    cent = label_centroids(e)
+    back = spark.read.parquet(_write_ivf_index(spark, sf_dir))
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    qn = (
+        e.where(sample)
+        .select("vec_id", v.alias("v"))
+        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
+    )
+    qc = qn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") <= 2)
+        .select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+    )
+    nb = back.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        v.alias("nv"),
+    ).withColumn("nnrm", F.sqrt(agg_sum(F.transform(F.col("nv"), lambda x: x * x))))
+    cand = probes.join(nb, "cell").where(F.col("neighbor_id") != F.col("vec_id"))
+    scored = cand.join(qn.select(F.col("vec_id"), F.col("v"), F.col("nrm")), "vec_id").select(
+        "vec_id",
+        "neighbor_id",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("nv"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("nnrm"))
+        ).alias("sim"),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
