@@ -529,6 +529,8 @@ def test_no_unaudited_broadcast_hints():
             "k x dim centroid frame (cells are a fixed small k)",
         ("llm_similarity.py", "vc = unit.crossJoin(F.broadcast(cent)).select("):
             "k x dim trained-centroid literals (kmeans IVF; k grows sqrt(n), stays a broadcast)",
+        ("llm_similarity.py", "qc = qn.crossJoin(F.broadcast(cent)).select("):
+            "k x dim centroid frame (scan_ivf_probe query-side scoring; same bound as vc above)",
         ("llm_text.py", ".crossJoin(F.broadcast(n))"):
             "1-row scalar (total docs for IDF)",
         ("llm_text.py", 'scores = doc_tg.join(F.broadcast(profile), "tg").groupBy("doc_id", "cand_lang").agg('):
