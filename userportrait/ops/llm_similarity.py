@@ -1497,7 +1497,18 @@ def scan_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed — the build-once/query-many topology an ANN service runs.
 
     Scale: query-side work is O(sample × nprobe × cell width); the index
-    scan reads only probed cells; centroids stay a broadcast literal."""
+    scan reads only probed cells; centroids stay a broadcast literal.
+    MEASURED WALL (r9 ladder): with the LABEL quantizer the cell count is
+    fixed (~10 at any scale), so cell width — and the candidate join
+    carrying 64-double arrays — grows linearly: the 100× replica's probe
+    (12.5k queries × 2 cells × 20k-wide cells ≈ 500M fold rows) exceeded
+    the 10-minute ladder budget, while the sink build stayed 11.9 s. This
+    is the same fixed-k wall the env-tunable kmeans quantizer exists for:
+    a deployment probes a √n-cell kmeans index (UP_IVF_KMEANS_K) through
+    sim_knn_ivf_kmeans's per-cell cogroup-matmul kernel over this SAME
+    persisted layout; the label-quantizer form here is the oracle-EXACT
+    contract of the read path, sized for query workloads over
+    fixed-cardinality cells."""
     from pyspark.sql import Window
 
     from .curation import HEX
