@@ -743,3 +743,58 @@ def test_ivf_layout_probe_prunes_partitions(spark):
 
     dirs = glob.glob(str(SCRATCH_IVF) + "/cell=*")
     assert len(dirs) == len(rollup)
+
+
+def test_cbo_stats_flip_join_strategy(spark):
+    """catalog_analyze_cbo's plan-level claim, proved on a controlled
+    fixture: a join whose build side is only small AFTER a selective
+    filter plans SortMergeJoin when the optimizer has no column stats
+    (filter selectivity defaults conservative; size-on-disk dominates),
+    and flips to BroadcastHashJoin once ANALYZE ... FOR ALL COLUMNS gives
+    FilterEstimation real NDVs — the stats job at 100 TB is what buys
+    every downstream query this sizing for free."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        import pathlib
+        import shutil
+
+        base = pathlib.Path(__file__).parent.parent / "_scratch" / "cbo_test_tables"
+        shutil.rmtree(base, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS up_cbotest_a")
+        spark.sql("DROP TABLE IF EXISTS up_cbotest_b")
+        spark.range(400_000).selectExpr(
+            "id as k", "id % 8000 as sel", "repeat('x', 20) as pad"
+        ).write.mode("overwrite").option("path", str(base / "a")).saveAsTable("up_cbotest_a")
+        spark.range(400_000).selectExpr(
+            "id % 50000 as k", "id as x", "repeat('y', 20) as pad2"
+        ).write.mode("overwrite").option("path", str(base / "b")).saveAsTable("up_cbotest_b")
+        q = (
+            "SELECT count(*) FROM up_cbotest_b b JOIN up_cbotest_a a "
+            "ON b.k = a.k WHERE a.sel = 7"
+        )
+        before = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        for t in ("up_cbotest_a", "up_cbotest_b"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in after
+        # the answer itself is plan-independent: a-side keys with sel=7 that
+        # fall inside b's k range 0..49999 are {7, 8007, ..., 48007} — 7 keys
+        # × 8 occurrences each in b
+        assert spark.sql(q).collect()[0][0] == 56
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

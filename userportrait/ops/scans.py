@@ -596,3 +596,67 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("scd2_customer")
     closed.unionByName(opened).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@op(
+    "catalog_analyze_cbo",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def catalog_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-aware planning surface: fact + dim saved as managed
+    tables, ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS``
+    (row counts + per-column NDV/min/max/null histograms into the
+    catalog), then a selective-filter join planned under
+    ``spark.sql.cbo.enabled`` — the configuration where Catalyst's
+    FilterEstimation can see that ``o_orderpriority = '1-URGENT'`` keeps
+    ~1/5 of orders and size the join build side accordingly. The graded
+    output is the query RESULT (plan-independent, decimal-exact — the
+    correctness contract survives any strategy choice);
+    tests/test_plans.py::test_cbo_stats_flip_join_strategy proves the
+    PLAN consequence on a controlled fixture: the same selective join
+    stays SortMergeJoin without column stats and becomes
+    BroadcastHashJoin once ANALYZE runs. At 100 TB, stats collection is
+    the cheap standing job (one scan per table per refresh) that buys
+    every downstream query CBO join sizing + reordering for free.
+
+    CBO confs are set for this query and restored after — the other 221
+    ops keep planning under the session defaults."""
+    t = load(spark, sf_dir)
+    base = _scratch("cbo_tables")
+    for tbl, df in (("up_cbo_orders", t.orders), ("up_cbo_lineitem", t.lineitem)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # external table (option path) — the sink_bucketed_join convention:
+        # the derby catalog is per-process but the warehouse dir persists,
+        # so a MANAGED saveAsTable would hit LOCATION_ALREADY_EXISTS on the
+        # next process. External + overwrite is restart-safe.
+        df.write.mode("overwrite").option("path", os.path.join(base, tbl)).saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev = {k: spark.conf.get(k, None) for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")}
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out = spark.sql(
+            """
+            SELECT l.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS STRING) AS DOUBLE) AS sum_qty
+            FROM up_cbo_lineitem l JOIN up_cbo_orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY l.l_returnflag
+            """
+        )
+        out = out.localCheckpoint(eager=True)  # materialize UNDER the cbo confs
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
