@@ -742,3 +742,101 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_table(spark, out, "dedup_ingest")
     finally:
         idx.unpersist()
+
+
+def _quality_gate_oracle() -> str:
+    """Batch-equivalence oracle: the proven explode/groupBy Gopher flag
+    derivation (_GOPHER_FLAGS_CTE's `pd` moments), restricted to the
+    streamed (doc_id > cutoff) half."""
+    from . import curation  # noqa: F401 — quality's module-level oracle composition reads curation's registered ops; load it first
+    from .quality import _GOPHER_FLAGS_CTE
+
+    return (
+        _GOPHER_FLAGS_CTE
+        + """
+    , cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents)
+    SELECT p.doc_id,
+           p.n_words,
+           (p.n_words BETWEEN 20 AND 90) AS p_count,
+           (3 * p.n_words <= p.sum_len AND p.sum_len <= 10 * p.n_words) AS p_wordlen,
+           (p.n_stop >= 2) AS p_stop,
+           (8 * p.max_cnt <= p.n_words) AS p_rep,
+           (5 * p.alpha_words >= 4 * p.n_words) AS p_alpha,
+           ((p.n_words BETWEEN 20 AND 90)
+            AND (3 * p.n_words <= p.sum_len AND p.sum_len <= 10 * p.n_words)
+            AND (p.n_stop >= 2)
+            AND (8 * p.max_cnt <= p.n_words)
+            AND (5 * p.alpha_words >= 4 * p.n_words)) AS keep
+    FROM pd p, cut WHERE p.doc_id > cut.c
+    """
+    )
+
+
+@op("stream_quality_gate", oracle=_quality_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality gate — the streaming sibling of
+    doc_gopher_quality and the second stage of the dedup-on-ingest
+    topology (stream_dedup_ingest is stage one): documents arriving on
+    the stream get all five Gopher rules evaluated PER ROW with pure
+    array expressions (split → filter → aggregate/transform — no explode,
+    no shuffle, no state, append mode; whole-stage codegen end to end),
+    emitting the per-doc flags + keep verdict the router acts on.
+
+    The token-multiplicity rule is the one rule that is O(k²) array-side
+    (size(filter(toks, = t)) per distinct token t) where the batch form's
+    explode+groupBy is O(k) — bounded in practice because upstream
+    chunking caps doc length, and the stateless form is what buys the
+    zero-shuffle streaming plan; a corpus of book-length docs would split
+    this rule out through the batch path. The oracle derives the SAME
+    moments through the PROVEN explode/groupBy chain
+    (quality._GOPHER_FLAGS_CTE) — any drift between the array-form and
+    groupBy-form rule algebra hash-mismatches here. All thresholds are
+    integer cross-multiplications: bit-exact across engines, across both
+    derivations. Zero-token docs are excluded on both sides (the batch
+    chain never materializes them)."""
+    stage_dir, _cut = _stage_docs(sf_dir)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    d = src.select("doc_id", toks.alias("toks")).where(F.expr("size(toks) > 0"))
+    n_words = F.expr("cast(size(toks) as bigint)")
+    sum_len = F.expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
+    max_cnt = F.expr(
+        "cast(array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))) as bigint)"
+    )
+    from .quality import _STOPWORDS
+
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"cast(size(filter(array({stop_arr}), s -> array_contains(toks, s))) as bigint)")
+    alpha_words = F.expr(
+        "aggregate(toks, cast(0 as bigint), (a, x) -> a + CASE WHEN x RLIKE '^[a-z]+$' THEN 1 ELSE 0 END)"
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        max_cnt.alias("max_cnt"),
+        n_stop.alias("n_stop"),
+        alpha_words.alias("alpha_words"),
+    )
+    p_count = F.col("n_words").between(20, 90)
+    p_wordlen = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    p_stop = F.col("n_stop") >= 2
+    p_rep = 8 * F.col("max_cnt") <= F.col("n_words")
+    p_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    out = m.select(
+        "doc_id",
+        "n_words",
+        p_count.alias("p_count"),
+        p_wordlen.alias("p_wordlen"),
+        p_stop.alias("p_stop"),
+        p_rep.alias("p_rep"),
+        p_alpha.alias("p_alpha"),
+        (p_count & p_wordlen & p_stop & p_rep & p_alpha).alias("keep"),
+    )
+    return _run_to_table(spark, out, "quality_gate")

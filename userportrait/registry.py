@@ -85,6 +85,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_ivf_layout",
     "scan_ivf_probe",
     "catalog_analyze_cbo",
+    "stream_quality_gate",
     "sim_knn_ivf",
     "dedup_near_minhash",
     "dedup_jaccard_verify",
@@ -126,7 +127,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_sliding",
     "stream_session",
     "stream_dedup_watermark",
-    "udf_python_scalar",
 )
 
 
