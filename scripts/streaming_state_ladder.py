@@ -48,17 +48,21 @@ def _query(src, which):
 
         def advance(key, pdfs, state: GroupState):
             v, c, p = state.get if state.exists else (None, None, None)
-            for pdf in pdfs:
-                for us, et in sorted(zip(pdf["us"], pdf["event_type"])):
-                    us = int(us)
-                    if et == "view":
-                        if v is None:
-                            v = us
-                    elif et == "click":
-                        if c is None and v is not None and us > v:
-                            c = us
-                    elif p is None and c is not None and us > c:
-                        p = us
+            # collect all chunks, then one global event-time sort (ADVICE r9)
+            evts = sorted(
+                (int(us), et)
+                for pdf in pdfs
+                for us, et in zip(pdf["us"], pdf["event_type"])
+            )
+            for us, et in evts:
+                if et == "view":
+                    if v is None:
+                        v = us
+                elif et == "click":
+                    if c is None and v is not None and us > v:
+                        c = us
+                elif p is None and c is not None and us > c:
+                    p = us
             state.update((v, c, p))
             if v is None:
                 return

@@ -14,7 +14,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS, TABLES, load, read_table, register_views
+from ..catalog import SCHEMAS, TABLES, load, pin, read_table, register_views
 from ..registry import op
 
 # Scratch area for sink/roundtrip ops. Kept inside the repo (the driver
@@ -652,7 +652,10 @@ def catalog_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l.l_returnflag
             """
         )
-        out = out.localCheckpoint(eager=True)  # materialize UNDER the cbo confs
+        # materialize UNDER the cbo confs; pin() takes the reliable
+        # .checkpoint() path when a checkpoint dir is configured (ADVICE r9:
+        # a raw localCheckpoint is unrecoverable after executor loss)
+        out = pin(out)
     finally:
         for k, v in prev.items():
             if v is None:

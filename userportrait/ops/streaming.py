@@ -583,17 +583,23 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def advance(key, pdfs, state: GroupState):
         v, c, p = state.get if state.exists else (None, None, None)
-        for pdf in pdfs:
-            for us, et in sorted(zip(pdf["us"], pdf["event_type"])):
-                us = int(us)
-                if et == "view":
-                    if v is None:
-                        v = us
-                elif et == "click":
-                    if c is None and v is not None and us > v:
-                        c = us
-                elif p is None and c is not None and us > c:  # purchase
-                    p = us
+        # Collect ALL of the group's micro-batch rows before sorting: a
+        # group spanning multiple Arrow chunks must still be applied in
+        # global event-time order, or the frontier recorded is non-minimal
+        # (ADVICE r9 — per-chunk sort was exact only because the 'flush'
+        # staging happens to deliver each group in one chunk).
+        evts = sorted(
+            (int(us), et) for pdf in pdfs for us, et in zip(pdf["us"], pdf["event_type"])
+        )
+        for us, et in evts:
+            if et == "view":
+                if v is None:
+                    v = us
+            elif et == "click":
+                if c is None and v is not None and us > v:
+                    c = us
+            elif p is None and c is not None and us > c:  # purchase
+                p = us
         state.update((v, c, p))
         if v is None:  # clicks/purchases but no view yet: not in the funnel
             return
@@ -782,12 +788,11 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no state, append mode; whole-stage codegen end to end),
     emitting the per-doc flags + keep verdict the router acts on.
 
-    The token-multiplicity rule is the one rule that is O(k²) array-side
-    (size(filter(toks, = t)) per distinct token t) where the batch form's
-    explode+groupBy is O(k) — bounded in practice because upstream
-    chunking caps doc length, and the stateless form is what buys the
-    zero-shuffle streaming plan; a corpus of book-length docs would split
-    this rule out through the batch path. The oracle derives the SAME
+    The token-multiplicity rule is computed as max run length over the
+    SORTED token array in one fold — O(k log k) per doc vs the batch
+    form's O(k) explode+groupBy, and safe against a single pathological
+    book-length document stalling the micro-batch (the r9 form was
+    O(k·distinct) per doc — ADVICE r9). The oracle derives the SAME
     moments through the PROVEN explode/groupBy chain
     (quality._GOPHER_FLAGS_CTE) — any drift between the array-form and
     groupBy-form rule algebra hash-mismatches here. All thresholds are
@@ -804,8 +809,28 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = src.select("doc_id", toks.alias("toks")).where(F.expr("size(toks) > 0"))
     n_words = F.expr("cast(size(toks) as bigint)")
     sum_len = F.expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
+    # Max token multiplicity as a single fold over the SORTED array (max
+    # run length of equal adjacent tokens) — O(k log k) per doc, replacing
+    # the O(k·distinct) size(filter(...))-per-distinct-token form whose
+    # quadratic blowup on one pathological long document would stall the
+    # whole micro-batch (ADVICE r9). Still pure array expressions: no
+    # explode, no shuffle, no state. The oracle derives the same moment
+    # through the proven explode/groupBy chain, so algebra drift here
+    # hash-mismatches.
     max_cnt = F.expr(
-        "cast(array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))) as bigint)"
+        """
+        aggregate(
+          array_sort(toks),
+          named_struct('prev', cast(null as string),
+                       'run',  cast(0 as bigint),
+                       'best', cast(0 as bigint)),
+          (a, x) -> named_struct(
+            'prev', x,
+            'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE cast(1 as bigint) END,
+            'best', greatest(a.best,
+                    CASE WHEN x = a.prev THEN a.run + 1 ELSE cast(1 as bigint) END)),
+          a -> a.best)
+        """
     )
     from .quality import _STOPWORDS
 
