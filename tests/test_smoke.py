@@ -30,6 +30,7 @@ def test_registry_contract(spark):
         "ml_tree_segment",
         "ml_lr_propensity",
         "sim_knn_ivf_kmeans",
+        "scan_ivf_probe_kmeans",
         "sim_knn_pq",
         "agg_hll_rolling_distinct",
         "embed_pca_project",

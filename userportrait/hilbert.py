@@ -156,3 +156,27 @@ def hilbert_box_predicate(
     )
     residual = F.expr(x_expr).between(x0, x1) & F.expr(y_expr).between(y0, y1)
     return F.col(file_col).isin(prefixes) & h_cond & residual
+
+
+def hilbert_bounds_predicate(
+    x_lo: int | None = None,
+    x_hi: int | None = None,
+    y_lo: int | None = None,
+    y_hi: int | None = None,
+    *,
+    bits: int = H_BITS,
+    **kw,
+):
+    """One-sided / half-open predicates over the Hilbert layout — the
+    mirror of zcurve.z_bounds_predicate (see its docstring for the
+    clamp-to-domain argument and the coarsening bound): open sides clamp
+    to [0, 2^bits - 1] and delegate to the exact box cover."""
+    dom = 2**bits - 1
+    return hilbert_box_predicate(
+        0 if x_lo is None else x_lo,
+        dom if x_hi is None else x_hi,
+        0 if y_lo is None else y_lo,
+        dom if y_hi is None else y_hi,
+        bits=bits,
+        **kw,
+    )

