@@ -1135,3 +1135,42 @@ def test_pin_release_frees_storage(spark):
     assert released >= 3
     assert not _PIN_REGISTRY
     assert n_stored() <= base
+
+
+def test_kmv_estimates_within_bounds(spark):
+    """agg_kmv_set_cardinality accuracy: wherever the sketch holds the
+    whole set (|set| < K) the estimate must be EXACT (both the per-type
+    and the union/intersect paths degrade to counting); where it
+    estimates, relative error must stay within the KMV standard-error
+    envelope (~1/sqrt(K) ≈ 6%; 4 sigma as the gate). At the sf0.01
+    fixture all sets are sub-K (exactness branch); the estimator branch
+    is ladder-verified at sf0.1 (PLANS.md r10)."""
+    from itertools import combinations
+
+    from userportrait.ops.aggregates import KMV_K
+
+    t = load(spark, SF_DIR).events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    sets = {
+        ty: {r.user_id for r in t.where(F.col("event_type") == ty).select("user_id").distinct().collect()}
+        for ty in ("view", "click", "purchase")
+    }
+    got = {
+        (r.type_a, r.type_b): r for r in OPS["agg_kmv_set_cardinality"].fn(spark, SF_DIR).collect()
+    }
+    assert len(got) == 3
+    for ta, tb in combinations(("view", "click", "purchase"), 2):
+        key = (ta, tb) if (ta, tb) in got else (tb, ta)
+        r = got[key]
+        a, b = sets[key[0]], sets[key[1]]
+        for est, exact in (
+            (r.est_a, len(a)),
+            (r.est_b, len(b)),
+            (r.est_union, len(a | b)),
+            (r.est_intersect, len(a & b)),
+        ):
+            if exact < KMV_K:
+                assert est == exact, (key, est, exact)
+            else:
+                assert abs(est - exact) <= 4 * exact / (KMV_K ** 0.5), (key, est, exact)

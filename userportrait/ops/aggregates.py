@@ -398,3 +398,185 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+# KMV (bottom-k / k-minimum-values) sketch: the mergeable distinct-count
+# sketch that, unlike HLL, also supports SET OPERATIONS (union exactly,
+# intersection via the Jaccard of the merged bottom-k) — Beyer et al.,
+# "On Synopses for Distinct-Value Estimation Under Multiset Operations"
+# (SIGMOD'07). Deterministic by construction (md5 order), so unlike the
+# HLL ops this sketch is EXACT-oracle-able: DuckDB reproduces the same
+# bottom-k and the same integer estimator bit for bit.
+KMV_K = 256
+_KMV_SCALE = 16**12  # 12 hex nibbles of md5 -> value in [0, 2^48)
+
+
+def _kmv_val_sql(h: str) -> str:
+    """The 12-nibble md5-prefix fold as IDENTICAL SQL text for both
+    engines (the hilbert_step_exprs convention): value in [0, 2^48)."""
+    from .curation import HEX
+
+    # CAST ... AS BIGINT before the multiply: the small power-of-16
+    # literals fit in INT, and INT x INT overflows under ANSI (Spark) and
+    # int32 (DuckDB) for high nibbles
+    terms = [
+        f"(CAST(instr('{HEX}', substr({h}, {i + 1}, 1)) AS BIGINT) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@op(
+    "agg_kmv_set_cardinality",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), hv AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h,
+             CAST({_kmv_val_sql("md5(CAST(user_id AS VARCHAR))")} AS BIGINT) AS val
+      FROM du
+    ), sk AS (
+      SELECT event_type, h, val FROM (
+        SELECT event_type, h, val,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hv
+      ) WHERE rn <= {KMV_K}
+    ), st AS (
+      SELECT event_type, count(*) AS cnt, max(val) AS vk FROM sk GROUP BY event_type
+    ), pairs AS (
+      SELECT * FROM (VALUES ('click', 'purchase'), ('view', 'click'), ('view', 'purchase'))
+             AS t(ta, tb)
+    ), uh AS (
+      SELECT p.ta, p.tb, s.h, s.val,
+             max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, s.h, s.val
+    ), uk AS (
+      SELECT ta, tb, val, in_a, in_b FROM (
+        SELECT ta, tb, val, in_a, in_b,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM uh
+      ) WHERE rn <= {KMV_K}
+    ), us AS (
+      SELECT ta, tb, count(*) AS cnt_u, max(val) AS vk_u,
+             sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+      FROM uk GROUP BY ta, tb
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           CAST(CASE WHEN a.cnt < {KMV_K} THEN a.cnt
+                     ELSE ({KMV_K} - 1) * {_KMV_SCALE} // a.vk END AS BIGINT) AS est_a,
+           CAST(CASE WHEN b.cnt < {KMV_K} THEN b.cnt
+                     ELSE ({KMV_K} - 1) * {_KMV_SCALE} // b.vk END AS BIGINT) AS est_b,
+           CAST(CASE WHEN u.cnt_u < {KMV_K} THEN u.cnt_u
+                     ELSE ({KMV_K} - 1) * {_KMV_SCALE} // u.vk_u END AS BIGINT) AS est_union,
+           CAST(CASE WHEN u.cnt_u < {KMV_K} THEN u.n_both
+                     ELSE (u.n_both * (({KMV_K} - 1) * {_KMV_SCALE} // u.vk_u)) // {KMV_K} END AS BIGINT) AS est_intersect
+    FROM us u JOIN st a ON a.event_type = u.ta JOIN st b ON b.event_type = u.tb
+    """,
+)
+def agg_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality SET ALGEBRA via KMV (bottom-k) sketches — the
+    audience-overlap question ("how many users both clicked AND
+    purchased?") that HLL cannot answer (HLL unions but never
+    intersects; the §2.D approx family previously stopped at
+    agg_approx_distinct / agg_hll_*). Per event type, the sketch is the
+    K smallest md5(user_id) values over distinct users; union sketches
+    merge as bottom-k of the union (associative — the mergeability that
+    makes this a one-pass distributed sketch); |A∩B| is estimated as
+    (matching fraction of the merged bottom-k) × est(|A∪B|), and every
+    estimate degrades to the EXACT count when the sketch holds the whole
+    set (cnt < K). All estimator arithmetic is integer (md5-prefix
+    values in [0, 2^48), integer division), so the op is deterministic
+    and EXACT-oracled — DuckDB reproduces sketch and estimate bit for
+    bit, the same md5 discipline as doc_train_split.
+
+    Spark shape: ONE shuffle of the distinct (type, user) pairs into a
+    two-phase bottom-k (per-(type, 32-salt) window keeps K, then the
+    per-type window ranks ≤ 32·K survivors — the per-partition-then-merge
+    pattern that makes bottom-k scale; a naive single window would drag
+    EVERY distinct user of a type through one task at 100 TB). Everything
+    after the second window runs on ≤ K-row frames. Estimator accuracy is
+    gated by tests/test_invariants.py::test_kmv_estimates_within_bounds
+    (relative error vs exact counts)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir).events
+    du = (
+        e.where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    hv = du.select(
+        "event_type",
+        h.alias("h"),
+        F.expr(_kmv_val_sql("md5(CAST(user_id AS STRING))")).cast("bigint").alias("val"),
+    )
+    # two-phase bottom-k: salt -> per-salt top K -> global per-type top K
+    salted = hv.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(32)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= KMV_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= KMV_K)
+        .select("event_type", "h", "val")
+    )
+    st = sk.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.max("val").alias("vk")
+    )
+    pairs = spark.createDataFrame(
+        [("click", "purchase"), ("view", "click"), ("view", "purchase")], "ta string, tb string"
+    )
+    uh = (
+        pairs.join(sk, sk["event_type"].isin(F.col("ta"), F.col("tb")) == F.lit(True))
+        .groupBy("ta", "tb", "h", "val")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w3 = Window.partitionBy("ta", "tb").orderBy("h")
+    us = (
+        uh.withColumn("rn", F.row_number().over(w3))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("cnt_u"),
+            F.max("val").alias("vk_u"),
+            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)).alias("n_both"),
+        )
+    )
+    est = lambda cnt, vk: F.when(cnt < KMV_K, cnt).otherwise(
+        F.expr(f"({KMV_K} - 1) * {_KMV_SCALE}") / vk
+    ).cast("bigint")
+    a = st.select(F.col("event_type").alias("ta"), F.col("cnt").alias("cnt_a"), F.col("vk").alias("vk_a"))
+    b = st.select(F.col("event_type").alias("tb"), F.col("cnt").alias("cnt_b"), F.col("vk").alias("vk_b"))
+    out = us.join(a, "ta").join(b, "tb")
+    est_union = F.when(F.col("cnt_u") < KMV_K, F.col("cnt_u")).otherwise(
+        F.expr(f"CAST(({KMV_K} - 1) * {_KMV_SCALE} AS BIGINT) div vk_u")
+    )
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.when(F.col("cnt_a") < KMV_K, F.col("cnt_a"))
+        .otherwise(F.expr(f"CAST(({KMV_K} - 1) * {_KMV_SCALE} AS BIGINT) div vk_a"))
+        .cast("bigint")
+        .alias("est_a"),
+        F.when(F.col("cnt_b") < KMV_K, F.col("cnt_b"))
+        .otherwise(F.expr(f"CAST(({KMV_K} - 1) * {_KMV_SCALE} AS BIGINT) div vk_b"))
+        .cast("bigint")
+        .alias("est_b"),
+        est_union.cast("bigint").alias("est_union"),
+        F.when(F.col("cnt_u") < KMV_K, F.col("n_both"))
+        .otherwise(
+            F.expr(
+                f"CAST(n_both * (CAST(({KMV_K} - 1) * {_KMV_SCALE} AS BIGINT) div vk_u) AS BIGINT) div {KMV_K}"
+            )
+        )
+        .cast("bigint")
+        .alias("est_intersect"),
+    )
