@@ -23,6 +23,9 @@ previously invisible to the per-round perf gate.
   q_jaccard_capped  → dedup_jaccard_verify_capped (bucket-capped LSH verify)
   q_ivf             → sim_knn_ivf_kmeans (trained-quantizer ANN; r9, so the
                       r8 scale work stays regression-tracked — VERDICT r8 #6)
+  q_kmv             → agg_kmv_set_cardinality (bottom-k sketch set algebra;
+                      r10 — baseline is the exact distinct set-op counts
+                      the sketch displaces, BASELINE.md)
 """
 
 from __future__ import annotations
@@ -103,6 +106,7 @@ def main() -> int:
         "q_bm25": ops["text_bm25_keywords"].fn,
         "q_jaccard_capped": ops["dedup_jaccard_verify_capped"].fn,
         "q_ivf": ops["sim_knn_ivf_kmeans"].fn,
+        "q_kmv": ops["agg_kmv_set_cardinality"].fn,
     }
     # Queries whose op body EXECUTES work at plan-declaration time: the
     # blocked kNN pins per-chunk partials eagerly (so each broadcast can be

@@ -64,69 +64,68 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r09 window: the three never-driver-graded r9 additions lead
-# (stream_funnel_stages, doc_quality_drift, sink_hilbert_layout). Next,
-# re-certification of every op MODIFIED this round: the whole
-# minhash_sig_wide consumer family (the signature kernel became an
-# Arrow-batched hashlib pandas_udf — bit-identical by test, but the driver
-# hash is the authority), ml_gbt_churn (churn_score now 1 - P(active)),
-# ml_als_recs (BLAS guard), graph_label_propagation /
-# tag_revenue_concentration (cache-release rework), sim_knn_ivf_kmeans
-# (quantizer now trains on the md5 half-sample), doc_gopher_quality
-# (per-doc flags factored into gopher_doc_flags). Filler: oldest-evidence
-# greens from scripts/rotate_window.py propose over CORRECTNESS_r01..r08
-# (the r04/r05-vintage block), oldest first, window capped at 50.
+# r10 window: the four never-driver-graded r10 additions lead
+# (agg_kmv_set_cardinality, scan_ivf_probe_kmeans, stream_dedup_ingest_bloom,
+# scan_zorder_onesided). Next, re-certification of every op MODIFIED this
+# round: stream_funnel_stages (cross-chunk event-time sort),
+# stream_quality_gate (O(k log k) sorted-run multiplicity fold),
+# catalog_analyze_cbo (pin() materialization), stream_dedup_ingest
+# (verify joins factored for the bloom sibling), sim_knn_ivf_kmeans
+# (quantizer + rescore kernel factored for the persisted probe),
+# sink_zorder_layout (writer factored for scan_zorder_onesided). Filler:
+# oldest-evidence greens (the r04/r05-vintage block the r9 verdict named as
+# stalest -- udf_* family, set ops, fn_* family), oldest first, capped at 50.
 GRADE_FIRST: tuple[str, ...] = (
+    "agg_kmv_set_cardinality",
+    "scan_ivf_probe_kmeans",
+    "stream_dedup_ingest_bloom",
+    "scan_zorder_onesided",
     "stream_funnel_stages",
-    "doc_quality_drift",
-    "sink_hilbert_layout",
-    "mm_frame_sample",
-    "stream_dedup_ingest",
-    "sink_ivf_layout",
-    "scan_ivf_probe",
-    "catalog_analyze_cbo",
     "stream_quality_gate",
-    "sim_knn_ivf",
-    "dedup_near_minhash",
-    "dedup_jaccard_verify",
-    "dedup_jaccard_verify_capped",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_family_histogram",
-    "dedup_cc_clusters",
-    "doc_clean_pipeline",
-    "dedup_split_leakage",
-    "ml_gbt_churn",
-    "ml_als_recs",
-    "graph_label_propagation",
-    "tag_revenue_concentration",
+    "catalog_analyze_cbo",
+    "stream_dedup_ingest",
     "sim_knn_ivf_kmeans",
-    "doc_gopher_quality",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_collect_sorted",
-    "win_running_sum",
-    "win_trailing_time",
-    "tag_match_rule",
-    "tag_age_bucket",
-    "tag_consumption_cycle",
-    "tag_preference_top1",
-    "tag_psm",
-    "profile_assemble",
-    "ml_kmeans_rfm",
-    "ml_tree_segment",
-    "text_tokenize_topk",
-    "text_ngram",
-    "text_tfidf",
-    "text_lang_source_stats",
-    "dedup_exact",
-    "embed_label_centroid",
-    "embed_norm_stats",
-    "stream_tumbling",
-    "stream_late_data",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup_watermark",
+    "sink_zorder_layout",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_apply_in_pandas",
+    "udf_map_in_pandas",
+    "udtf_python",
+    "agg_approx_percentile",
+    "agg_mode",
+    "win_range_frame",
+    "win_first_last",
+    "win_rank_distributed",
+    "limit_topk_global",
+    "sample_deterministic",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_map_json",
+    "fn_bitwise",
+    "tag_audience_bitmap",
+    "tag_lookalike",
+    "ml_lr_propensity",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_entropy",
+    "text_lm_score",
+    "sim_knn_lsh",
+    "dedup_embed_cosine",
+    "mm_binary_metadata",
+    "mm_decode_stub",
+    "mm_resize_stub",
 )
 
 
