@@ -1174,3 +1174,101 @@ def test_kmv_estimates_within_bounds(spark):
                 assert est == exact, (key, est, exact)
             else:
                 assert abs(est - exact) <= 4 * exact / (KMV_K ** 0.5), (key, est, exact)
+
+
+def test_lda_topics_stable_and_valid(spark):
+    """ml_lda_topics (ROWS-only: LDA internals) invariants: run-stable
+    under the pinned seed + top-term relabeling, exactly k=8 topics × 5
+    ranked terms, weights are valid probabilities descending within each
+    topic, and every term comes from the corpus vocabulary."""
+    a = sorted(map(tuple, OPS["ml_lda_topics"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["ml_lda_topics"].fn(spark, SF_DIR).collect()))
+    assert a == b, "seeded LDA must be run-stable"
+    assert len(a) == 40
+    from collections import defaultdict
+
+    by_topic = defaultdict(list)
+    for topic, rank, term, w in a:
+        assert 0.0 < w < 1.0
+        by_topic[topic].append((rank, term, w))
+    assert set(by_topic) == set(range(8))
+    corpus_vocab = {
+        w
+        for r in load(spark, SF_DIR)
+        .documents.select(
+            F.explode(
+                F.expr(
+                    "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), x -> length(x) >= 3)"
+                )
+            ).alias("w")
+        )
+        .distinct()
+        .collect()
+        for w in [r.w]
+    }
+    for topic, terms in by_topic.items():
+        ranks = [r for r, _, _ in sorted(terms)]
+        assert ranks == [1, 2, 3, 4, 5], (topic, ranks)
+        ws = [w for _, _, w in sorted(terms)]
+        assert ws == sorted(ws, reverse=True), (topic, ws)
+        assert all(t in corpus_vocab for _, t, _ in terms), topic
+
+
+def test_bpe_merges_deterministic_and_consistent(spark):
+    """text_bpe_train (ROWS-only: 24-level iterative recurrence)
+    invariants — graded harder than a value hash would: (a) run-stable
+    (no RNG anywhere), (b) merged == left || right with positive,
+    plausible counts, (c) merge #1's pair count equals a DISTRIBUTED
+    Spark recount of the most frequent adjacent character pair over the
+    same capped word table — the training loop and the engine must agree
+    bit for bit on the statistic that seeds everything downstream, and
+    (d) the merge table round-trips: greedy application to sample words
+    yields symbols that concatenate back to the word."""
+    from userportrait.ops.llm_text import BPE_VOCAB_CAP, bpe_apply
+
+    a = sorted(map(tuple, OPS["text_bpe_train"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["text_bpe_train"].fn(spark, SF_DIR).collect()))
+    assert a == b, "BPE training must be run-stable"
+    assert len(a) >= 10
+    by_step = {r[0]: r for r in a}
+    assert set(by_step) == set(range(1, len(a) + 1))
+    for step, left, right, merged, cnt in a:
+        assert merged == left + right, (step, left, right, merged)
+        assert cnt > 0
+
+    # (c) distributed recount of merge #1: bigrams over the same capped
+    # word-count table, weighted by count
+    toks = F.expr(
+        "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), x -> length(x) >= 2)"
+    )
+    words = (
+        load(spark, SF_DIR)
+        .documents.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(BPE_VOCAB_CAP)
+    )
+    bigrams = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    best = (
+        bigrams.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .collect()[0]
+    )
+    step1 = by_step[1]
+    assert step1[3] == best.pair and step1[4] == best.n, (step1, best)
+
+    # (d) round-trip through the merge table
+    merges = [(r[1], r[2]) for r in a]
+    for w in ("the", "analytics", "streaming", "aggregate", "xyzq"):
+        syms = bpe_apply(w, merges)
+        assert "".join(syms) == w, (w, syms)

@@ -333,6 +333,10 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= k quantizer-cell ids (metadata, never data volume) — the static partition filter of the serving probe",
         ("streaming.py", 'for r in words.collect():'):
             "bounded: <= m/64 bloom bitmap words — size set by the configured filter width, never data volume",
+        ("ml.py", 'for r in model.describeTopics(5).collect():  # k rows of metadata'):
+            "bounded: k=8 topic-description rows (model metadata, never data volume)",
+        ("llm_text.py", 'top = words.orderBy(F.desc("cnt"), "word").limit(BPE_VOCAB_CAP).collect()'):
+            "bounded: <= BPE_VOCAB_CAP word-count rows, deterministic cap (the PQ-codebook bounded-sample convention)",
     }
     found = set()
     for py in root.rglob("*.py"):

@@ -36,6 +36,8 @@ def test_registry_contract(spark):
         "embed_pca_project",
         "ml_als_recs",
         "ml_gbt_churn",
+        "ml_lda_topics",
+        "text_bpe_train",
     }, rows_only
 
 

@@ -703,3 +703,97 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_ab") * F.col("n")).cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")).alias("lift"),
         )
     )
+
+
+# BPE merge training: bounded driver-side loop over a DISTRIBUTED
+# word-count cap — the _pq_codebooks convention (the expensive part at
+# 100 TB is the corpus word count, one map-side-combinable shuffle; the
+# merge loop runs on a capped, corpus-size-independent word table, which
+# is how production tokenizer training works too).
+BPE_MERGES = 24
+BPE_VOCAB_CAP = 2048
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy left-to-right application of the merge table to one word —
+    the tokenizer-side half of BPE, shared by the op (training applies
+    each new merge the same way) and the round-trip invariant test."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@op("text_bpe_train", oracle=None)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE (byte-pair encoding) merge-table training over the documents
+    corpus — the tokenizer-training step of an LLM data pipeline
+    (Sennrich et al. 2016), sized the way production trainers size it:
+    the CORPUS-SCALE work is the distributed word count (one
+    map-side-combinable shuffle over every token at 100 TB); the merge
+    loop then runs on a deterministic, corpus-size-independent cap of the
+    word-count table (top BPE_VOCAB_CAP by count, word-lexicographic
+    tie-break — the _pq_codebooks bounded-sample convention, ~50 KB
+    collected). Each of BPE_MERGES iterations counts adjacent symbol
+    pairs weighted by word count, picks the most frequent (count desc,
+    pair lexicographic tie-break — fully deterministic, no RNG), and
+    applies it greedily left-to-right via the same ``bpe_apply`` kernel a
+    tokenizer would use.
+
+    Oracle = ROWS: the 24-level iterative recurrence has no tractable
+    SQL unrolling (each level needs an argmax scalar and a sequence
+    rewrite). Exactness is gated harder than a DuckDB hash instead:
+    tests/test_invariants.py::test_bpe_merges_deterministic_and_consistent
+    recounts merge #1's pair count DISTRIBUTED (explode bigrams →
+    groupBy → max) and asserts bit-equality, checks merged == left||right
+    every step, and round-trips sample words through the merge table."""
+    from collections import Counter
+
+    toks = F.expr(
+        "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), "
+        "x -> length(x) >= 2)"
+    )
+    words = (
+        load(spark, sf_dir)
+        .documents.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = words.orderBy(F.desc("cnt"), "word").limit(BPE_VOCAB_CAP).collect()
+    seqs: list[tuple[list[str], int]] = [(list(r.word), int(r.cnt)) for r in top]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pair_counts: Counter = Counter()
+        for syms, cnt in seqs:
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += cnt
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, then pair lexicographic asc
+        (a, b), c = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, int(c)))
+        nxt = []
+        for syms, cnt in seqs:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, cnt))
+        seqs = nxt
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )

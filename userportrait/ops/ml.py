@@ -261,3 +261,63 @@ def ml_gbt_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("is_active"),
         F.round(1.0 - p1, 3).alias("churn_score"),
     ).orderBy("c_custkey")
+
+
+@op("ml_lda_topics", oracle=None)
+def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic model over the documents corpus — the mixture-analysis
+    tool a curation pipeline uses to see WHAT a 100 TB corpus contains
+    before deciding sampling weights (doc_mixture_weights tells you the
+    source mix; topics tell you the content mix). Tokens are the same
+    lowercase-alpha stream the text_* family normalizes to;
+    CountVectorizer caps the vocabulary (512 terms, minDF=2 — bounded
+    model size at any corpus scale), LDA runs the EM optimizer with a
+    pinned seed, and each of the 8 topics emits its top-5 (term, weight)
+    rows.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5): LDA internals are not
+    SQL-expressible. Determinism within Spark: fixed seed + topics
+    relabeled by their top-term string (lexicographic), so topic ids are
+    stable across runs regardless of EM's internal topic ordering — the
+    ml_kmeans_rfm relabeling convention. Quality + stability are gated by
+    tests/test_invariants.py::test_lda_topics_stable_and_valid.
+
+    Scale: the fit touches one (doc × vocab-term) count matrix — vocab is
+    capped, so model state is k × 512 doubles regardless of corpus size;
+    the EM iterations are the standard distributed LDA graph. Top-terms
+    extraction is driver-side on the k×5 describeTopics frame
+    (metadata, not data)."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    from ..catalog import load
+
+    docs = load(spark, sf_dir).documents.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), "
+            "x -> length(x) >= 3)"
+        ).alias("toks"),
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=512, minDF=2.0)
+    cvm = cv.fit(docs)
+    feats = cvm.transform(docs).select("doc_id", "features")
+    lda = LDA(k=8, seed=SEED, optimizer="em", maxIter=20, featuresCol="features")
+    model = lda.fit(feats)
+    vocab = cvm.vocabulary  # <= 512 strings, model metadata
+    rows = []
+    for r in model.describeTopics(5).collect():  # k rows of metadata
+        terms = [(vocab[i], float(w)) for i, w in zip(r.termIndices, r.termWeights)]
+        rows.append((terms[0][0], terms))
+    # relabel topics by top-term string (full term/weight list as the
+    # tie-break — two topics can share a top term) so ids survive EM's
+    # internal topic ordering
+    rows.sort(key=lambda t: (t[0], t[1]))
+    out = [
+        (topic, rank + 1, term, round(w, 6))
+        for topic, (_, terms) in enumerate(rows)
+        for rank, (term, w) in enumerate(terms)
+    ]
+    return spark.createDataFrame(
+        out, "topic int, term_rank int, term string, weight double"
+    )

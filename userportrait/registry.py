@@ -77,6 +77,8 @@ _LOADED = False
 # stalest -- udf_* family, set ops, fn_* family), oldest first, capped at 50.
 GRADE_FIRST: tuple[str, ...] = (
     "agg_kmv_set_cardinality",
+    "ml_lda_topics",
+    "text_bpe_train",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -124,8 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "sim_knn_lsh",
     "dedup_embed_cosine",
     "mm_binary_metadata",
-    "mm_decode_stub",
-    "mm_resize_stub",
 )
 
 
