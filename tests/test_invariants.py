@@ -1272,3 +1272,38 @@ def test_bpe_merges_deterministic_and_consistent(spark):
     for w in ("the", "analytics", "streaming", "aggregate", "xyzq"):
         syms = bpe_apply(w, merges)
         assert "".join(syms) == w, (w, syms)
+
+
+def test_bpe_apply_counts_consistent(spark):
+    """text_bpe_apply (ROWS-only: greedy merge recurrence) invariants:
+    (a) per doc, n_words <= n_bpe_tokens <= n_chars — each merge only
+    moves symbol counts from characters toward words, never past either
+    end; (b) the distributed kernel agrees with a direct driver-side
+    re-tokenization (same bpe_apply, same merge table) on sample docs;
+    (c) chars_per_token is consistent with its own columns."""
+    from userportrait.ops.llm_text import bpe_apply
+
+    rows = {r.doc_id: r for r in OPS["text_bpe_apply"].fn(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars, r
+        if r.n_bpe_tokens:
+            # Spark round() is HALF_UP; Python round() is banker's (65/32
+            # = 2.03125 splits them) — compare under HALF_UP
+            from decimal import ROUND_HALF_UP, Decimal
+
+            want = float(
+                Decimal(r.n_chars / r.n_bpe_tokens).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
+            assert abs(r.chars_per_token - want) < 1e-9, r
+
+    merges = [(m.left, m.right) for m in OPS["text_bpe_train"].fn(spark, SF_DIR).collect()]
+    import re
+
+    sample = load(spark, SF_DIR).documents.select("doc_id", "text").limit(10).collect()
+    for d in sample:
+        alpha = [
+            w for w in re.sub(r"[^a-zA-Z ]", " ", str(d.text)).lower().split() if len(w) >= 2
+        ]
+        want = sum(len(bpe_apply(w, merges)) for w in alpha)
+        assert rows[d.doc_id].n_bpe_tokens == want, d.doc_id

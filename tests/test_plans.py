@@ -337,6 +337,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: k=8 topic-description rows (model metadata, never data volume)",
         ("llm_text.py", 'top = words.orderBy(F.desc("cnt"), "word").limit(BPE_VOCAB_CAP).collect()'):
             "bounded: <= BPE_VOCAB_CAP word-count rows, deterministic cap (the PQ-codebook bounded-sample convention)",
+        ("llm_text.py", 'merges = [(r.left, r.right) for r in text_bpe_train(spark, sf_dir).collect()]  # 24-row merge table (metadata)'):
+            "bounded: <= BPE_MERGES merge-table rows (model metadata for the task closure, never data volume)",
     }
     found = set()
     for py in root.rglob("*.py"):

@@ -38,6 +38,7 @@ def test_registry_contract(spark):
         "ml_gbt_churn",
         "ml_lda_topics",
         "text_bpe_train",
+        "text_bpe_apply",
     }, rows_only
 
 

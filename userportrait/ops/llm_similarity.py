@@ -1700,3 +1700,107 @@ def scan_ivf_probe_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _cogroup_topk(probes, members)
+
+
+# Signed feature hashing (the "hashing trick", Weinberger et al. 2009):
+# the text → embedding producer for when no neural encoder is available —
+# the step that MAKES the embedding column the sim_*/dedup_embed_* family
+# consumes. Dimensions/sign come from md5 nibbles (the repo's engine-
+# neutral hash discipline), weights are TF-IDF.
+HASH_EMBED_DIM = 64
+
+
+def _nib_sql(h: str, i: int) -> str:
+    """i-th md5 hex nibble (1-based) as an int — identical text both engines."""
+    from .curation import HEX
+
+    return f"(instr('{HEX}', substr({h}, {i}, 1)) - 1)"
+
+
+@op(
+    "embed_hash_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id,
+             ({_nib_sql("md5(tf.token)", 1)} * 16 + {_nib_sql("md5(tf.token)", 2)}) % {HASH_EMBED_DIM} AS dim,
+             (CASE WHEN {_nib_sql("md5(tf.token)", 3)} < 8 THEN 1 ELSE -1 END)
+               * CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) AS BIGINT) AS w_int
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ), v AS (
+      SELECT doc_id, dim, CAST(sum(w_int) AS BIGINT) AS v_int
+      FROM w GROUP BY doc_id, dim
+    ), nrm AS (
+      SELECT doc_id, sum(v_int * v_int) AS n2 FROM v GROUP BY doc_id
+    )
+    SELECT v.doc_id, CAST(v.dim AS INT) AS dim,
+           round(CAST(v.v_int AS DOUBLE) / sqrt(CAST(nrm.n2 AS DOUBLE)), 6) AS val
+    FROM v JOIN nrm USING (doc_id)
+    WHERE v.v_int <> 0
+    """,
+)
+def embed_hash_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → embedding via SIGNED FEATURE HASHING over TF-IDF weights —
+    the producer side of the embedding column every sim_*/dedup_embed_*
+    op consumes (the fixture ships embeddings ready-made; a real pipeline
+    has to make them, and the hashing trick is the model-free way: each
+    token hashes to one of 64 dimensions with a ±1 sign, weights are
+    tf·idf, vectors L2-normalize — sparse, streaming-friendly, and
+    vocabulary-unbounded because the projection IS the hash).
+
+    Determinism is engineered so the whole op is EXACT-oracled despite
+    floating-point: each token's tf·idf addend is rounded ONCE to a
+    scaled BIGINT (×10⁴), so per-dimension accumulation and the squared
+    norm are exact integer sums — no summation-order hazard anywhere; the
+    single double division happens after all aggregation and is rounded
+    to 6 dp (the graph_pagerank last-ulp argument). Output is the sparse
+    long form (doc_id, dim, val) — the layout a 100 TB embedding job
+    writes anyway (arrays ship poorly through engines' hash gates).
+
+    Scale: one corpus scan+explode (tf), df as a window over the compact
+    (doc, token, tf) frame (the text_tfidf single-scan discipline), then
+    two shuffles over sparse (doc, dim) rows — ≤ 64/doc."""
+    from pyspark.sql import Window
+
+    from .llm_text import _tokens
+
+    d = load(spark, sf_dir).documents
+    tf = _tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w_tok = Window.partitionBy("token")
+    n = d.agg(F.count("*").alias("n"))
+    h = "md5(token)"
+    weighted = (
+        tf.withColumn("df", F.count("*").over(w_tok))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.expr(
+                f"({_nib_sql(h, 1)} * 16 + {_nib_sql(h, 2)}) % {HASH_EMBED_DIM}"
+            ).alias("dim"),
+            (
+                F.expr(f"CASE WHEN {_nib_sql(h, 3)} < 8 THEN 1 ELSE -1 END")
+                * F.expr(
+                    "CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT)"
+                )
+            ).alias("w_int"),
+        )
+    )
+    v = weighted.groupBy("doc_id", "dim").agg(F.sum("w_int").cast("bigint").alias("v_int"))
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        v.withColumn("n2", F.sum(F.col("v_int") * F.col("v_int")).over(w_doc))
+        .where(F.col("v_int") != 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                F.col("v_int").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
+            ).alias("val"),
+        )
+    )

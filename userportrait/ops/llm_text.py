@@ -797,3 +797,77 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count bigint"
     )
+
+
+@op("text_bpe_apply", oracle=None)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization — the corpus-scale half of the
+    tokenizer story (text_bpe_train learns the merge table on a bounded
+    sample; THIS op pays the 100 TB cost of applying it to every
+    document): the 24-row merge table travels in the task closure, an
+    Arrow-batched ``mapInPandas`` kernel tokenizes each document with the
+    same greedy ``bpe_apply`` the trainer used, and each doc emits its
+    word / character / BPE-token counts plus the resulting
+    chars-per-BPE-token compression ratio — the per-doc statistic a
+    pretraining pipeline budgets sequence packing with (doc_pack_sequences
+    consumes token counts; this is where subword counts come from).
+
+    The kernel memoizes per unique word within each Arrow batch (Zipf:
+    the hot words dominate), so per-batch cost is
+    O(unique words × merges), not O(tokens × merges).
+
+    Oracle = ROWS (the greedy merge recurrence is not SQL-expressible);
+    gated instead by
+    tests/test_invariants.py::test_bpe_apply_counts_consistent —
+    n_words <= n_bpe_tokens <= n_chars per doc (merges only ever shrink
+    the symbol count from characters toward words), plus a direct
+    re-tokenization differential on sample docs."""
+    import pandas as pd
+
+    merges = [(r.left, r.right) for r in text_bpe_train(spark, sf_dir).collect()]  # 24-row merge table (metadata)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            memo: dict[str, int] = {}
+
+            def n_bpe(word: str) -> int:
+                got = memo.get(word)
+                if got is None:
+                    got = memo[word] = len(bpe_apply(word, merges))
+                return got
+
+            import re
+
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # the trainer's exact token stream: non-alpha -> space,
+                # lowercase, split, len >= 2
+                alpha = [
+                    w
+                    for w in re.sub(r"[^a-zA-Z ]", " ", str(text)).lower().split()
+                    if len(w) >= 2
+                ]
+                n_chars = sum(len(w) for w in alpha)
+                toks = sum(n_bpe(w) for w in alpha)
+                rows.append((int(doc_id), len(alpha), n_chars, toks))
+            out = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_chars", "n_bpe_tokens"])
+            yield out
+
+    d = load(spark, sf_dir).documents.select("doc_id", "text")
+    res = d.mapInPandas(
+        kernel, "doc_id bigint, n_words bigint, n_chars bigint, n_bpe_tokens bigint"
+    )
+    return res.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )

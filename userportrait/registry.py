@@ -79,6 +79,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_kmv_set_cardinality",
     "ml_lda_topics",
     "text_bpe_train",
+    "text_bpe_apply",
+    "embed_hash_tfidf",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -124,8 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_entropy",
     "text_lm_score",
     "sim_knn_lsh",
-    "dedup_embed_cosine",
-    "mm_binary_metadata",
 )
 
 
