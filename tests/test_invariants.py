@@ -1307,3 +1307,29 @@ def test_bpe_apply_counts_consistent(spark):
         ]
         want = sum(len(bpe_apply(w, merges)) for w in alpha)
         assert rows[d.doc_id].n_bpe_tokens == want, d.doc_id
+
+
+def test_ivf_pq_recall_and_determinism(spark):
+    """sim_knn_ivf_pq (ROWS-only: trained quantizer + codebooks)
+    invariants: run-stable, exactly 5 real-cosine neighbors per query,
+    and recall@5 vs the exact blocked kNN above the composition floor —
+    the IVF cell restriction binds (~0.55 alone at this fixture), the
+    in-cell PQ-ADC candidate stage costs little more on top (measured
+    0.499); 0.4 is the regression gate."""
+    from userportrait.ops.pipeline_ext import _recall_histogram
+
+    a = sorted(map(tuple, OPS["sim_knn_ivf_pq"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["sim_knn_ivf_pq"].fn(spark, SF_DIR).collect()))
+    assert a == b, "seeded IVF+PQ must be run-stable"
+    from collections import Counter
+
+    per_query = Counter(r[0] for r in a)
+    assert set(per_query.values()) == {5}
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+    hist = _recall_histogram(
+        OPS["sim_cosine_knn"].fn(spark, SF_DIR), OPS["sim_knn_ivf_pq"].fn(spark, SF_DIR)
+    ).collect()
+    tot = sum(r.n_vecs for r in hist)
+    hits = sum(r.n_hits * r.n_vecs for r in hist)
+    recall = hits / (5.0 * tot)
+    assert recall >= 0.4, f"IVF+PQ recall@5 regressed: {recall:.4f}"

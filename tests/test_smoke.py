@@ -39,6 +39,7 @@ def test_registry_contract(spark):
         "ml_lda_topics",
         "text_bpe_train",
         "text_bpe_apply",
+        "sim_knn_ivf_pq",
     }, rows_only
 
 

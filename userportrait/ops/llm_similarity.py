@@ -1804,3 +1804,110 @@ def embed_hash_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val"),
         )
     )
+
+
+@op("sim_knn_ivf_pq", oracle=None)
+def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the two ANN compressions COMPOSED, which is the form a
+    production vector index actually runs (FAISS ``IVFx,PQy``): the
+    trained kmeans cells bound WHICH vectors a query scans
+    (candidates/query ≈ nprobe·(n/k), the IVF half), and product
+    quantization bounds the BYTES each scanned vector costs (8 B/vector
+    ADC codes, the PQ half) — at 100 TB neither alone suffices: IVF with
+    raw vectors still reads 512 B/candidate; PQ alone still scans every
+    code. Search: per probed cell, a cogroup ADC kernel gathers each
+    query's 8 table lookups per member code and keeps PQ_CAND
+    candidates; cells merge under a global top-PQ_CAND window; the final
+    top-5 is an EXACT cosine rescore of candidates only (the
+    sim_knn_lsh/ivf/pq rescore discipline, shared _exact_rescore fold).
+
+    Oracle = ROWS (trained quantizer + codebooks); determinism from the
+    fixed seeds + data-order Lloyd's + lexsort tie-breaks, quality from
+    the recall@5 gate
+    (tests/test_invariants.py::test_ivf_pq_recall_and_determinism).
+
+    Scale: quantizer + codebooks train on bounded samples; assignment and
+    encoding touch each vector once; the ADC scan shuffles each CODE (not
+    vector) once by cell id; per-task transients stay tiled."""
+    import numpy as np
+
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    unit = _unit_embeddings(e)
+    cent = _kmeans_cells(spark, unit)
+    books = _pq_codebooks(unit)
+    codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    vc = unit.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "u",
+        "cell",
+        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
+            "csim"
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
+    members = (
+        ranked.where(F.col("rn") == 1)
+        .select(F.col("cell").alias("mcell"), F.col("vec_id").alias("mvec_id"))
+        .join(codes.select(F.col("vec_id").alias("mvec_id"), "code"), "mvec_id")
+    )
+    probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("cell", "vec_id", "u")
+
+    def adc_cell(key, probes_pdf, members_pdf):
+        import pandas as pd
+
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "asim": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "asim": "float64"}
+            )
+        qids = probes_pdf["vec_id"].to_numpy(np.int64)
+        mids = members_pdf["mvec_id"].to_numpy(np.int64)
+        packed = members_pdf["code"].to_numpy(np.int64)
+        mcodes = np.stack(
+            [((packed >> (4 * m)) & 0xF) for m in range(PQ_M)], axis=1
+        ).astype(np.uint8)
+        Q = np.array(probes_pdf["u"].tolist(), dtype=np.float64)
+        Tq = np.einsum("bsd,skd->bsk", Q.reshape(len(Q), PQ_M, PQ_SUBDIM), books)
+        rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(mids)))
+        out = []
+        for lo in range(0, len(qids), rows_per_tile):
+            T = Tq[lo : lo + rows_per_tile]
+            sims = np.zeros((len(T), len(mids)))
+            for m in range(PQ_M):
+                sims += T[:, m, :][:, mcodes[:, m]]
+            sims[qids[lo : lo + rows_per_tile, None] == mids[None, :]] = -np.inf
+            k = min(PQ_CAND, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            sel = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(sel)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(qids[lo : lo + rows_per_tile], k)[keep.ravel()],
+                        "neighbor_id": mids[top].ravel()[keep.ravel()],
+                        "asim": sel.ravel()[keep.ravel()],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    per_cell = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("mcell"))
+        .applyInPandas(adc_cell, "vec_id long, neighbor_id long, asim double")
+    )
+    w_cand = Window.partitionBy("vec_id").orderBy(F.col("asim").desc(), F.col("neighbor_id").asc())
+    cand = (
+        per_cell.withColumn("rn", F.row_number().over(w_cand))
+        .where(F.col("rn") <= PQ_CAND)
+        .select("vec_id", "neighbor_id")
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        _exact_rescore(e, cand)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

@@ -81,6 +81,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_bpe_train",
     "text_bpe_apply",
     "embed_hash_tfidf",
+    "sim_knn_ivf_pq",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_fingerprint",
     "text_entropy",
     "text_lm_score",
-    "sim_knn_lsh",
 )
 
 
