@@ -694,3 +694,117 @@ def tag_rule_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(38,4)")).cast("double").alias("total_acctbal"),
     )
+
+
+@op(
+    "feat_point_in_time",
+    oracle="""
+    WITH ck AS (
+      SELECT o_custkey AS uid, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+             0 AS role, o_orderkey AS rid,
+             CAST(NULL AS DECIMAL(38,4)) AS ev_val, CAST(NULL AS VARCHAR) AS ev_type,
+             CAST(NULL AS BIGINT) AS ev_us, o_totalprice
+      FROM orders
+    ), ev AS (
+      SELECT user_id AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             1 AS role, event_id AS rid,
+             CAST(value AS DECIMAL(38,4)) AS ev_val, event_type AS ev_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM events
+    ), u AS (SELECT * FROM ck UNION ALL SELECT * FROM ev),
+    f AS (
+      SELECT uid, us, role, rid, o_totalprice,
+             CAST(count(ev_us) OVER wrow AS BIGINT) AS n_events_before,
+             CAST(CAST(sum(ev_val) OVER wrow AS VARCHAR) AS DOUBLE) AS total_value_before,
+             last_value(ev_type IGNORE NULLS) OVER wrow AS last_event_type,
+             last_value(ev_us IGNORE NULLS) OVER wrow AS last_us,
+             CAST(count(ev_us) OVER wrange AS BIGINT) AS n_events_30d
+      FROM u
+      WINDOW wrow AS (PARTITION BY uid ORDER BY us, role, rid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wrange AS (PARTITION BY uid ORDER BY us
+                        RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT rid AS o_orderkey, uid AS o_custkey,
+           n_events_before, coalesce(total_value_before, 0.0) AS total_value_before,
+           n_events_30d, last_event_type,
+           (us - last_us) // 86400000000 AS days_since_last,
+           o_totalprice AS label_totalprice
+    FROM f WHERE role = 0
+    """,
+)
+def feat_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-feature assembly — the feature-store
+    discipline that keeps a training set leakage-free: for every order
+    (the label event), per-user behavioral features computed ONLY from
+    events STRICTLY before the order timestamp — lifetime event count,
+    decimal-exact lifetime value, trailing-30-day event count, last event
+    type, and integer days since last activity, next to the
+    o_totalprice label.
+
+    Spark shape is the SCALABLE form (the join_asof_latest union+window
+    pattern, widened from one carried id to a whole feature block): label
+    checkpoints and events union into ONE stream, one shuffle per user,
+    one sort by (ts, role, id) — at equal timestamps the checkpoint sorts
+    BEFORE the event (role 0 < 1), so same-instant events never leak in —
+    and every feature is a window over that sort (running count/decimal
+    sum/last-ignorenulls + a µs RANGE frame ending at -1 for the strict
+    30-day window). The naive per-order range join is O(orders ×
+    events-per-user) pairs; this is O(n log n) per user with no pairwise
+    blowup — at 100 TB that is the difference between a feature backfill
+    finishing and not. Day arithmetic is integer µs division (bit-exact
+    cross-engine)."""
+    t = load(spark, sf_dir)
+    ck = t.orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.unix_micros("o_orderdate").alias("us"),
+        F.lit(0).alias("role"),
+        F.col("o_orderkey").alias("rid"),
+        F.lit(None).cast("decimal(38,4)").alias("ev_val"),
+        F.lit(None).cast("string").alias("ev_type"),
+        F.lit(None).cast("bigint").alias("ev_us"),
+        "o_totalprice",
+    )
+    ev = t.events.select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("role"),
+        F.col("event_id").alias("rid"),
+        F.col("value").cast("decimal(38,4)").alias("ev_val"),
+        F.col("event_type").alias("ev_type"),
+        F.unix_micros("ts").alias("ev_us"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    u = ck.unionAll(ev)
+    wrow = (
+        Window.partitionBy("uid")
+        .orderBy("us", "role", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrange = (
+        Window.partitionBy("uid")
+        .orderBy("us")
+        .rangeBetween(-2_592_000_000_000, -1)
+    )
+    f = u.select(
+        "uid",
+        "us",
+        "role",
+        "rid",
+        "o_totalprice",
+        F.count("ev_us").over(wrow).cast("bigint").alias("n_events_before"),
+        F.sum("ev_val").over(wrow).cast("double").alias("total_value_before"),
+        F.last("ev_type", ignorenulls=True).over(wrow).alias("last_event_type"),
+        F.last("ev_us", ignorenulls=True).over(wrow).alias("last_us"),
+        F.count("ev_us").over(wrange).cast("bigint").alias("n_events_30d"),
+    )
+    return f.where(F.col("role") == 0).select(
+        F.col("rid").alias("o_orderkey"),
+        F.col("uid").alias("o_custkey"),
+        "n_events_before",
+        F.coalesce("total_value_before", F.lit(0.0)).alias("total_value_before"),
+        "n_events_30d",
+        "last_event_type",
+        F.expr("(us - last_us) div 86400000000").alias("days_since_last"),
+        F.col("o_totalprice").alias("label_totalprice"),
+    )

@@ -82,6 +82,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_bpe_apply",
     "embed_hash_tfidf",
     "sim_knn_ivf_pq",
+    "feat_point_in_time",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_lang_id",
     "text_fingerprint",
     "text_entropy",
-    "text_lm_score",
 )
 
 
