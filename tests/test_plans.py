@@ -441,6 +441,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "tag_lookalike": "seed-centroid scalar aggregate",
         "text_tfidf": "total-docs scalar for IDF",
         "embed_hash_tfidf": "total-docs scalar for IDF (same 1-row crossJoin as text_tfidf)",
+        "events_seasonal_decompose": "centered-MA window over the DAILY rollup (<= #calendar-days rows, bounded by time span, not data volume)",
         "doc_pack_sequences": "running-total scalar over pack metadata",
         "diag_key_skew": "total/mean scalar aggregate (1 row)",
         "tag_activity_trend": "global week-anchor scalar",

@@ -2878,3 +2878,74 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("var_y_adj"),
     )
+
+
+@op(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, cnt,
+             CAST(dayofweek(day) + 1 AS INT) AS dow, -- DuckDB dow is 0=Sun; Spark's is 1=Sun
+             CAST(sum(cnt) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+      FROM daily
+    ), full7 AS (
+      SELECT day, dow, cnt, sum7, 7 * cnt - sum7 AS det7 FROM tr WHERE w = 7
+    ), seas AS (
+      SELECT dow, CAST(sum(det7) AS BIGINT) AS s_num, count(*) AS n_weeks
+      FROM full7 GROUP BY dow
+    )
+    SELECT CAST(f.day AS VARCHAR) AS day, f.dow, CAST(f.cnt AS BIGINT) AS cnt,
+           round(f.sum7 / 7.0, 4) AS trend,
+           round(s.s_num / (7.0 * s.n_weeks), 4) AS seasonal,
+           round(f.cnt - f.sum7 / 7.0 - s.s_num / (7.0 * s.n_weeks), 4) AS residual
+    FROM full7 f JOIN seas s USING (dow)
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event volume —
+    trend (centered 7-day moving average), day-of-week seasonality (mean
+    detrended deviation per dow), residual (what anomaly detection should
+    actually alarm on; events_anomaly_zscore without this step alarms on
+    every weekend). The decomposition a traffic dashboard runs before
+    calling anything an incident.
+
+    Numeric discipline: every aggregate stays INTEGER until the final
+    division — the detrended series is kept as ``7·cnt − sum7`` (exact
+    bigint; edge days without a full 7-day window are excluded rather
+    than averaged over a varying width, which would make the denominator
+    data-dependent), and the dow seasonal numerator is an exact integer
+    sum over weeks — so the only doubles are final single divisions,
+    bit-identical cross-engine (the agg_kmv integer-estimator
+    discipline). Scale: daily rollup is one map-side-combinable shuffle;
+    everything after runs on #days rows."""
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        F.dayofweek("day").cast("int").alias("dow"),
+        "cnt",
+        F.sum("cnt").over(w7).cast("bigint").alias("sum7"),
+        F.count("*").over(w7).alias("w"),
+    ).where(F.col("w") == 7)
+    full7 = tr.withColumn("det7", F.lit(7) * F.col("cnt") - F.col("sum7"))
+    seas = full7.groupBy("dow").agg(
+        F.sum("det7").cast("bigint").alias("s_num"), F.count("*").alias("n_weeks")
+    )
+    return full7.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("string").alias("day"),
+        "dow",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("sum7") / 7.0, 4).alias("trend"),
+        F.round(F.col("s_num") / (7.0 * F.col("n_weeks")), 4).alias("seasonal"),
+        F.round(
+            F.col("cnt") - F.col("sum7") / 7.0 - F.col("s_num") / (7.0 * F.col("n_weeks")), 4
+        ).alias("residual"),
+    )
