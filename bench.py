@@ -26,6 +26,9 @@ previously invisible to the per-round perf gate.
   q_kmv             → agg_kmv_set_cardinality (bottom-k sketch set algebra;
                       r10 — baseline is the exact distinct set-op counts
                       the sketch displaces, BASELINE.md)
+  q_feat_pit        → feat_point_in_time (union+window point-in-time
+                      features; r10 — baseline is the per-order range-join
+                      form, BASELINE.md)
 """
 
 from __future__ import annotations
@@ -107,6 +110,7 @@ def main() -> int:
         "q_jaccard_capped": ops["dedup_jaccard_verify_capped"].fn,
         "q_ivf": ops["sim_knn_ivf_kmeans"].fn,
         "q_kmv": ops["agg_kmv_set_cardinality"].fn,
+        "q_feat_pit": ops["feat_point_in_time"].fn,
     }
     # Queries whose op body EXECUTES work at plan-declaration time: the
     # blocked kNN pins per-chunk partials eagerly (so each broadcast can be
