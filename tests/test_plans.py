@@ -515,6 +515,8 @@ def test_no_unaudited_broadcast_hints():
             "1-row global week-anchor scalar",
         ("curation.py", 'return full7.join(F.broadcast(seas), "dow").select('):
             "per-dow seasonal means (exactly 7 rows by construction)",
+        ("llm_similarity.py", ".crossJoin(F.broadcast(n))"):
+            "1-row total-docs scalar for IDF (embed_hash_tfidf; same as text_tfidf's)",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):
             "brand marginals (<= 25-brand universe)",
         ("curation.py", "ranked.crossJoin(F.broadcast(cap_df))"):
