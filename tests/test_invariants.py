@@ -1333,3 +1333,20 @@ def test_ivf_pq_recall_and_determinism(spark):
     hits = sum(r.n_hits * r.n_vecs for r in hist)
     recall = hits / (5.0 * tot)
     assert recall >= 0.4, f"IVF+PQ recall@5 regressed: {recall:.4f}"
+
+
+def test_doc_topic_assign_conserves_docs(spark):
+    """doc_topic_assign (ROWS-only) invariants: run-stable (exact
+    integer affinity sums — the posterior transform is NOT stable, which
+    is why the op doesn't use it), exactly one row per doc that has >= 1
+    vocabulary token, topic ids within the trainer's 0..7 range and
+    AGREEING with ml_lda_topics' relabeled id space (every assigned topic
+    exists in the topic-term table), share in (0, 1]."""
+    a = sorted(map(tuple, OPS["doc_topic_assign"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["doc_topic_assign"].fn(spark, SF_DIR).collect()))
+    assert a == b, "affinity assignment must be run-stable"
+    ids = [r[0] for r in a]
+    assert len(ids) == len(set(ids)), "one row per doc"
+    topics = {r[0] for r in OPS["ml_lda_topics"].fn(spark, SF_DIR).collect()}
+    assert {r[1] for r in a} <= topics
+    assert all(0.0 < r[2] <= 1.0 for r in a)

@@ -333,7 +333,7 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= k quantizer-cell ids (metadata, never data volume) — the static partition filter of the serving probe",
         ("streaming.py", 'for r in words.collect():'):
             "bounded: <= m/64 bloom bitmap words — size set by the configured filter width, never data volume",
-        ("ml.py", 'for r in model.describeTopics(5).collect():  # k rows of metadata'):
+        ("ml.py", 'for raw, r in enumerate(model.describeTopics(5).collect()):  # k rows of metadata'):
             "bounded: k=8 topic-description rows (model metadata, never data volume)",
         ("llm_text.py", 'top = words.orderBy(F.desc("cnt"), "word").limit(BPE_VOCAB_CAP).collect()'):
             "bounded: <= BPE_VOCAB_CAP word-count rows, deterministic cap (the PQ-codebook bounded-sample convention)",
@@ -517,6 +517,8 @@ def test_no_unaudited_broadcast_hints():
             "per-dow seasonal means (exactly 7 rows by construction)",
         ("llm_similarity.py", ".crossJoin(F.broadcast(n))"):
             "1-row total-docs scalar for IDF (embed_hash_tfidf; same as text_tfidf's)",
+        ("ml.py", 'tf.join(F.broadcast(tt), "token")'):
+            "topic-term matrix (<= vocabSize x k = 4096 rows by construction)",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):
             "brand marginals (<= 25-brand universe)",
         ("curation.py", "ranked.crossJoin(F.broadcast(cap_df))"):

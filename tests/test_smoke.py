@@ -40,6 +40,7 @@ def test_registry_contract(spark):
         "text_bpe_train",
         "text_bpe_apply",
         "sim_knn_ivf_pq",
+        "doc_topic_assign",
     }, rows_only
 
 

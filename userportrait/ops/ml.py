@@ -17,7 +17,7 @@ a single map-side-combinable shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import op
@@ -263,6 +263,40 @@ def ml_gbt_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def _lda_fit(spark: SparkSession, sf_dir: str):
+    """Fit the seeded EM LDA over the normalized token stream; returns
+    (model, feats, relabel) where relabel maps the model's raw topic id
+    to the run-stable id (topics sorted by top-term string, full
+    term/weight list as the tie-break — the ml_kmeans_rfm relabeling
+    convention). Shared by ml_lda_topics (topic-term table) and
+    doc_topic_assign (per-doc transform)."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    from ..catalog import load
+
+    docs = load(spark, sf_dir).documents.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), "
+            "x -> length(x) >= 3)"
+        ).alias("toks"),
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=512, minDF=2.0)
+    cvm = cv.fit(docs)
+    feats = cvm.transform(docs).select("doc_id", "features")
+    lda = LDA(k=8, seed=SEED, optimizer="em", maxIter=20, featuresCol="features")
+    model = lda.fit(feats)
+    vocab = cvm.vocabulary  # <= 512 strings, model metadata
+    rows = []
+    for raw, r in enumerate(model.describeTopics(5).collect()):  # k rows of metadata
+        terms = [(vocab[i], float(w)) for i, w in zip(r.termIndices, r.termWeights)]
+        rows.append((terms[0][0], terms, raw))
+    rows.sort(key=lambda t: (t[0], t[1]))
+    relabel = {raw: stable for stable, (_, _, raw) in enumerate(rows)}
+    return model, cvm, feats, relabel, rows
+
+
 @op("ml_lda_topics", oracle=None)
 def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDA topic model over the documents corpus — the mixture-analysis
@@ -287,37 +321,85 @@ def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EM iterations are the standard distributed LDA graph. Top-terms
     extraction is driver-side on the k×5 describeTopics frame
     (metadata, not data)."""
-    from pyspark.ml.clustering import LDA
-    from pyspark.ml.feature import CountVectorizer
-
-    from ..catalog import load
-
-    docs = load(spark, sf_dir).documents.select(
-        "doc_id",
-        F.expr(
-            "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), "
-            "x -> length(x) >= 3)"
-        ).alias("toks"),
-    )
-    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=512, minDF=2.0)
-    cvm = cv.fit(docs)
-    feats = cvm.transform(docs).select("doc_id", "features")
-    lda = LDA(k=8, seed=SEED, optimizer="em", maxIter=20, featuresCol="features")
-    model = lda.fit(feats)
-    vocab = cvm.vocabulary  # <= 512 strings, model metadata
-    rows = []
-    for r in model.describeTopics(5).collect():  # k rows of metadata
-        terms = [(vocab[i], float(w)) for i, w in zip(r.termIndices, r.termWeights)]
-        rows.append((terms[0][0], terms))
-    # relabel topics by top-term string (full term/weight list as the
-    # tie-break — two topics can share a top term) so ids survive EM's
-    # internal topic ordering
-    rows.sort(key=lambda t: (t[0], t[1]))
+    _model, _cvm, _feats, _relabel, rows = _lda_fit(spark, sf_dir)
     out = [
         (topic, rank + 1, term, round(w, 6))
-        for topic, (_, terms) in enumerate(rows)
+        for topic, (_, terms, _raw) in enumerate(rows)
         for rank, (term, w) in enumerate(terms)
     ]
     return spark.createDataFrame(
         out, "topic int, term_rank int, term string, weight double"
+    )
+
+
+@op("doc_topic_assign", oracle=None)
+def doc_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document topic assignment — the distributed TRANSFORM half of
+    the LDA pair (ml_lda_topics learns the topic-term table; this op pays
+    the corpus-scale cost of scoring every document against it, the way a
+    curation pipeline labels a 100 TB corpus to re-weight its content
+    mix): each doc's posterior topic distribution (EM LDA transform, a
+    distributed matrix op over the cached count matrix), argmax topic
+    under the SAME top-term relabeling the trainer emits (so the two ops'
+    topic ids agree by construction — shared _lda_fit), tie broken to the
+    lowest stable id.
+
+    Deterministic by construction where the posterior transform is NOT:
+    EM LDA's ``transform`` re-initializes variational inference per call
+    (measured: posterior weights jitter ~4e-5 run to run, flipping argmax
+    for near-tie docs), so the assignment here is the TOPIC-AFFINITY rule
+    instead — score(doc, t) = Σ_tokens tf(w) · β_t(w) over the model's
+    (seeded, run-stable) topic-term matrix, accumulated as EXACT scaled
+    integers (β rounded once to 1e-9 units — the agg_kmv discipline), so
+    sums are order-independent and the argmax is bit-stable; ties break
+    to the lowest stable topic id. Spark shape: one explode of the corpus
+    token stream, one broadcast join against the ≤ vocab×k topic-term
+    frame (4096 rows), one groupBy — the labeling pass a 100 TB corpus
+    actually runs.
+
+    Oracle = ROWS (LDA internals); gated by
+    tests/test_invariants.py::test_doc_topic_assign_conserves_docs —
+    run-stability, one row per tokenized doc, topic ids within the
+    trainer's range, share in (0, 1]."""
+    from ..catalog import load
+
+    model, cvm, feats, relabel, _rows = _lda_fit(spark, sf_dir)
+    vocab = cvm.vocabulary
+    beta = model.topicsMatrix()  # vocab x k, model metadata (<= 512 x 8)
+    k = len(relabel)
+    tt_rows = []
+    for term_idx in range(len(vocab)):
+        for raw in range(k):
+            w = float(beta[term_idx, raw])
+            tt_rows.append((vocab[term_idx], relabel[raw], int(round(w * 1_000_000_000))))
+    tt = spark.createDataFrame(tt_rows, "token string, topic int, w_int bigint")
+
+    docs = load(spark, sf_dir).documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')), ' '), "
+                "x -> length(x) >= 3)"
+            )
+        ).alias("token"),
+    )
+    tf = docs.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    scores = (
+        tf.join(F.broadcast(tt), "token")
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("w_int")).cast("bigint").alias("score"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("topic").asc())
+    tot = Window.partitionBy("doc_id")
+    return (
+        scores.withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("tot", F.sum("score").over(tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("topic").cast("int").alias("topic"),
+            F.round(F.col("score").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "share"
+            ),
+        )
     )

@@ -84,6 +84,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "sim_knn_ivf_pq",
     "feat_point_in_time",
     "events_seasonal_decompose",
+    "doc_topic_assign",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
 )
 
 
