@@ -1350,3 +1350,22 @@ def test_doc_topic_assign_conserves_docs(spark):
     topics = {r[0] for r in OPS["ml_lda_topics"].fn(spark, SF_DIR).collect()}
     assert {r[1] for r in a} <= topics
     assert all(0.0 < r[2] <= 1.0 for r in a)
+
+
+def test_stream_topic_router_matches_batch(spark):
+    """stream_topic_router (ROWS-only: LDA internals) — the gate is
+    stronger than any value hash: every streamed doc's (topic, share)
+    must be BIT-IDENTICAL to batch doc_topic_assign's row for the same
+    doc (same integer affinity rule, same tokenizer, same model via the
+    shared fit), and docs with no vocabulary token are absent on both
+    sides."""
+    s = {r.doc_id: (r.topic, r.share) for r in OPS["stream_topic_router"].fn(spark, SF_DIR).collect()}
+    assert s
+    batch = {
+        r.doc_id: (r.topic, r.share) for r in OPS["doc_topic_assign"].fn(spark, SF_DIR).collect()
+    }
+    from userportrait.ops.streaming import _stage_docs
+
+    _, cut = _stage_docs(SF_DIR)
+    batch_streamed = {k: v for k, v in batch.items() if k > cut}
+    assert s == batch_streamed

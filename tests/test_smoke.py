@@ -41,6 +41,7 @@ def test_registry_contract(spark):
         "text_bpe_apply",
         "sim_knn_ivf_pq",
         "doc_topic_assign",
+        "stream_topic_router",
     }, rows_only
 
 

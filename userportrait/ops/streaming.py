@@ -1008,3 +1008,74 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_count & p_wordlen & p_stop & p_rep & p_alpha).alias("keep"),
     )
     return _run_to_table(spark, out, "quality_gate")
+
+
+@op("stream_topic_router", oracle=None)
+def stream_topic_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage THREE of the ingest topology (stream_dedup_ingest routes
+    duplicates, stream_quality_gate routes junk — this routes the
+    survivors by CONTENT): documents arriving on the stream are labeled
+    with their LDA topic at ingest time, the router a 100 TB crawl uses
+    to fan the corpus into per-topic partitions while it lands. The
+    offline-trained model (shared _lda_fit — the realistic topology:
+    train offline, serve on the stream) ships as a ≤ vocab×k integer
+    affinity table in the task closure; an Arrow ``mapInPandas`` kernel
+    re-tokenizes each doc with the trainer's exact rule and accumulates
+    EXACT scaled-integer scores, so the streamed label is bit-identical
+    to the batch doc_topic_assign — asserted per doc by
+    tests/test_invariants.py::test_stream_topic_router_matches_batch.
+    Stateless append: no shuffle, no state, no watermark.
+
+    Oracle = ROWS (LDA internals); the batch-equality invariant is the
+    stronger gate."""
+    import numpy as np
+    import pandas as pd
+
+    from .ml import _lda_fit
+
+    model, cvm, _feats, relabel, _rows = _lda_fit(spark, sf_dir)
+    vocab = cvm.vocabulary
+    beta = model.topicsMatrix()
+    k = len(relabel)
+    inv = {stable: raw for raw, stable in relabel.items()}
+    lut = {
+        vocab[ti]: np.array(
+            [int(round(float(beta[ti, inv[s]]) * 1_000_000_000)) for s in range(k)],
+            dtype=np.int64,
+        )
+        for ti in range(len(vocab))
+    }
+
+    def route(batches):
+        import re
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                scores = np.zeros(k, dtype=np.int64)
+                hit = False
+                for w in re.sub(r"[^a-zA-Z ]", " ", str(text)).lower().split():
+                    if len(w) >= 3:
+                        b = lut.get(w)
+                        if b is not None:
+                            scores += b
+                            hit = True
+                if not hit:
+                    continue  # no vocabulary token: the batch assigner has no row either
+                topic = int(scores.argmax())  # ties -> lowest stable id (argmax convention)
+                tot = int(scores.sum())
+                out.append((int(doc_id), topic, round(int(scores[topic]) / tot, 6)))
+            yield pd.DataFrame(out, columns=["doc_id", "topic", "share"]).astype(
+                {"doc_id": "int64", "topic": "int32", "share": "float64"}
+            )
+
+    stage_dir, _cut = _stage_docs(sf_dir)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    out = src.mapInPandas(route, "doc_id bigint, topic int, share double")
+    return _run_to_table(spark, out, "topic_router")

@@ -85,6 +85,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "feat_point_in_time",
     "events_seasonal_decompose",
     "doc_topic_assign",
+    "stream_topic_router",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "ml_lr_propensity",
     "text_token_count",
     "text_quality_score",
-    "text_lang_id",
 )
 
 
