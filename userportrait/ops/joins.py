@@ -402,3 +402,65 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("revenue"),
         )
     )
+
+
+ASOF_TOL_S = 3600  # 1 h match horizon
+
+
+@op(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+               AND e.ts < p.ts
+               AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)) <= CAST({ASOF_TOL_S} AS BIGINT) * 1000000
+             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE horizon (pandas ``merge_asof``'s
+    ``tolerance=`` semantics, the feature-store variant the strict as-of
+    lacks): each purchase matches the same user's latest earlier
+    non-purchase event ONLY IF it happened within the last hour —
+    a stale feature is worse than no feature, so beyond the horizon the
+    join yields NULL rather than a year-old click.
+
+    Same scalable union+window shape as join_asof_latest (one shuffle per
+    user, one sort, last-ignorenulls carry — no pairwise blowup), with the
+    carried value widened to (cand_ts, cand_id) so the horizon test is a
+    post-carry integer-µs filter: carrying first and filtering after is
+    exactly the tolerance semantics (the latest candidate either
+    qualifies or nothing does — any earlier candidate is farther away)."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    queries = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("role"),
+        F.lit(None).cast("struct<us:bigint,id:bigint>").alias("cand"),
+    )
+    cands = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("role"),
+        F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")).alias("cand"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = queries.unionAll(cands).withColumn(
+        "last_cand", F.last("cand", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("role") == 0).select(
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.col("last_cand.us") <= ASOF_TOL_S * 1_000_000,
+            F.col("last_cand.id"),
+        ).alias("asof_event_id"),
+    )

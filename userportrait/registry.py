@@ -86,6 +86,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "events_seasonal_decompose",
     "doc_topic_assign",
     "stream_topic_router",
+    "join_asof_tolerance",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_lookalike",
     "ml_lr_propensity",
     "text_token_count",
-    "text_quality_score",
 )
 
 
