@@ -1369,3 +1369,51 @@ def test_stream_topic_router_matches_batch(spark):
     _, cut = _stage_docs(SF_DIR)
     batch_streamed = {k: v for k, v in batch.items() if k > cut}
     assert s == batch_streamed
+
+
+def test_pq_probe_recall_and_roundtrip(spark):
+    """scan_pq_probe (ROWS-only: trained codebooks) invariants:
+    (a) codebook parquet roundtrip is BIT-EXACT vs retraining (so serving
+    never retrains), (b) run-stable, 5 real-cosine neighbors per sampled
+    query, (c) recall@5 vs the exact kNN on the same md5 sample clears
+    the sim_knn_pq floor (measured 0.776; 0.6 gate)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from userportrait.ops.curation import HEX
+    from userportrait.ops.llm_similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_codebooks,
+        _unit_embeddings,
+        _write_pq_index,
+    )
+    from userportrait.ops.pipeline_ext import _recall_histogram
+
+    root = _write_pq_index(spark, SF_DIR)
+    bk = spark.read.parquet(root + "/codebooks").collect()
+    stored = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        stored[r.sub, r.cent, r.dim] = r.w
+    trained = _pq_codebooks(_unit_embeddings(load(spark, SF_DIR).embeddings))
+    assert (stored == trained).all(), "codebook roundtrip must be bit-exact"
+
+    a = sorted(map(tuple, OPS["scan_pq_probe"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["scan_pq_probe"].fn(spark, SF_DIR).collect()))
+    assert a == b, "persisted-PQ probe must be run-stable"
+    from collections import Counter
+
+    per_query = Counter(r[0] for r in a)
+    assert per_query and set(per_query.values()) == {5}
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    exact = OPS["sim_cosine_knn"].fn(spark, SF_DIR).where(sample)
+    hist = _recall_histogram(exact, OPS["scan_pq_probe"].fn(spark, SF_DIR)).collect()
+    tot = sum(r.n_vecs for r in hist)
+    hits = sum(r.n_hits * r.n_vecs for r in hist)
+    recall = hits / (5.0 * tot)
+    assert recall >= 0.6, f"persisted-PQ probe recall@5 regressed: {recall:.4f}"

@@ -339,6 +339,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= BPE_VOCAB_CAP word-count rows, deterministic cap (the PQ-codebook bounded-sample convention)",
         ("llm_text.py", 'merges = [(r.left, r.right) for r in text_bpe_train(spark, sf_dir).collect()]  # 24-row merge table (metadata)'):
             "bounded: <= BPE_MERGES merge-table rows (model metadata for the task closure, never data volume)",
+        ("llm_similarity.py", 'bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)'):
+            "bounded: PQ_M*PQ_K*PQ_SUBDIM = 1024 codebook rows (model metadata, never data volume)",
     }
     found = set()
     for py in root.rglob("*.py"):

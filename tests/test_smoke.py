@@ -42,6 +42,7 @@ def test_registry_contract(spark):
         "sim_knn_ivf_pq",
         "doc_topic_assign",
         "stream_topic_router",
+        "scan_pq_probe",
     }, rows_only
 
 

@@ -1061,10 +1061,23 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = _pq_codebooks(unit)
     codes = pin(unit.mapInPandas(_pq_encode(books), "vec_id long, code long"))
+    return _pq_adc_search(spark, e, unit, codes, books)
+
+
+def _pq_adc_search(spark: SparkSession, e: DataFrame, unit: DataFrame, codes: DataFrame, books) -> DataFrame:
+    """The ADC scan + exact-rescore half of the PQ path, factored so the
+    persisted-index probe (scan_pq_probe) runs the same search over codes
+    READ FROM STORAGE: sequential bounded-chunk broadcasts of the code
+    table (8 B/row — a 500k-row chunk is 4 MB), pair-summed lookup
+    tables, global top-PQ_CAND merge, exact cosine rescore of candidates
+    only. ``unit`` is the QUERY workload (any subset of vectors)."""
+    import numpy as np
+
+    from pyspark.storagelevel import StorageLevel
 
     # bounded chunks of the code table (quantile boundaries — the
     # _index_chunks argument: chunk count tracks row count, never id-space
-    # width; each fetch is a pushed-down vec_id range over the PINNED codes)
+    # width; each fetch is a pushed-down vec_id range over the codes frame)
     total, lo, hi = codes.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()
     target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, -(-total // TARGET_CHUNKS)))
     n_chunks = max(1, -(-total // target))
@@ -1911,3 +1924,72 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+def _write_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the persisted PQ index: the 8 B/vector code table (vec_id-
+    sorted parquet — the chunk fetches push vec_id ranges into row-group
+    stats) NEXT TO its codebooks (an index without its codebooks cannot
+    be scanned). Layout:
+
+      <root>/codebooks/  (sub, cent, dim, w)   — PQ_M·PQ_K·PQ_SUBDIM rows
+      <root>/codes/      (vec_id, code)         — one long per vector
+    """
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings
+    unit = _unit_embeddings(e)
+    books = _pq_codebooks(unit)
+    root = _scratch("embeddings_pq")
+    rows = [
+        (s_, c_, d_, float(books[s_, c_, d_]))
+        for s_ in range(PQ_M)
+        for c_ in range(PQ_K)
+        for d_ in range(PQ_SUBDIM)
+    ]
+    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "codebooks"))
+    (
+        unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "codes"))
+    )
+    return root
+
+
+@op("scan_pq_probe", oracle=None)
+def scan_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the persisted PQ index — the memory-bound member
+    of the build-once/query-many family (sink_ivf_layout/scan_ivf_probe*
+    persist the cell topology; THIS persists the 8 B/vector compressed
+    form: a 1e9-vector corpus is an ~8 GB code table on disk, scanned in
+    4 MB broadcast chunks). Codebooks are READ FROM THE INDEX (bit-exact
+    roundtrip asserted in the invariant test — no retraining at serve
+    time), the md5-sampled query workload (first nibble = 0, the serving
+    convention) runs the same factored ADC scan + exact-rescore as
+    sim_knn_pq, and only candidates pay the full-precision join.
+
+    Oracle = ROWS (trained codebooks); gated by
+    tests/test_invariants.py::test_pq_probe_recall_and_roundtrip —
+    run-stability, 5 real-cosine neighbors per sampled query, recall@5
+    ≥ the sim_knn_pq floor on the same sample, codebook roundtrip
+    bit-exactness."""
+    import numpy as np
+
+    from .curation import HEX
+
+    root = _write_pq_index(spark, sf_dir)
+    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        books[r.sub, r.cent, r.dim] = r.w
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    e = load(spark, sf_dir).embeddings
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    queries = _unit_embeddings(e.where(sample))
+    return _pq_adc_search(spark, e, queries, codes, books)

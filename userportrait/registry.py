@@ -87,6 +87,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "doc_topic_assign",
     "stream_topic_router",
     "join_asof_tolerance",
+    "scan_pq_probe",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_audience_bitmap",
     "tag_lookalike",
     "ml_lr_propensity",
-    "text_token_count",
 )
 
 
