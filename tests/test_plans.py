@@ -341,6 +341,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= BPE_MERGES merge-table rows (model metadata for the task closure, never data volume)",
         ("llm_similarity.py", 'bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)'):
             "bounded: PQ_M*PQ_K*PQ_SUBDIM = 1024 codebook rows (model metadata, never data volume)",
+        ("streaming.py", 'for r in batch_df.collect():  # <= changed-keys rows per trigger (dashboard-sized)'):
+            "bounded: update-mode emission = changed (day x type) keys per trigger — key cardinality, never stream volume",
     }
     found = set()
     for py in root.rglob("*.py"):

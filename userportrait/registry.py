@@ -88,6 +88,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_topic_router",
     "join_asof_tolerance",
     "scan_pq_probe",
+    "stream_update_upsert",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "fn_bitwise",
     "tag_audience_bitmap",
     "tag_lookalike",
-    "ml_lr_propensity",
 )
 
 
