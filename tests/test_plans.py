@@ -446,6 +446,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "text_tfidf": "total-docs scalar for IDF",
         "embed_hash_tfidf": "total-docs scalar for IDF (same 1-row crossJoin as text_tfidf)",
         "events_seasonal_decompose": "centered-MA window over the DAILY rollup (<= #calendar-days rows, bounded by time span, not data volume)",
+        "dq_feature_psi": "total-count window over the 10-row bucket frame (decile metadata, never data volume)",
         "doc_pack_sequences": "running-total scalar over pack metadata",
         "diag_key_skew": "total/mean scalar aggregate (1 row)",
         "tag_activity_trend": "global week-anchor scalar",
@@ -519,6 +520,10 @@ def test_no_unaudited_broadcast_hints():
             "1-row global week-anchor scalar",
         ("curation.py", 'return full7.join(F.broadcast(seas), "dow").select('):
             "per-dow seasonal means (exactly 7 rows by construction)",
+        ("quality.py", "om = o.crossJoin(F.broadcast(mid))"):
+            "1-row epoch-midpoint scalar (PSI time split)",
+        ("quality.py", "om.crossJoin(F.broadcast(bounds))"):
+            "1-row decile-bounds array (PSI reference quantiles)",
         ("llm_similarity.py", ".crossJoin(F.broadcast(n))"):
             "1-row total-docs scalar for IDF (embed_hash_tfidf; same as text_tfidf's)",
         ("ml.py", 'tf.join(F.broadcast(tt), "token")'):

@@ -1496,3 +1496,87 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.md5("value").alias("line_md5")).agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@op(
+    "dq_feature_psi",
+    oracle="""
+    WITH o AS (
+      SELECT o_totalprice AS x, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us FROM orders
+    ), mid AS (
+      SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS m FROM o
+    ), b AS (
+      SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM o, mid WHERE us < mid.m
+    ), bucketed AS (
+      SELECT len(list_filter(b.bounds, e -> o.x > e)) AS bucket,
+             CASE WHEN o.us < mid.m THEN 1 ELSE 0 END AS is_ref
+      FROM o, mid, b
+    ), cnts AS (
+      SELECT bucket,
+             CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+             CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+      FROM bucketed GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt, CAST(sum(cur_cnt) AS BIGINT) AS ct FROM cnts
+    )
+    SELECT CAST(c.bucket AS INT) AS bucket, c.ref_cnt, c.cur_cnt,
+           round(((c.ref_cnt + 1.0) / (t.rt + 10.0) - (c.cur_cnt + 1.0) / (t.ct + 10.0))
+                 * ln(((c.ref_cnt + 1.0) / (t.rt + 10.0)) / ((c.cur_cnt + 1.0) / (t.ct + 10.0))), 6) AS psi
+    FROM cnts c, tot t
+    """,
+)
+def dq_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per decile bucket — the standard
+    ML-ops drift metric for a serving feature (is the totalprice
+    distribution the model sees today still the one it trained on?):
+    decile bounds come from the REFERENCE half of the time range (exact
+    percentiles — cross-engine-exact, the agg_percentile precedent), both
+    halves bucket against those fixed bounds, and each bucket contributes
+    (p−q)·ln(p/q) with add-one smoothing (so empty buckets stay finite
+    AND deterministic — integers throughout, one final rounded double
+    expression; the agg_kmv discipline). Σ psi > 0.25 is the classic
+    retrain alarm; the per-bucket rows say WHERE the distribution moved.
+
+    Spark shape: one scalar (min+max)/2 epoch split, one exact-percentile
+    aggregate over the reference half (1-row bounds array, broadcast),
+    one bucket groupBy — bucketing via size(filter(bounds, e -> x > e)),
+    pure array expressions in codegen."""
+    o = load(spark, sf_dir).orders.select(
+        F.col("o_totalprice").alias("x"), F.unix_micros("o_orderdate").alias("us")
+    )
+    mid = o.agg(
+        ((F.min("us").cast("bigint") + F.max("us").cast("bigint")) / 2)
+        .cast("bigint")
+        .alias("m")
+    )
+    om = o.crossJoin(F.broadcast(mid))
+    bounds = (
+        om.where(F.col("us") < F.col("m"))
+        .agg(
+            F.expr(
+                "percentile(x, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+            ).alias("bounds")
+        )
+    )
+    cnts = (
+        om.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("size(filter(bounds, e -> x > e))").alias("bucket"),
+            F.when(F.col("us") < F.col("m"), 1).otherwise(0).alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").cast("bigint").alias("ref_cnt"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    w = Window.partitionBy()
+    p = (F.col("ref_cnt") + 1.0) / (F.sum("ref_cnt").over(w) + 10.0)
+    q = (F.col("cur_cnt") + 1.0) / (F.sum("cur_cnt").over(w) + 10.0)
+    return cnts.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "ref_cnt",
+        "cur_cnt",
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    )

@@ -89,6 +89,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "join_asof_tolerance",
     "scan_pq_probe",
     "stream_update_upsert",
+    "dq_feature_psi",
     "scan_ivf_probe_kmeans",
     "stream_dedup_ingest_bloom",
     "scan_zorder_onesided",
@@ -125,7 +126,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "fn_map_json",
     "fn_bitwise",
     "tag_audience_bitmap",
-    "tag_lookalike",
 )
 
 
