@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from userportrait.catalog import load  # noqa: E402
+from userportrait.catalog import load, release_pins  # noqa: E402
 from userportrait.registry import load_all_ops  # noqa: E402
 from userportrait.session import get_spark  # noqa: E402
 
@@ -126,11 +126,17 @@ def main() -> int:
     for name, fn in queries.items():
         if name in eager:
             fn(spark, SF_DIR).count()  # warm: fill page cache, settle JIT
+            release_pins()
             best = float("inf")
             for _ in range(3):  # eager queries re-run the whole pipeline
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
                 best = min(best, time.time() - t0)
+                # Free this run's checkpoint pins: the registry otherwise
+                # retains every run's blocks for the whole session (ADVICE
+                # r10) — and a pin-heavy query would measure its own
+                # accumulated block pressure instead of the engine.
+                release_pins()
             timings[name] = round(best, 3)
             continue
         # Build the DataFrame once: re-declaring the plan per run measures

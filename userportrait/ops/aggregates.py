@@ -550,9 +550,6 @@ def agg_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)).alias("n_both"),
         )
     )
-    est = lambda cnt, vk: F.when(cnt < KMV_K, cnt).otherwise(
-        F.expr(f"({KMV_K} - 1) * {_KMV_SCALE}") / vk
-    ).cast("bigint")
     a = st.select(F.col("event_type").alias("ta"), F.col("cnt").alias("cnt_a"), F.col("vk").alias("vk_a"))
     b = st.select(F.col("event_type").alias("tb"), F.col("cnt").alias("cnt_b"), F.col("vk").alias("vk_b"))
     out = us.join(a, "ta").join(b, "tb")

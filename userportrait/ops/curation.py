@@ -2883,10 +2883,16 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "events_seasonal_decompose",
     oracle="""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
              count(*) AS cnt
       FROM events GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily0
+    ), daily AS (
+      SELECT s.day, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+      FROM spine s LEFT JOIN daily0 d USING (day)
     ), tr AS (
       SELECT day, cnt,
              CAST(dayofweek(day) + 1 AS INT) AS dow, -- DuckDB dow is 0=Sun; Spark's is 1=Sun
@@ -2922,11 +2928,25 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over weeks — so the only doubles are final single divisions,
     bit-identical cross-engine (the agg_kmv integer-estimator
     discipline). Scale: daily rollup is one map-side-combinable shuffle;
-    everything after runs on #days rows."""
+    everything after runs on #days rows.
+
+    The day spine is DENSIFIED before the moving average (ADVICE r10): a
+    calendar day with zero events would otherwise have no row, so the
+    "full 7-row" frame could span >7 calendar days and misalign the dow
+    seasonality on sparse data. ``sequence(min_day, max_day)`` explodes
+    off a single-row aggregate (calendar-bounded, #days rows) and a left
+    join restores observed counts with 0 for the gaps."""
     e = load(spark, sf_dir).events
-    daily = e.groupBy(
+    daily0 = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count("*").alias("cnt"))
+    spine = (
+        daily0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    daily = spine.join(daily0, "day", "left").select(
+        "day", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+    )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",

@@ -54,7 +54,7 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
       flush    — one real chunk + sentinel (ordered replay)
       shuffled — four hash-shuffled chunks + sentinel (out-of-order replay)
       dups     — real chunk, then a duplicate-subset chunk, then sentinel
-      ordered  — eight ts-SORTED chunks + sentinel (time-advancing replay:
+      ordered  — 32 ts-SORTED chunks + sentinel (time-advancing replay:
                  the watermark moves chunk by chunk, which is what a TTL /
                  state-eviction ladder needs — under the single-chunk
                  flush staging the watermark only jumps at the sentinel,
@@ -1048,6 +1048,13 @@ def stream_topic_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def route(batches):
         import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round6(v: float) -> float:
+            # Match Spark F.round (HALF_UP over BigDecimal.valueOf = the
+            # shortest decimal repr) exactly; Python round() is banker's
+            # and diverges on an exact .xxxxxx5 half (ADVICE r10).
+            return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -1066,7 +1073,7 @@ def stream_topic_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # no vocabulary token: the batch assigner has no row either
                 topic = int(scores.argmax())  # ties -> lowest stable id (argmax convention)
                 tot = int(scores.sum())
-                out.append((int(doc_id), topic, round(int(scores[topic]) / tot, 6)))
+                out.append((int(doc_id), topic, round6(int(scores[topic]) / tot)))
             yield pd.DataFrame(out, columns=["doc_id", "topic", "share"]).astype(
                 {"doc_id": "int64", "topic": "int32", "share": "float64"}
             )
