@@ -140,6 +140,22 @@ def test_distributed_rank_avoids_single_partition_on_data(spark):
     assert "Exchange SinglePartition" not in probe_side
 
 
+def test_pack_sequences_avoids_single_partition_on_data(spark):
+    """doc_pack_sequences' global token offset must run the distributed
+    decomposition (VERDICT r10 #1): pinned range partitions + a
+    mapInPandas running token cumsum + broadcast ≤32-row prefix offsets.
+    The document rows must NEVER cross a SinglePartition exchange — only
+    the partition-count metadata window may (under the BroadcastExchange
+    build side)."""
+    plan = _plan(spark, "doc_pack_sequences")
+    assert "ExistingRDD" in plan, plan[:500]  # checkpoint pinned the range exchange
+    probe_side = plan.split("BroadcastExchange", 1)[0]
+    assert "MapInPandas" in probe_side
+    assert "Exchange SinglePartition" not in probe_side
+    # and no full-width window over the document rows anywhere
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_rfm_rfe_scored_paths_have_no_single_partition_exchange(spark):
     """tag_rfm / tag_rfe quintile scoring must run the distributed exact-
     ntile decomposition (userportrait/ranking.py) — a global ntile window
@@ -447,7 +463,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "embed_hash_tfidf": "total-docs scalar for IDF (same 1-row crossJoin as text_tfidf)",
         "events_seasonal_decompose": "centered-MA window over the DAILY rollup (<= #calendar-days rows, bounded by time span, not data volume)",
         "dq_feature_psi": "total-count window over the 10-row bucket frame (decile metadata, never data volume)",
-        "doc_pack_sequences": "running-total scalar over pack metadata",
+        "doc_pack_sequences": "prefix-sum over <=32-row partition-count metadata (token offsets; data path is pinned range partitions + mapInPandas)",
         "diag_key_skew": "total/mean scalar aggregate (1 row)",
         "tag_activity_trend": "global week-anchor scalar",
         "doc_source_cap_sample": "per-source cap scalar aggregate",
@@ -576,6 +592,8 @@ def test_no_unaudited_broadcast_hints():
             "nation dim",
         ("ranking.py", 'rn = ranked.join(F.broadcast(offsets), "pid").select('):
             "<= n_partitions-row offset metadata",
+        ("pipeline_ext.py", 'c = prefixed.join(F.broadcast(offsets), "pid").withColumn('):
+            "<= n_partitions-row token-offset metadata (doc_pack_sequences prefix)",
         ("streaming.py", "t.customer.join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)"):
             "nation dim",
         ("streaming.py", "joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey)"):
