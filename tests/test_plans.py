@@ -331,6 +331,8 @@ def test_no_unaudited_driver_side_pulls():
         # (file, stripped line): why it is bounded
         ("llm_dedup.py", ').collect()[0]["c"]'):
             "scalar: corpus count for the incremental-dedup split point",
+        ("llm_similarity.py", ').collect()[0]["c"]'):
+            "scalar: vec_id cutoff for the incremental IVF append split point",
         ("llm_similarity.py", 'total, lo, hi = emb.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()'):
             "scalar: index size + id range for quantile chunking",
         ("llm_similarity.py", 'total, lo, hi = codes.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()'):
@@ -907,3 +909,20 @@ def test_cbo_stats_flip_join_strategy(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_filtered_probe_pushes_lang_to_index_scan(spark):
+    """scan_ivf_probe_filtered's scale claim: the attribute predicate is
+    answered INSIDE the persisted index scan (parquet PushedFilters on
+    lang over only probed cells), not by a post-scan join against the
+    documents table — the difference between min/max-pruned column chunks
+    and re-shuffling every probed member per query batch."""
+    plan = _plan(spark, "scan_ivf_probe_filtered")
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "EqualTo(lang,en)" in l
+    ]
+    assert pushed, "lang predicate must reach the index parquet scan as a pushed filter"
+    # and the member side is the enriched index layout, not a documents join
+    assert "embeddings_ivf_meta" in plan

@@ -64,68 +64,68 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r10 window: the four never-driver-graded r10 additions lead
-# (agg_kmv_set_cardinality, scan_ivf_probe_kmeans, stream_dedup_ingest_bloom,
-# scan_zorder_onesided). Next, re-certification of every op MODIFIED this
-# round: stream_funnel_stages (cross-chunk event-time sort),
-# stream_quality_gate (O(k log k) sorted-run multiplicity fold),
-# catalog_analyze_cbo (pin() materialization), stream_dedup_ingest
-# (verify joins factored for the bloom sibling), sim_knn_ivf_kmeans
-# (quantizer + rescore kernel factored for the persisted probe),
-# sink_zorder_layout (writer factored for scan_zorder_onesided). Filler:
-# oldest-evidence greens (the r04/r05-vintage block the r9 verdict named as
-# stalest -- udf_* family, set ops, fn_* family), oldest first, capped at 50.
+# r11 window: the three never-driver-graded r11 additions lead
+# (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb). Next,
+# re-certification of every op MODIFIED since its last grade:
+# scan_ivf_probe + stream_funnel_stages (bodies factored into the shared
+# _ivf_serve_probe / _funnel_out helpers the r11 siblings reuse),
+# doc_pack_sequences (global token offset distributed — pinned range
+# partitions + mapInPandas prefix + broadcast offsets), stream_topic_router
+# (HALF_UP Decimal rounding), events_seasonal_decompose (densified day
+# spine), agg_kmv_set_cardinality (dead estimator lambda removed). Filler:
+# oldest-evidence greens (the r05/r06-vintage block — text kit, multimodal,
+# streaming v1, relational/join/agg core), oldest first, capped at 50.
 GRADE_FIRST: tuple[str, ...] = (
-    "agg_kmv_set_cardinality",
-    "ml_lda_topics",
-    "text_bpe_train",
-    "text_bpe_apply",
-    "embed_hash_tfidf",
-    "sim_knn_ivf_pq",
-    "feat_point_in_time",
-    "events_seasonal_decompose",
-    "doc_topic_assign",
-    "stream_topic_router",
-    "join_asof_tolerance",
-    "scan_pq_probe",
-    "stream_update_upsert",
-    "dq_feature_psi",
-    "scan_ivf_probe_kmeans",
-    "stream_dedup_ingest_bloom",
-    "scan_zorder_onesided",
+    "scan_ivf_probe_filtered",
+    "sink_ivf_append",
+    "stream_funnel_rocksdb",
+    "scan_ivf_probe",
     "stream_funnel_stages",
-    "stream_quality_gate",
-    "catalog_analyze_cbo",
-    "stream_dedup_ingest",
-    "sim_knn_ivf_kmeans",
-    "sink_zorder_layout",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_apply_in_pandas",
-    "udf_map_in_pandas",
-    "udtf_python",
-    "agg_approx_percentile",
-    "agg_mode",
-    "win_range_frame",
-    "win_first_last",
-    "win_rank_distributed",
-    "limit_topk_global",
-    "sample_deterministic",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_map_json",
-    "fn_bitwise",
-    "tag_audience_bitmap",
+    "doc_pack_sequences",
+    "stream_topic_router",
+    "events_seasonal_decompose",
+    "agg_kmv_set_cardinality",
+    "tag_lookalike",
+    "ml_lr_propensity",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_entropy",
+    "text_lm_score",
+    "sim_knn_lsh",
+    "dedup_embed_cosine",
+    "mm_binary_metadata",
+    "mm_decode_stub",
+    "mm_resize_stub",
+    "mm_feature_extract",
+    "stream_custom_state",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_foreachbatch_sink",
+    "stream_complete_counts",
+    "udf_arrow_scalar",
+    "scan_parquet",
+    "scan_events_ns",
+    "catalog_views",
+    "filter_simple",
+    "filter_null_semantics",
+    "join_inner_equi",
+    "join_theta_range",
+    "join_asof_latest",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_percentile",
+    "text_repetition",
+    "dedup_ngram_spans",
+    "doc_train_split",
+    "sim_centroid_assign",
+    "tag_activity_trend",
+    "events_dau_stickiness",
+    "doc_source_cap_sample",
+    "events_transition_matrix",
+    "tag_basket_affinity",
+    "events_anomaly_zscore",
 )
 
 
