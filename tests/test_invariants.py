@@ -1491,3 +1491,27 @@ def test_funnel_rocksdb_matches_default_provider(spark):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
         != _ROCKSDB_PROVIDER
     )
+
+
+def test_ivf_rebalance_splits_are_lossless_and_shrinking(spark):
+    """sink_ivf_rebalance's balance claim, beyond the hash: the rollup
+    conserves the corpus, the fixture actually exercises the split path,
+    every sub-cell of a split is strictly narrower than its parent, and
+    the widest post-rebalance partition is no wider than the widest
+    pre-rebalance cell."""
+    roll = OPS["sink_ivf_rebalance"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_vecs for r in roll) == load(spark, SF_DIR).embeddings.count()
+    by_cell: dict[int, list] = {}
+    for r in roll:
+        by_cell.setdefault(r.cell, []).append(r)
+    split = {c: rs for c, rs in by_cell.items() if len(rs) > 1}
+    assert split, "fixture must exercise the split path"
+    parent_width = {c: sum(r.n_vecs for r in rs) for c, rs in by_cell.items()}
+    for c, rs in split.items():
+        for r in rs:
+            assert r.n_vecs < parent_width[c], f"cell {c} sub {r.sub} did not shrink"
+    assert max(r.n_vecs for r in roll) <= max(parent_width.values())
+    # unsplit cells stayed in their original single sub=0 layout
+    for c, rs in by_cell.items():
+        if c not in split:
+            assert [r.sub for r in rs] == [0]

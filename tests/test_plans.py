@@ -487,6 +487,8 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "events_power_analysis": "inherits events_ab_ttest's arm-pivot aggregate over the 2-row arm frame",
         "tag_revenue_concentration": "customer-total scalar + cumulative window over the 10-row decile frame (rank itself is ranking.global_row_number — no data through one task)",
         "dq_expect_suite": "per-rule 1-row check aggregates (#rules = 7)",
+        "dq_ann_index_health": "1-row corpus-total scalar (share denominator)",
+        "sink_ivf_rebalance": "1-row total/ncells scalar (hot-cell threshold)",
     }
     offenders = {}
     for name in OPS:
@@ -544,6 +546,10 @@ def test_no_unaudited_broadcast_hints():
             "1-row decile-bounds array (PSI reference quantiles)",
         ("llm_similarity.py", ".crossJoin(F.broadcast(n))"):
             "1-row total-docs scalar for IDF (embed_hash_tfidf; same as text_tfidf's)",
+        ("llm_similarity.py", "m.crossJoin(F.broadcast(tot))"):
+            "1-row corpus-total scalar (index-health share denominator)",
+        ("llm_similarity.py", "sizes.crossJoin(F.broadcast(tots))"):
+            "1-row total/ncells scalar (rebalance hot-cell threshold)",
         ("ml.py", 'tf.join(F.broadcast(tt), "token")'):
             "topic-term matrix (<= vocabSize x k = 4096 rows by construction)",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):

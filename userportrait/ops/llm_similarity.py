@@ -2217,3 +2217,383 @@ def sink_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("vec_id") > cutoff, 1).otherwise(0)).cast("bigint").alias("n_appended"),
         F.sum("vec_id").cast("bigint").alias("vecid_sum"),
     )
+
+
+@op(
+    "diag_ann_nprobe_curve",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + """
+    , pr AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS crank
+      FROM vc
+    ), cand AS (
+      SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id, p.crank
+      FROM pr p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      WHERE p.crank <= 3
+    ), scored AS (
+      SELECT c.vec_id, c.neighbor_id, c.crank,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS sim
+      FROM cand c JOIN vn a ON a.vec_id = c.vec_id JOIN vn b ON b.vec_id = c.neighbor_id
+    ), ann AS (
+      SELECT nprobe, vec_id, neighbor_id FROM (
+        SELECT np.nprobe, s.vec_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY np.nprobe, s.vec_id ORDER BY s.sim DESC, s.neighbor_id ASC) AS rn
+        FROM scored s CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS nprobe) np
+        WHERE s.crank <= np.nprobe
+      ) WHERE rn <= 5
+    ), ex AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) DESC,
+                 b.vec_id ASC) AS rn
+        FROM vn a JOIN vn b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 5
+    ), lev AS (
+      SELECT np.nprobe, e2.vec_id, e2.neighbor_id
+      FROM ex e2 CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS nprobe) np
+    )
+    SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+    FROM lev l LEFT JOIN ann a
+      ON a.nprobe = l.nprobe AND a.vec_id = l.vec_id AND a.neighbor_id = l.neighbor_id
+    GROUP BY l.nprobe
+    """,
+)
+def diag_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN TUNING CURVE: recall@5 of the IVF search at nprobe = 1, 2,
+    3 against the exact kNN — the artifact that sets the one knob every
+    IVF deployment exposes (more probed cells = more recall = more
+    candidate work, linearly). sim_knn_ivf_recall grades the shipped
+    nprobe=2 point; this op grades the CURVE, so a capacity review reads
+    recall-per-cost off one 3-row frame instead of re-running the
+    pipeline per setting.
+
+    One pass computes all three levels: cells are ranked once per query
+    (crank), candidates carry the crank of their assigned cell, and level
+    nprobe's top-5 ranks candidates with crank <= nprobe — the nesting
+    (level n's candidate set contains level n-1's) means no per-level
+    re-scan. Exact side reuses the blocked sim_cosine_knn kernel.
+
+    Scale: candidate work is the sim_knn_ivf plan at nprobe=3; the exact
+    side is O(n²) by definition — at 100 TB this diagnostic runs on a
+    deterministic hash-sample of queries (the sim_knn_recall convention),
+    which estimates the curve, not the index. Columns: nprobe, n_exact
+    (5 × queries), n_hits, recall."""
+    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    cent = label_centroids(e)
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    vc = vn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = vc.withColumn("crank", F.row_number().over(w_cell))
+    assign = ranked.where(F.col("crank") == 1).select("vec_id", "cell")
+    probes = ranked.where(F.col("crank") <= 3).select("vec_id", "cell", "crank")
+
+    p, a = probes.alias("p"), assign.alias("a")
+    cand = p.join(
+        a, (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vec_id") != F.col("p.vec_id"))
+    ).select(
+        F.col("p.vec_id").alias("vec_id"),
+        F.col("a.vec_id").alias("neighbor_id"),
+        F.col("p.crank").alias("crank"),
+    )
+    na, nb, c = vn.alias("na"), vn.alias("nb"), cand.alias("c")
+    scored = (
+        c.join(na, F.col("na.vec_id") == F.col("c.vec_id"))
+        .join(nb, F.col("nb.vec_id") == F.col("c.neighbor_id"))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.neighbor_id").alias("neighbor_id"),
+            F.col("c.crank").alias("crank"),
+            (
+                agg_sum(F.zip_with(F.col("na.v"), F.col("nb.v"), lambda x, y: x * y))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("sim"),
+        )
+    )
+    levels = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("nprobe")
+    lev = scored.select("vec_id", "neighbor_id", "crank", "sim", levels).where(
+        F.col("crank") <= F.col("nprobe")
+    )
+    w_rank = Window.partitionBy("nprobe", "vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        lev.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("nprobe", "vec_id", "neighbor_id")
+        .alias("ann")
+    )
+    ex = (
+        sim_cosine_knn(spark, sf_dir)
+        .select("vec_id", "neighbor_id", levels)
+        .alias("ex")
+    )
+    joined = ex.join(
+        ann,
+        (F.col("ann.nprobe") == F.col("ex.nprobe"))
+        & (F.col("ann.vec_id") == F.col("ex.vec_id"))
+        & (F.col("ann.neighbor_id") == F.col("ex.neighbor_id")),
+        "left",
+    )
+    hit = F.sum(F.when(F.col("ann.neighbor_id").isNotNull(), 1).otherwise(0))
+    return joined.groupBy(F.col("ex.nprobe").cast("bigint").alias("nprobe")).agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        hit.cast("bigint").alias("n_hits"),
+        F.round(hit.cast("double") / F.count("*"), 4).alias("recall"),
+    )
+
+
+@op(
+    "dq_ann_index_health",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + """
+    , m AS (
+      SELECT a.cell, a.vec_id, vc.csim
+      FROM assign a JOIN vc ON vc.vec_id = a.vec_id AND vc.cell = a.cell
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+    SELECT CAST(m.cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(count(*) AS DOUBLE) / any_value(tot.n), 4) AS share,
+           round(CAST(sum(CAST(m.csim AS DECIMAL(38,8))) AS DOUBLE) / count(*), 6) AS mean_csim,
+           round(CAST(min(m.csim) AS DOUBLE), 6) AS min_csim
+    FROM m CROSS JOIN tot GROUP BY m.cell
+    """,
+)
+def dq_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health profile — the monitoring row a vector-serving
+    deployment alarms on, per cell: member count, corpus share (hot-cell
+    skew — the quantity that decides when sink_ivf_rebalance must run),
+    mean member→centroid cosine (quantizer fit: drifts DOWN as appends
+    accumulate on a frozen quantizer — the rebuild trigger), and the
+    worst member's cosine (outliers that will rescore badly wherever
+    they land).
+
+    Plan: the assignment scoring reused from the IVF family (broadcast
+    centroids, one shuffle on cell), mean via the decimal-cast sum so the
+    float fold is order-independent (registry rule 1), corpus total a
+    1-row broadcast scalar. Output is #cells rows — dashboard-sized at
+    any corpus scale."""
+    e = load(spark, sf_dir).embeddings
+    cent = label_centroids(e)
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    vc = vn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    m = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
+    tot = e.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.count("*").cast("double") / F.any_value("n"), 4).alias("share"),
+            F.round(
+                F.sum(F.col("csim").cast("decimal(38,8)")).cast("double") / F.count("*"), 6
+            ).alias("mean_csim"),
+            F.round(F.min("csim").cast("double"), 6).alias("min_csim"),
+        )
+    )
+
+
+@op(
+    "sink_ivf_rebalance",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + """
+    , sizes AS (SELECT cell, count(*) AS nv FROM assign GROUP BY cell
+    ), tots AS (
+      SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(DISTINCT cell) AS BIGINT) AS ncells
+      FROM assign
+    ), hot AS (
+      SELECT s.cell FROM sizes s CROSS JOIN tots t WHERE s.nv * t.ncells > t.total
+    ), seeda AS (
+      SELECT a.cell, min(a.vec_id) AS a_id
+      FROM assign a JOIN hot h ON h.cell = a.cell GROUP BY a.cell
+    ), acos AS (
+      SELECT a.cell, a.vec_id,
+             list_sum(list_transform(list_zip(m.v, s.v), p -> p[1] * p[2])) / (m.nrm * s.nrm) AS cos_a
+      FROM assign a
+      JOIN seeda sa ON sa.cell = a.cell
+      JOIN vn m ON m.vec_id = a.vec_id
+      JOIN vn s ON s.vec_id = sa.a_id
+    ), seedb AS (
+      SELECT cell, vec_id AS b_id FROM (
+        SELECT cell, vec_id, row_number() OVER (PARTITION BY cell ORDER BY cos_a ASC, vec_id ASC) AS rn
+        FROM acos
+      ) WHERE rn = 1
+    ), bcos AS (
+      SELECT a.cell, a.vec_id,
+             list_sum(list_transform(list_zip(m.v, b.v), p -> p[1] * p[2])) / (m.nrm * b.nrm) AS cos_b
+      FROM assign a
+      JOIN seedb sb ON sb.cell = a.cell
+      JOIN vn m ON m.vec_id = a.vec_id
+      JOIN vn b ON b.vec_id = sb.b_id
+    ), final AS (
+      SELECT ac.cell, ac.vec_id, CASE WHEN ac.cos_a >= bc.cos_b THEN 0 ELSE 1 END AS sub
+      FROM acos ac JOIN bcos bc ON bc.cell = ac.cell AND bc.vec_id = ac.vec_id
+      UNION ALL
+      SELECT a.cell, a.vec_id, 0 AS sub
+      FROM assign a WHERE a.cell NOT IN (SELECT cell FROM hot)
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub,
+           CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS vecid_sum,
+           CAST(min(vec_id) AS BIGINT) AS vec_min, CAST(max(vec_id) AS BIGINT) AS vec_max
+    FROM final GROUP BY cell, sub
+    """,
+)
+def sink_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell REBALANCE — the third maintenance verb of the index
+    lifecycle (build: sink_ivf_layout; append: sink_ivf_append; split hot
+    cells: this). Appends onto a frozen quantizer concentrate mass in a
+    few cells; a hot cell makes every probe that touches it pay its full
+    width. The rebalance splits each cell wider than the mean
+    (nv × ncells > total — integer cross-multiply, no float threshold)
+    into two sub-cells and rewrites ONLY those partitions via dynamic
+    partition overwrite — cold cells' files are untouched, so the pass
+    costs O(hot mass), not O(corpus).
+
+    The splitter is a deterministic one-pass bisection (EXACT by
+    construction, unlike seeded-kmeans): seed A = the cell's min-vec_id
+    member, seed B = the member least similar to A (cosine asc, vec_id
+    tie-break), every member joins the nearer seed (tie → A). A
+    production pass would iterate Lloyd steps from these seeds (the
+    _kmeans_cells machinery); the one-step form pins the maintenance
+    TOPOLOGY — sub-cell layout, partial rewrite, readback proof — in the
+    hash-graded contract, and the invariant test pins the balance
+    property (every split strictly shrinks its parent; sub-cell layout
+    lossless).
+
+    Readback rollup: (cell, sub) × count + exact vec_id checksum + id
+    range. Serving reads the (cell, sub) directories exactly as before
+    via partition pruning — a probe targets the sub-cells whose seed the
+    query is nearest, or both while the serving tier has not refreshed
+    its centroid view."""
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings
+    cent = label_centroids(e)
+    assign = ivf_assign(e, cent)
+
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+
+    path = _scratch("embeddings_ivf_rebal")
+    base = e.join(assign, "vec_id").select("vec_id", "embedding", "cell").withColumn(
+        "sub", F.lit(0)
+    )
+    (
+        base.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell", "sub")
+        .parquet(path)
+    )
+
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("nv"))
+    tots = assign.agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.countDistinct("cell").cast("bigint").alias("ncells"),
+    )
+    hot = (
+        sizes.crossJoin(F.broadcast(tots))
+        .where(F.col("nv") * F.col("ncells") > F.col("total"))
+        .select("cell")
+    )
+    hm = assign.join(hot, "cell").alias("hm")
+    seeda = hm.groupBy("cell").agg(F.min("vec_id").alias("a_id"))
+
+    m, sa = vn.alias("m"), vn.alias("sa")
+    acos = (
+        hm.join(seeda, "cell")
+        .join(m, F.col("m.vec_id") == F.col("hm.vec_id"))
+        .join(sa, F.col("sa.vec_id") == F.col("a_id"))
+        .select(
+            "cell",
+            F.col("m.vec_id").alias("vec_id"),
+            (
+                agg_sum(F.zip_with(F.col("m.v"), F.col("sa.v"), lambda x, y: x * y))
+                / (F.col("m.nrm") * F.col("sa.nrm"))
+            ).alias("cos_a"),
+        )
+    )
+    w_b = Window.partitionBy("cell").orderBy(F.col("cos_a").asc(), F.col("vec_id").asc())
+    seedb = (
+        acos.withColumn("rn", F.row_number().over(w_b))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("vec_id").alias("b_id"))
+    )
+    sb = vn.alias("sb")
+    bcos = (
+        hm.join(seedb, "cell")
+        .join(m, F.col("m.vec_id") == F.col("hm.vec_id"))
+        .join(sb, F.col("sb.vec_id") == F.col("b_id"))
+        .select(
+            "cell",
+            F.col("m.vec_id").alias("vec_id"),
+            (
+                agg_sum(F.zip_with(F.col("m.v"), F.col("sb.v"), lambda x, y: x * y))
+                / (F.col("m.nrm") * F.col("sb.nrm"))
+            ).alias("cos_b"),
+        )
+    )
+    split = (
+        acos.join(bcos, ["cell", "vec_id"])
+        .withColumn("sub", F.when(F.col("cos_a") >= F.col("cos_b"), 0).otherwise(1))
+        .select("cell", "vec_id", "sub")
+    )
+    split_idx = (
+        e.join(split, "vec_id").select("vec_id", "embedding", "cell", "sub")
+    )
+    # Rewrite ONLY the hot cells' partitions: dynamic overwrite replaces
+    # exactly the (cell, sub) directories present in this frame.
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            split_idx.repartition("cell", "sub")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell", "sub")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.col("cell").cast("bigint").alias("cell"), F.col("sub").cast("bigint").alias("sub")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+        F.min("vec_id").cast("bigint").alias("vec_min"),
+        F.max("vec_id").cast("bigint").alias("vec_max"),
+    )

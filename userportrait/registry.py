@@ -64,8 +64,9 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r11 window: the three never-driver-graded r11 additions lead
-# (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb). Next,
+# r11 window: the six never-driver-graded r11 additions lead
+# (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb,
+# diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance). Next,
 # re-certification of every op MODIFIED since its last grade:
 # scan_ivf_probe + stream_funnel_stages (bodies factored into the shared
 # _ivf_serve_probe / _funnel_out helpers the r11 siblings reuse),
@@ -79,6 +80,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "scan_ivf_probe_filtered",
     "sink_ivf_append",
     "stream_funnel_rocksdb",
+    "diag_ann_nprobe_curve",
+    "dq_ann_index_health",
+    "sink_ivf_rebalance",
     "scan_ivf_probe",
     "stream_funnel_stages",
     "doc_pack_sequences",
@@ -123,9 +127,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_activity_trend",
     "events_dau_stickiness",
     "doc_source_cap_sample",
-    "events_transition_matrix",
-    "tag_basket_affinity",
-    "events_anomaly_zscore",
 )
 
 
