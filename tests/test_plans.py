@@ -932,3 +932,16 @@ def test_filtered_probe_pushes_lang_to_index_scan(spark):
     assert pushed, "lang predicate must reach the index parquet scan as a pushed filter"
     # and the member side is the enriched index layout, not a documents join
     assert "embeddings_ivf_meta" in plan
+
+
+def test_scd2_asof_pushes_validity_predicate_to_scan(spark):
+    """scan_scd2_asof's scale claim: each snapshot's validity predicate is
+    a literal data-column filter that reaches the versioned table's
+    parquet scan (PushedFilters on valid_from/valid_to), not a spine join
+    that drags every version row."""
+    plan = _plan(spark, "scan_scd2_asof")
+    pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "valid_from" in l
+    ]
+    assert pushed, "validity predicate must reach the parquet scan"
+    assert "Join" not in plan, "AS OF must be a filter, not a snapshot-spine join"

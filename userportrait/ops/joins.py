@@ -464,3 +464,46 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_cand.id"),
         ).alias("asof_event_id"),
     )
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+               AND e.ts > p.ts
+             ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS next_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the same user's EARLIEST
+    later non-purchase event (strict: candidate.ts > purchase.ts) — the
+    direction='forward' of pandas merge_asof, and the outcome-attachment
+    query of effect measurement ("what did the user do next?"), completing
+    the as-of family (backward: join_asof_latest; horizon: tolerance;
+    forward: this).
+
+    Same union+window decomposition, mirrored: tag candidates role 0 and
+    queries role 1 so an EQUAL-ts candidate sorts BEFORE its query and
+    never lands in the query's strictly-following frame; carry the first
+    candidate ahead with ``first(ignorenulls)`` over
+    (currentRow, unboundedFollowing). One shuffle per user, no pairwise
+    blowup — identical scale shape to join_asof_latest."""
+    ev = load(spark, sf_dir).events
+    cands = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("role"), F.col("event_id").alias("cand_id")
+    )
+    queries = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("role"), F.lit(None).cast("bigint").alias("cand_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = queries.unionAll(cands).withColumn(
+        "next_event_id", F.first("cand_id", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("role") == 1).select("event_id", "next_event_id")

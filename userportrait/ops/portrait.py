@@ -808,3 +808,82 @@ def feat_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(us - last_us) div 86400000000").alias("days_since_last"),
         F.col("o_totalprice").alias("label_totalprice"),
     )
+
+
+@op(
+    "tag_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+    p AS (SELECT a.st AS st_a, b.st AS st_b FROM s a JOIN s b ON a.st < b.st),
+    au AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders),
+    cnts AS (SELECT st, CAST(count(*) AS BIGINT) AS n FROM au GROUP BY st),
+    inter AS (
+      SELECT p.st_a, p.st_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM p JOIN au x ON x.st = p.st_a JOIN au y ON y.st = p.st_b AND y.c = x.c
+      GROUP BY p.st_a, p.st_b
+    )
+    SELECT p.st_a, p.st_b, ca.n AS n_a, cb.n AS n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (ca.n + cb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+    FROM p
+    JOIN cnts ca ON ca.st = p.st_a
+    JOIN cnts cb ON cb.st = p.st_b
+    LEFT JOIN inter i ON i.st_a = p.st_a AND i.st_b = p.st_b
+    """,
+)
+def tag_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience OVERLAP matrix — the second crowd-selection product
+    surface after sizing (tag_audience_bitmap): for every pair of
+    audiences (customers per order status), the exact intersection size
+    and Jaccard, computed WITHOUT a per-pair fact re-scan. The campaign
+    question behind it: "how much of audience A do I already reach with
+    audience B?"
+
+    The trick is pure bitmap set algebra over the SAME level-1 bitmaps
+    the sizing op builds: |A∩B| = |A| + |B| − |A∪B| per id-bucket, where
+    |A∪B| is ``bitmap_count(bitmap_or_agg(bm))`` over the pair's two
+    bucket bitmaps — Spark ships no binary bitmap AND, and this identity
+    never needs one. One fact scan builds the (status, bucket) bitmaps;
+    each of the O(k²) audience pairs then touches only bitmap rows
+    (#buckets × 2 per pair), never raw ids — at 100 TB audience algebra
+    runs on kilobyte bitmaps, not the fact table. Pairs come from a
+    broadcast self-join of the distinct statuses (k rows); the EXACT
+    oracle recomputes every pair with COUNT(DISTINCT) set algebra."""
+    o = load(spark, sf_dir).orders
+    lvl1 = o.groupBy(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    lvl1 = lvl1.withColumn("cnt", F.expr("bitmap_count(bm)"))
+
+    s = lvl1.select("st").distinct()
+    pairs = (
+        s.alias("a")
+        .join(s.alias("b"), F.col("a.st") < F.col("b.st"))
+        .select(F.col("a.st").alias("st_a"), F.col("b.st").alias("st_b"))
+    )
+    tagged = pairs.join(
+        lvl1, (F.col("st") == F.col("st_a")) | (F.col("st") == F.col("st_b"))
+    )
+    per_bucket = tagged.groupBy("st_a", "st_b", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("or_cnt"),
+        F.max(F.when(F.col("st") == F.col("st_a"), F.col("cnt"))).alias("cnt_a"),
+        F.max(F.when(F.col("st") == F.col("st_b"), F.col("cnt"))).alias("cnt_b"),
+    )
+    out = per_bucket.groupBy("st_a", "st_b").agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        (F.sum("cnt_a") + F.sum("cnt_b") - F.sum("or_cnt")).cast("bigint").alias("n_inter"),
+    )
+    return out.select(
+        "st_a",
+        "st_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            4,
+        ).alias("jaccard"),
+    )

@@ -522,9 +522,7 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "sink_scd2",
-    oracle="""
+_SCD2_HIST_CTE = """
     WITH chg AS (
       SELECT o_custkey AS k, round(max(o_totalprice), 2) AS new_bal
       FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
@@ -542,6 +540,13 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, new_bal, 2, TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP), true
       FROM base WHERE changed
     )
+"""
+
+
+@op(
+    "sink_scd2",
+    oracle=_SCD2_HIST_CTE
+    + """
     SELECT c_custkey, c_acctbal, CAST(version AS INT) AS version,
            valid_from, valid_to, is_current
     FROM hist
@@ -564,6 +569,13 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     over history is needed because SCD-2 rewrites touch only the CURRENT
     version of each key, however long the history grows. Oracle computes
     the identical versioned state."""
+    return spark.read.parquet(_write_scd2(spark, sf_dir))
+
+
+def _write_scd2(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the versioned customer dimension; returns its path.
+    Shared by sink_scd2 (full-history readback proof) and scan_scd2_asof
+    (the AS OF snapshot read)."""
     t = load(spark, sf_dir)
     eff = F.lit("2000-01-01").cast("timestamp")
     chg = (
@@ -595,7 +607,53 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch("scd2_customer")
     closed.unionByName(opened).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return path
+
+
+@op(
+    "scan_scd2_asof",
+    oracle=_SCD2_HIST_CTE
+    + """
+    , snaps AS (SELECT unnest([TIMESTAMP '1997-06-01', TIMESTAMP '2005-06-01']) AS asof)
+    SELECT s.asof, h.c_custkey, h.c_acctbal, CAST(h.version AS INT) AS version
+    FROM snaps s JOIN hist h
+      ON h.valid_from <= s.asof AND (h.valid_to IS NULL OR s.asof < h.valid_to)
+    """,
+)
+def scan_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD-2 lake table — the AS OF read sink_scd2's
+    docstring promises: for a snapshot instant, each key's single version
+    with ``valid_from <= asof < coalesce(valid_to, inf)``. Two snapshots
+    are graded in one pass (1997-06-01: every key still on version 1;
+    2005-06-01: changed keys on version 2) so both the closed-row and
+    open-row predicate branches are exercised — the query shape behind
+    "what did this customer profile look like when the model trained?",
+    i.e. the dimension-side half of point-in-time correctness
+    (feat_point_in_time is the fact-side half).
+
+    Scale: each snapshot is a LITERAL data-column filter pushed to the
+    parquet scan of the versioned table (PushedFilters on
+    valid_from/valid_to — plan-tested; no join, no window: version
+    validity is row-local by SCD-2 construction); a production table
+    would also partition on a valid_from date bucket so old snapshots
+    prune files. Snapshots are one union branch each, so k snapshots =
+    k pruned scans, not a spine join that drags every version row."""
+    path = _write_scd2(spark, sf_dir)
+    branches = []
+    for asof in ("1997-06-01", "2005-06-01"):
+        ts = F.lit(asof).cast("timestamp")
+        back = spark.read.parquet(path)
+        branches.append(
+            back.where(
+                (F.col("valid_from") <= ts) & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+            ).select(
+                ts.alias("asof"),
+                "c_custkey",
+                "c_acctbal",
+                F.col("version").cast("int").alias("version"),
+            )
+        )
+    return branches[0].unionByName(branches[1])
 
 
 @op(

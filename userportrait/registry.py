@@ -64,12 +64,14 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r11 window: the six never-driver-graded r11 additions lead
+# r11 window: the nine never-driver-graded r11 additions lead
 # (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb,
-# diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance). Next,
+# diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance,
+# scan_scd2_asof, join_asof_forward, tag_audience_overlap). Next,
 # re-certification of every op MODIFIED since its last grade:
-# scan_ivf_probe + stream_funnel_stages (bodies factored into the shared
-# _ivf_serve_probe / _funnel_out helpers the r11 siblings reuse),
+# scan_ivf_probe + stream_funnel_stages + sink_scd2 (bodies factored into
+# the shared _ivf_serve_probe / _funnel_out / _write_scd2 helpers the r11
+# siblings reuse),
 # doc_pack_sequences (global token offset distributed — pinned range
 # partitions + mapInPandas prefix + broadcast offsets), stream_topic_router
 # (HALF_UP Decimal rounding), events_seasonal_decompose (densified day
@@ -83,7 +85,11 @@ GRADE_FIRST: tuple[str, ...] = (
     "diag_ann_nprobe_curve",
     "dq_ann_index_health",
     "sink_ivf_rebalance",
+    "scan_scd2_asof",
+    "join_asof_forward",
+    "tag_audience_overlap",
     "scan_ivf_probe",
+    "sink_scd2",
     "stream_funnel_stages",
     "doc_pack_sequences",
     "stream_topic_router",
@@ -123,10 +129,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_repetition",
     "dedup_ngram_spans",
     "doc_train_split",
-    "sim_centroid_assign",
-    "tag_activity_trend",
-    "events_dau_stickiness",
-    "doc_source_cap_sample",
 )
 
 
