@@ -1515,3 +1515,27 @@ def test_ivf_rebalance_splits_are_lossless_and_shrinking(spark):
     for c, rs in by_cell.items():
         if c not in split:
             assert [r.sub for r in rs] == [0]
+
+
+def test_kmeans_filtered_probe_semantics(spark):
+    """scan_ivf_probe_kmeans_filtered: every neighbor satisfies the lang
+    predicate; en survivors of the unfiltered kmeans top-5 are retained
+    (the filter only removes rows ranked above them); at least one query
+    back-fills with an en neighbor the unfiltered top-5 lacked; and the
+    op is run-stable (the seeded-quantizer determinism contract)."""
+    filt = OPS["scan_ivf_probe_kmeans_filtered"].fn(spark, SF_DIR).collect()
+    filt2 = OPS["scan_ivf_probe_kmeans_filtered"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, filt)) == sorted(map(tuple, filt2))
+    unf = OPS["scan_ivf_probe_kmeans"].fn(spark, SF_DIR).collect()
+    en = {
+        r.doc_id
+        for r in load(spark, SF_DIR)
+        .documents.where(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    assert filt and all(r.neighbor_id in en for r in filt)
+    fset = {(r.vec_id, r.neighbor_id) for r in filt}
+    surviving = {(r.vec_id, r.neighbor_id) for r in unf if r.neighbor_id in en}
+    assert surviving <= fset
+    assert fset - {(r.vec_id, r.neighbor_id) for r in unf}

@@ -489,6 +489,8 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "dq_expect_suite": "per-rule 1-row check aggregates (#rules = 7)",
         "dq_ann_index_health": "1-row corpus-total scalar (share denominator)",
         "sink_ivf_rebalance": "1-row total/ncells scalar (hot-cell threshold)",
+        "events_diff_in_diff": "arm×period pivot over the 4-row cell frame (the ab_ttest allowance widened by the period axis)",
+        "scan_cdc_changefeed": "1-row epoch-midpoint scalar (version-1 cutoff)",
     }
     offenders = {}
     for name in OPS:
@@ -550,6 +552,10 @@ def test_no_unaudited_broadcast_hints():
             "1-row corpus-total scalar (index-health share denominator)",
         ("llm_similarity.py", "sizes.crossJoin(F.broadcast(tots))"):
             "1-row total/ncells scalar (rebalance hot-cell threshold)",
+        ("scans.py", 'v1 = rollup(o.crossJoin(F.broadcast(mid)).where(F.col("o_orderdate") <= F.col("m")))'):
+            "1-row epoch-midpoint scalar (CDC version-1 cutoff)",
+        ("curation.py", "e.crossJoin(F.broadcast(mid))"):
+            "1-row epoch-midpoint scalar (diff-in-diff pre/post split)",
         ("ml.py", 'tf.join(F.broadcast(tt), "token")'):
             "topic-term matrix (<= vocabSize x k = 4096 rows by construction)",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):

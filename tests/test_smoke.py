@@ -43,6 +43,7 @@ def test_registry_contract(spark):
         "doc_topic_assign",
         "stream_topic_router",
         "scan_pq_probe",
+        "scan_ivf_probe_kmeans_filtered",
     }, rows_only
 
 

@@ -2969,3 +2969,123 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt") - F.col("sum7") / 7.0 - F.col("s_num") / (7.0 * F.col("n_weeks")), 4
         ).alias("residual"),
     )
+
+
+@op(
+    "events_diff_in_diff",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(to_timestamp((epoch(min(CAST(ts AS TIMESTAMP)))
+                              + epoch(max(CAST(ts AS TIMESTAMP)))) // 2) AS TIMESTAMP) AS m
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             CASE WHEN instr('0123456789abcdef',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN CAST(ts AS TIMESTAMP) <= mid.m THEN 'pre' ELSE 'post' END AS period,
+             CAST(round(CAST(coalesce(
+                 CAST(sum(CAST(value AS DECIMAL(38,4)))
+                      FILTER (event_type = 'purchase') AS DOUBLE), 0) AS DOUBLE)
+               * 100) AS BIGINT) AS cents
+      FROM events, mid GROUP BY user_id, arm, period
+    ), cell AS (
+      SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS s1
+      FROM u GROUP BY arm, period
+    ), p AS (
+      SELECT
+        max(CASE WHEN arm = 'A' AND period = 'pre'  THEN n END) AS n_a_pre,
+        max(CASE WHEN arm = 'A' AND period = 'post' THEN n END) AS n_a_post,
+        max(CASE WHEN arm = 'B' AND period = 'pre'  THEN n END) AS n_b_pre,
+        max(CASE WHEN arm = 'B' AND period = 'post' THEN n END) AS n_b_post,
+        max(CASE WHEN arm = 'A' AND period = 'pre'  THEN s1 END) AS s_a_pre,
+        max(CASE WHEN arm = 'A' AND period = 'post' THEN s1 END) AS s_a_post,
+        max(CASE WHEN arm = 'B' AND period = 'pre'  THEN s1 END) AS s_b_pre,
+        max(CASE WHEN arm = 'B' AND period = 'post' THEN s1 END) AS s_b_post
+      FROM cell
+    )
+    SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+           s_a_pre / n_a_pre / 100.0 AS mean_a_pre,
+           s_a_post / n_a_post / 100.0 AS mean_a_post,
+           s_b_pre / n_b_pre / 100.0 AS mean_b_pre,
+           s_b_post / n_b_post / 100.0 AS mean_b_post,
+           (s_b_post / n_b_post / 100.0 - s_b_pre / n_b_pre / 100.0)
+         - (s_a_post / n_a_post / 100.0 - s_a_pre / n_a_pre / 100.0) AS did
+    FROM p
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the observational-measurement
+    sibling of the experiment family (events_ab_ttest / events_cuped_adjust
+    / events_power_analysis): arms by the md5-nibble hash assignment, the
+    epoch midpoint splits pre/post (the dq_feature_psi convention), the
+    per-(user, period) metric is integer-cents purchase value, and the DiD
+    estimate is (B_post − B_pre) − (A_post − A_pre) over cell means — the
+    parallel-trends estimator a team reaches for when a launch was NOT
+    randomized and pre-period level differences must difference out.
+
+    Determinism: exact decimal-cents sums per cell → mean/did are fixed
+    double expressions over exact integers (the ab_ttest discipline). Two
+    shuffles (user×period groupBy, 4-key cell agg), then a 1-row pivot —
+    the 4-cell frame is the events_ab_ttest arm-pivot allowance widened
+    by the period axis. A user active in only one period contributes only
+    that period's cell, matching the repeated-cross-section DiD form (not
+    a balanced panel — the docstring names this because the two give
+    different estimates on churn-heavy data)."""
+    e = load(spark, sf_dir).events
+    mid = e.agg(
+        F.timestamp_seconds(
+            ((F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2).cast("bigint")
+        ).alias("m")
+    )
+    v = F.col("value").cast("decimal(38,4)")
+    nib = F.instr(F.lit(HEX), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .withColumn("period", F.when(F.col("ts") <= F.col("m"), "pre").otherwise("post"))
+        .groupBy("user_id", "period")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", v)).cast("double"),
+                    F.lit(0.0),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(F.when(nib < 8, "A").otherwise("B").alias("arm"), "period", "cents")
+    )
+    cell = u.groupBy("arm", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").cast("double").alias("s1"),
+    )
+    def pick(a, per, col):
+        return F.max(F.when((F.col("arm") == a) & (F.col("period") == per), F.col(col)))
+    p = cell.groupBy().agg(
+        pick("A", "pre", "n").alias("n_a_pre"),
+        pick("A", "post", "n").alias("n_a_post"),
+        pick("B", "pre", "n").alias("n_b_pre"),
+        pick("B", "post", "n").alias("n_b_post"),
+        pick("A", "pre", "s1").alias("s_a_pre"),
+        pick("A", "post", "s1").alias("s_a_post"),
+        pick("B", "pre", "s1").alias("s_b_pre"),
+        pick("B", "post", "s1").alias("s_b_post"),
+    )
+    mean = lambda s, n: F.col(s) / F.col(n) / F.lit(100.0)
+    return p.select(
+        "n_a_pre",
+        "n_a_post",
+        "n_b_pre",
+        "n_b_post",
+        mean("s_a_pre", "n_a_pre").alias("mean_a_pre"),
+        mean("s_a_post", "n_a_post").alias("mean_a_post"),
+        mean("s_b_pre", "n_b_pre").alias("mean_b_pre"),
+        mean("s_b_post", "n_b_post").alias("mean_b_post"),
+        (
+            (mean("s_b_post", "n_b_post") - mean("s_b_pre", "n_b_pre"))
+            - (mean("s_a_post", "n_a_post") - mean("s_a_pre", "n_a_pre"))
+        ).alias("did"),
+    )

@@ -1650,8 +1650,14 @@ def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     assign = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
     root = _scratch("embeddings_ivf_kmeans")
     cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    # lang rides NEXT TO each member (vec_id = doc_id, 1:1) so attribute-
+    # predicated serving (scan_ivf_probe_kmeans_filtered) is a parquet
+    # pushdown on the member scan, not a serve-time metadata join.
+    meta = load(spark, sf_dir).documents.select(F.col("doc_id").alias("vec_id"), "lang")
     (
         assign.select("vec_id", "u", "cell")
+        .join(meta, "vec_id")
+        .select("vec_id", "u", "lang", "cell")
         .repartition("cell")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
@@ -1688,6 +1694,38 @@ def scan_ivf_probe_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabeling, and quality from the recall@5 gate
     (tests/test_invariants.py::test_ivf_kmeans_probe_recall_and_determinism)
     against the exact blocked kNN restricted to the same query sample."""
+    return _kmeans_serve(spark, sf_dir, member_pred=None)
+
+
+@op("scan_ivf_probe_kmeans_filtered", oracle=None)
+def scan_ivf_probe_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN serving on the DEPLOYMENT quantizer — the composition
+    of scan_ivf_probe_filtered's semantics (attribute predicate below the
+    rescore, k maintained over survivors) with scan_ivf_probe_kmeans's
+    scale shape (√n trained cells, static-partition-filtered member scan,
+    per-cell cogroup matmul). The label-quantizer filtered probe is the
+    EXACT-oracle contract of the semantics; THIS is the form a 100 TB
+    retrieval stack runs, because its candidate width stays bounded as
+    the corpus grows.
+
+    The lang column rides in the persisted cells (written next to each
+    member by _write_ivf_kmeans_index), so the predicate is a parquet
+    data-column pushdown on only the probed partitions — both pruning
+    layers stack: PartitionFilters on cell, PushedFilters on lang.
+
+    Oracle = ROWS (trained quantizer); gated by
+    tests/test_invariants.py::test_kmeans_filtered_probe_semantics —
+    every neighbor satisfies the predicate, en survivors of the
+    unfiltered top-5 are retained (monotonicity), and at least one query
+    back-fills (the post-filter-cannot-produce row)."""
+    return _kmeans_serve(spark, sf_dir, member_pred=F.col("lang") == _FILTERED_LANG)
+
+
+def _kmeans_serve(spark: SparkSession, sf_dir: str, member_pred) -> DataFrame:
+    """Shared kmeans-index serving body: build/read the persisted index,
+    score the md5-sampled query workload against the shipped centroids,
+    static-partition-filter the member scan to the probed cells, apply an
+    optional member predicate (below the rescore), cogroup-matmul top-5."""
     root = _write_ivf_kmeans_index(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     from .curation import HEX
@@ -1717,14 +1755,13 @@ def scan_ivf_probe_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata collect that turns the serving scan into a
     # probed-partitions-only read instead of a full-index shuffle.
     probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    members = (
-        spark.read.parquet(os.path.join(root, "cells"))
-        .where(F.col("cell").isin(probed))
-        .select(
-            F.col("cell").alias("mcell"),
-            F.col("vec_id").alias("mvec_id"),
-            F.col("u").alias("mu"),
-        )
+    members = spark.read.parquet(os.path.join(root, "cells")).where(F.col("cell").isin(probed))
+    if member_pred is not None:
+        members = members.where(member_pred)
+    members = members.select(
+        F.col("cell").alias("mcell"),
+        F.col("vec_id").alias("mvec_id"),
+        F.col("u").alias("mu"),
     )
     return _cogroup_topk(probes, members)
 

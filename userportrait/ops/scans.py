@@ -721,3 +721,74 @@ def catalog_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@op(
+    "scan_cdc_changefeed",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(to_timestamp((epoch(min(o_orderdate)) + epoch(max(o_orderdate))) // 2) AS TIMESTAMP) AS m
+      FROM orders
+    ), v1 AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spend
+      FROM orders, mid WHERE o_orderdate <= mid.m GROUP BY o_custkey
+    ), v2 AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(v2.k, v1.k) AS k,
+           CASE WHEN v1.k IS NULL THEN 'I'
+                WHEN v1.cnt <> v2.cnt OR v1.spend <> v2.spend THEN 'U'
+                ELSE 'N' END AS change_type,
+           v1.cnt AS old_cnt, v2.cnt AS new_cnt,
+           v1.spend AS old_spend, v2.spend AS new_spend
+    FROM v1 FULL JOIN v2 ON v1.k = v2.k
+    WHERE NOT (v1.k IS NOT NULL AND v1.cnt = v2.cnt AND v1.spend = v2.spend)
+    """,
+)
+def scan_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff CDC: the row-level change feed between two versions of a
+    keyed state table — the artifact that feeds every MERGE/SCD consumer
+    when the source system ships snapshots instead of a log. Version 1 is
+    the per-customer order rollup as of the epoch midpoint (the
+    dq_feature_psi time-split convention), version 2 the full-history
+    rollup; the feed is a full outer join on the key emitting 'I'
+    (key absent in v1) and 'U' (payload changed) rows with old/new
+    payloads, suppressing unchanged keys. Append-only sources produce no
+    'D' rows — a keyed full join would surface them the same way (v2 side
+    NULL) on a source that deletes.
+
+    Scale: both versions aggregate map-side onto the key before the join,
+    so the diff shuffles key-cardinality rows, not fact rows; the full
+    join is one co-partitioned sort-merge. The decimal-exact spend makes
+    'payload changed' a bit-stable predicate — a float rollup would emit
+    phantom updates."""
+    o = load(spark, sf_dir).orders
+    mid = o.agg(
+        F.timestamp_seconds(
+            ((F.unix_timestamp(F.min("o_orderdate")) + F.unix_timestamp(F.max("o_orderdate"))) / 2)
+            .cast("bigint")
+        ).alias("m")
+    )
+    def rollup(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("spend"),
+        )
+    v1 = rollup(o.crossJoin(F.broadcast(mid)).where(F.col("o_orderdate") <= F.col("m")))
+    v2 = rollup(o)
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full")
+    changed = F.col("a.k").isNull() | (
+        (F.col("a.cnt") != F.col("b.cnt")) | (F.col("a.spend") != F.col("b.spend"))
+    )
+    return j.where(changed).select(
+        F.coalesce(F.col("b.k"), F.col("a.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "I").otherwise("U").alias("change_type"),
+        F.col("a.cnt").alias("old_cnt"),
+        F.col("b.cnt").alias("new_cnt"),
+        F.col("a.spend").alias("old_spend"),
+        F.col("b.spend").alias("new_spend"),
+    )

@@ -64,14 +64,17 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r11 window: the nine never-driver-graded r11 additions lead
+# r11 window: the thirteen never-driver-graded r11 additions lead
 # (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb,
 # diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance,
-# scan_scd2_asof, join_asof_forward, tag_audience_overlap). Next,
-# re-certification of every op MODIFIED since its last grade:
-# scan_ivf_probe + stream_funnel_stages + sink_scd2 (bodies factored into
-# the shared _ivf_serve_probe / _funnel_out / _write_scd2 helpers the r11
-# siblings reuse),
+# scan_scd2_asof, join_asof_forward, tag_audience_overlap,
+# scan_cdc_changefeed, events_diff_in_diff, scan_ivf_probe_kmeans_filtered,
+# graph_jaccard_link_prediction). Next, re-certification of every op
+# MODIFIED since its last grade: scan_ivf_probe + stream_funnel_stages +
+# sink_scd2 + scan_ivf_probe_kmeans (bodies factored into the shared
+# _ivf_serve_probe / _funnel_out / _write_scd2 / _kmeans_serve helpers the
+# r11 siblings reuse; the kmeans index now carries lang for the filtered
+# sibling),
 # doc_pack_sequences (global token offset distributed — pinned range
 # partitions + mapInPandas prefix + broadcast offsets), stream_topic_router
 # (HALF_UP Decimal rounding), events_seasonal_decompose (densified day
@@ -88,7 +91,12 @@ GRADE_FIRST: tuple[str, ...] = (
     "scan_scd2_asof",
     "join_asof_forward",
     "tag_audience_overlap",
+    "scan_cdc_changefeed",
+    "events_diff_in_diff",
+    "scan_ivf_probe_kmeans_filtered",
+    "graph_jaccard_link_prediction",
     "scan_ivf_probe",
+    "scan_ivf_probe_kmeans",
     "sink_scd2",
     "stream_funnel_stages",
     "doc_pack_sequences",
@@ -124,11 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "join_theta_range",
     "join_asof_latest",
     "agg_count_distinct",
-    "agg_stats",
-    "agg_percentile",
-    "text_repetition",
-    "dedup_ngram_spans",
-    "doc_train_split",
 )
 
 
