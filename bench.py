@@ -29,6 +29,9 @@ previously invisible to the per-round perf gate.
   q_feat_pit        → feat_point_in_time (union+window point-in-time
                       features; r10 — baseline is the per-order range-join
                       form, BASELINE.md)
+  q_overlap         → tag_audience_overlap (bitmap audience set algebra;
+                      r11 — baseline is the per-pair distinct+intersect
+                      fact re-scan it displaces, BASELINE.md)
 """
 
 from __future__ import annotations
@@ -111,6 +114,7 @@ def main() -> int:
         "q_ivf": ops["sim_knn_ivf_kmeans"].fn,
         "q_kmv": ops["agg_kmv_set_cardinality"].fn,
         "q_feat_pit": ops["feat_point_in_time"].fn,
+        "q_overlap": ops["tag_audience_overlap"].fn,
     }
     # Queries whose op body EXECUTES work at plan-declaration time: the
     # blocked kNN pins per-chunk partials eagerly (so each broadcast can be
