@@ -491,6 +491,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "sink_ivf_rebalance": "1-row total/ncells scalar (hot-cell threshold)",
         "events_diff_in_diff": "arm×period pivot over the 4-row cell frame (the ab_ttest allowance widened by the period axis)",
         "scan_cdc_changefeed": "1-row epoch-midpoint scalar (version-1 cutoff)",
+        "tag_segment_migration": "1-row epoch-midpoint scalar (period split)",
     }
     offenders = {}
     for name in OPS:
@@ -556,6 +557,8 @@ def test_no_unaudited_broadcast_hints():
             "1-row epoch-midpoint scalar (CDC version-1 cutoff)",
         ("curation.py", "e.crossJoin(F.broadcast(mid))"):
             "1-row epoch-midpoint scalar (diff-in-diff pre/post split)",
+        ("portrait.py", "o.crossJoin(F.broadcast(mid))"):
+            "1-row epoch-midpoint scalar (segment-migration period split)",
         ("ml.py", 'tf.join(F.broadcast(tt), "token")'):
             "topic-term matrix (<= vocabSize x k = 4096 rows by construction)",
         ("curation.py", 'pair.join(F.broadcast(single.withColumnRenamed("brand", "brand_a")'):

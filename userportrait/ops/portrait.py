@@ -887,3 +887,82 @@ def tag_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jaccard"),
     )
+
+
+@op(
+    "tag_segment_migration",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(to_timestamp((epoch(min(o_orderdate)) + epoch(max(o_orderdate))) // 2) AS TIMESTAMP) AS m
+      FROM orders
+    ), per AS (
+      SELECT o_custkey AS c,
+             CASE WHEN o_orderdate <= mid.m THEN 'pre' ELSE 'post' END AS period,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS spend
+      FROM orders, mid GROUP BY c, period
+    ), seg AS (
+      SELECT c, period,
+             CASE WHEN freq >= 3 AND spend >= 200000 THEN 'vip'
+                  WHEN freq >= 3 THEN 'loyal'
+                  WHEN spend >= 200000 THEN 'big_ticket'
+                  ELSE 'casual' END AS segment
+      FROM per
+    ), pre AS (SELECT c, segment FROM seg WHERE period = 'pre'),
+    post AS (SELECT c, segment FROM seg WHERE period = 'post')
+    SELECT coalesce(pre.segment, 'absent') AS seg_pre,
+           coalesce(post.segment, 'absent') AS seg_post,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM pre FULL JOIN post ON pre.c = post.c
+    GROUP BY seg_pre, seg_post
+    """,
+)
+def tag_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment MIGRATION matrix — the period-over-period report a portrait
+    product ships next to the segment sizes themselves: each customer is
+    assigned a rule segment (vip / loyal / big_ticket / casual, the
+    tag_match_rule style thresholds on order frequency and decimal-exact
+    spend) in the pre and post halves of the order history (epoch-midpoint
+    split), and the output is the (seg_pre, seg_post) transition counts —
+    including churn-in/churn-out via the 'absent' pseudo-segment for
+    customers active in only one period. "How many VIPs did we lose to
+    casual last quarter" is this one frame.
+
+    Scale: per-(customer, period) rollup is one map-side-combinable
+    shuffle; segmentation is a row-local CASE; the pre/post FULL join is
+    key-co-partitioned; the output is a ≤ (k+1)² grid. Same topology as
+    scan_cdc_changefeed — migration IS the CDC of segment labels."""
+    o = load(spark, sf_dir).orders
+    mid = o.agg(
+        F.timestamp_seconds(
+            ((F.unix_timestamp(F.min("o_orderdate")) + F.unix_timestamp(F.max("o_orderdate"))) / 2)
+            .cast("bigint")
+        ).alias("m")
+    )
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .withColumn("period", F.when(F.col("o_orderdate") <= F.col("m"), "pre").otherwise("post"))
+        .groupBy(F.col("o_custkey").alias("c"), "period")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("spend"),
+        )
+    )
+    seg = per.select(
+        "c",
+        "period",
+        F.when((F.col("freq") >= 3) & (F.col("spend") >= 200000), "vip")
+        .when(F.col("freq") >= 3, "loyal")
+        .when(F.col("spend") >= 200000, "big_ticket")
+        .otherwise("casual")
+        .alias("segment"),
+    )
+    pre = seg.where(F.col("period") == "pre").select(F.col("c"), F.col("segment").alias("sp"))
+    post = seg.where(F.col("period") == "post").select(
+        F.col("c").alias("c2"), F.col("segment").alias("so")
+    )
+    j = pre.join(post, pre.c == post.c2, "full")
+    return j.groupBy(
+        F.coalesce(F.col("sp"), F.lit("absent")).alias("seg_pre"),
+        F.coalesce(F.col("so"), F.lit("absent")).alias("seg_post"),
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))
