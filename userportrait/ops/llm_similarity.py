@@ -2174,9 +2174,7 @@ def _ivf_append_parts(spark: SparkSession, sf_dir: str):
     return path, cutoff, cent
 
 
-@op(
-    "sink_ivf_append",
-    oracle="""
+_IVF_APPEND_ORACLE = """
     WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ), cut AS (
@@ -2208,8 +2206,10 @@ def _ivf_append_parts(spark: SparkSession, sf_dir: str):
            CAST(sum(CASE WHEN a.vec_id > cut.c THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
            CAST(sum(a.vec_id) AS BIGINT) AS vecid_sum
     FROM assign a CROSS JOIN cut GROUP BY a.cell
-    """,
-)
+    """
+
+
+@op("sink_ivf_append", oracle=_IVF_APPEND_ORACLE)
 def sink_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance — the daily-crawl append
     (VERDICT r10 missing #2), mirroring dedup_incremental's shape on the

@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS
 from ..registry import op
+from .llm_similarity import _IVF_APPEND_ORACLE
+from .scans import _SCD2_HIST_CTE
 
 _STAGE_ROOT = "/tmp/userportrait_streaming"
 _NS = 1_000_000_000
@@ -1190,4 +1192,220 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d, t, c, s) for (d, t), (c, s) in serving.items()],
         "day string, event_type string, cnt bigint, sum_value double",
+    )
+
+
+def _stage_scd2_feed(sf_dir: str) -> str:
+    """Stage the SCD-2 change feed (per-customer max completed-order
+    price — the sink_scd2 feed) as a 2-chunk parquet stream dir, split by
+    custkey parity so each chunk carries a disjoint key set. Idempotent
+    per sf via marker; computed with DuckDB so staging stays outside the
+    engine under test (the _stage_docs convention)."""
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_STAGE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "scd2_feed")
+    marker = os.path.join(out, "_staged.json")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    t = duckdb.connect().execute(
+        f"""
+        SELECT o_custkey AS k, round(max(o_totalprice), 2) AS new_bal
+        FROM '{sf_dir}/orders.parquet' WHERE o_orderstatus = 'F'
+        GROUP BY o_custkey ORDER BY k
+        """
+    ).arrow()
+    for i in (0, 1):
+        chunk = t.filter(pc.equal(pc.bit_wise_and(t["k"], 1), i))
+        path = os.path.join(out, f"chunk_{i:02d}.parquet")
+        pq.write_table(chunk, path)
+        os.utime(path, (1000 + 100 * i, 1000 + 100 * i))
+    with open(marker, "w") as f:
+        json.dump({"chunks": 2}, f)
+    return out
+
+
+@op(
+    "stream_scd2_apply",
+    oracle=_SCD2_HIST_CTE
+    + """
+    SELECT c_custkey, c_acctbal, CAST(version AS INT) AS version,
+           valid_from, valid_to, is_current
+    FROM hist
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD-2 dimension maintenance — the lakehouse MERGE loop:
+    change-feed batches arrive on a stream (2 staged chunks, disjoint key
+    sets, maxFilesPerTrigger=1 so availableNow replays them as separate
+    micro-batches) and ``foreachBatch`` applies the type-2 merge to the
+    versioned dimension — close the changed keys' current rows, append
+    new open versions — via read → merge → write-to-tmp → atomic swap
+    (Spark refuses to overwrite a path it is reading, and the swap is
+    what makes a mid-job crash leave the PREVIOUS consistent version in
+    place). The final dimension equals sink_scd2's batch build row for
+    row: same oracle text, which IS the claim — incremental maintenance
+    converges to the batch rebuild.
+
+    Replay safety: the merge is keyed and the 'changed' predicate
+    compares payloads, so re-applying a batch after a retry is a no-op
+    (the key's current version already carries new_bal). At 100 TB the
+    dimension is customer-grain (not fact-grain); the per-batch rewrite
+    is dim-sized, and a real deployment swaps in a format with row-level
+    MERGE (the same batch body unchanged)."""
+    from .scans import _scratch
+
+    from ..catalog import load
+
+    feed_dir = _stage_scd2_feed(sf_dir)
+    dim = _scratch("scd2_customer_stream")
+    chk = _scratch("scd2_customer_stream_chk")
+    base = load(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).cast("int").alias("version"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base.write.mode("overwrite").parquet(dim)
+    eff = F.lit("2000-01-01").cast("timestamp")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(dim)
+        j = cur.join(batch_df, cur.c_custkey == batch_df.k, "left")
+        changed = (
+            F.col("k").isNotNull()
+            & F.col("is_current")
+            & (F.col("new_bal") != F.col("c_acctbal"))
+        )
+        closed = j.select(
+            "c_custkey",
+            "c_acctbal",
+            "version",
+            "valid_from",
+            F.when(changed, eff).otherwise(F.col("valid_to")).alias("valid_to"),
+            F.when(changed, F.lit(False)).otherwise(F.col("is_current")).alias("is_current"),
+        )
+        opened = j.where(changed).select(
+            "c_custkey",
+            F.col("new_bal").alias("c_acctbal"),
+            (F.col("version") + 1).cast("int").alias("version"),
+            eff.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        tmp = dim + "_next"
+        closed.unionByName(opened).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dim)
+        os.rename(tmp, dim)
+
+    src = spark.readStream.schema("k bigint, new_bal double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed_dir)
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dim)
+
+
+def _stage_vector_feed(sf_dir: str) -> tuple[str, int]:
+    """Stage the NEW vectors (vec_id > the 0.8-quantile cutoff — the
+    sink_ivf_append split) as a 2-chunk parquet stream dir; returns
+    (dir, cutoff). Idempotent per sf via marker."""
+    import math
+
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_STAGE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "vec_feed")
+    marker = os.path.join(out, "_staged.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return out, json.load(f)["cut"]
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    t = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).arrow()
+    cut = int(math.floor(0.8 * pc.max(t["vec_id"]).as_py()))
+    new = t.filter(pc.greater(t["vec_id"], cut))
+    n = len(new)
+    for i, chunk in enumerate([new.slice(0, n // 2), new.slice(n // 2)]):
+        path = os.path.join(out, f"chunk_{i:02d}.parquet")
+        pq.write_table(chunk, path)
+        os.utime(path, (1000 + 100 * i, 1000 + 100 * i))
+    with open(marker, "w") as f:
+        json.dump({"cut": cut}, f)
+    return out, cut
+
+
+@op("stream_ivf_append", oracle=_IVF_APPEND_ORACLE)
+def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingest into the persisted ANN index —
+    sink_ivf_append's crawl batch arriving as a stream: the base index
+    and its FROZEN quantizer are built once (the _ivf_append_parts
+    build), then each micro-batch of new vectors (2 staged chunks,
+    maxFilesPerTrigger=1) is assigned to its nearest existing cell and
+    written to a PER-BATCH directory (``append_batches/batch_id=N``,
+    mode overwrite) — per-batch overwrite is what makes micro-batch
+    replay exactly-once where a blind ``mode(append)`` would double
+    vectors on retry. The serving view is base ∪ batch dirs; the final
+    rollup equals sink_ivf_append's batch form (same oracle text):
+    streaming ingest converges to the batch append.
+
+    At 100 TB this is the online half of the index lifecycle: build
+    (sink_ivf_layout) / batch append (sink_ivf_append) / STREAMING
+    append (this) / rebalance (sink_ivf_rebalance) — each batch costs
+    O(batch × k) assignment work against a broadcast quantizer and
+    touches no base data."""
+    from ..catalog import load
+    from .llm_similarity import _ivf_append_parts, ivf_assign
+
+    feed_dir, _cut = _stage_vector_feed(sf_dir)
+    path, cutoff, cent = _ivf_append_parts(spark, sf_dir)
+    batches_root = path + "_batches"
+    shutil.rmtree(batches_root, ignore_errors=True)
+    chk = batches_root + "_chk"
+    shutil.rmtree(chk, ignore_errors=True)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = batch_df.join(ivf_assign(batch_df, cent), "vec_id").select(
+            "vec_id", "embedding", "cell"
+        )
+        (
+            assigned.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(batches_root, f"batch_id={batch_id}"))
+        )
+
+    src = spark.readStream.schema(SCHEMAS["embeddings"]).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed_dir)
+    q = (
+        src.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    base = spark.read.parquet(path).select("vec_id", "cell")
+    appended = spark.read.parquet(batches_root).select("vec_id", "cell")
+    back = base.unionByName(appended)
+    return back.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("vec_id") <= cutoff, 1).otherwise(0)).cast("bigint").alias("n_base"),
+        F.sum(F.when(F.col("vec_id") > cutoff, 1).otherwise(0)).cast("bigint").alias("n_appended"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
     )
