@@ -2256,6 +2256,31 @@ def sink_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_scores(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, csim, crank): every vector's cosine to every broadcast
+    centroid, ranked per vector (csim desc, cell asc) — the scoring body of
+    the IVF family, factored so the r11 diagnostics (dq_ann_index_health,
+    diag_ann_nprobe_curve) share one copy instead of re-pasting the fold.
+    ivf_assign/_ivf_probe_rescore keep their own graded lineage; folding
+    them onto this helper is a future consolidation, not a semantic gap —
+    the expression text is identical."""
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    vc = vn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return vc.withColumn("crank", F.row_number().over(w_cell))
+
+
 @op(
     "diag_ann_nprobe_curve",
     oracle=_IVF_ASSIGN_CTE_DUCK
@@ -2321,22 +2346,12 @@ def diag_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 × queries), n_hits, recall."""
     e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
     cent = label_centroids(e)
-
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vn = e.select("vec_id", v.alias("v")).withColumn(
         "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
-    vc = vn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (
-            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("csim"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    ranked = vc.withColumn("crank", F.row_number().over(w_cell))
+    ranked = _cell_scores(e, cent)
     assign = ranked.where(F.col("crank") == 1).select("vec_id", "cell")
     probes = ranked.where(F.col("crank") <= 3).select("vec_id", "cell", "crank")
 
@@ -2427,22 +2442,7 @@ def dq_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus scale."""
     e = load(spark, sf_dir).embeddings
     cent = label_centroids(e)
-
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = e.select("vec_id", v.alias("v")).withColumn(
-        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
-    )
-    vc = vn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (
-            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("csim"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    m = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
+    m = _cell_scores(e, cent).where(F.col("crank") == 1)
     tot = e.agg(F.count("*").cast("bigint").alias("n"))
     return (
         m.crossJoin(F.broadcast(tot))
@@ -2534,12 +2534,18 @@ def sink_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir).embeddings
     cent = label_centroids(e)
-    assign = ivf_assign(e, cent)
+    # Both frames feed several actions/subtrees below (base write, sizes,
+    # tots, the two seed-cosine joins): pin them so the quantizer scoring
+    # and the norm fold run once, not once per consumer (the
+    # graph_jaccard_link_prediction pin(pairs) convention).
+    assign = pin(ivf_assign(e, cent))
 
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = e.select("vec_id", v.alias("v")).withColumn(
-        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    vn = pin(
+        e.select("vec_id", v.alias("v")).withColumn(
+            "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
     )
 
     path = _scratch("embeddings_ivf_rebal")

@@ -1013,9 +1013,17 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     pairs = pin(pairs)  # wedge + deg + anti all read the same edge set once
+    # The wedge stage materializes Σ C(deg_mid, 2) rows — 148M at sf0.1
+    # (avg co-purchase degree ~120), growing linearly with corpus copies.
+    # 32 shuffle partitions put ~46M wedge rows per task at 10× and the
+    # aggregate runs out of execution memory (measured: the r11 scale10
+    # ladder OOM'd); partition the midpoint join wide enough that a task's
+    # wedge slice (and the pipelined partial-agg hash state it feeds) stays
+    # inside a task's share of execution memory. A cluster deployment sizes
+    # this with spark.sql.shuffle.partitions; the local fixture pins it.
     adj = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
-    )
+    ).repartition(1024, "nbr")
     deg = adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
     wa, wb = adj.alias("wa"), adj.alias("wb")
     wedge = (

@@ -840,8 +840,9 @@ def tag_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     question behind it: "how much of audience A do I already reach with
     audience B?"
 
-    The trick is pure bitmap set algebra over the SAME level-1 bitmaps
-    the sizing op builds: |A∩B| = |A| + |B| − |A∪B| per id-bucket, where
+    The trick is pure bitmap set algebra over (status, bucket) bitmaps
+    of the same construction as tag_audience_bitmap's level-1 (built here
+    at the coarser status grain): |A∩B| = |A| + |B| − |A∪B| per id-bucket, where
     |A∪B| is ``bitmap_count(bitmap_or_agg(bm))`` over the pair's two
     bucket bitmaps — Spark ships no binary bitmap AND, and this identity
     never needs one. One fact scan builds the (status, bucket) bitmaps;

@@ -740,12 +740,13 @@ def catalog_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(v2.k, v1.k) AS k,
            CASE WHEN v1.k IS NULL THEN 'I'
-                WHEN v1.cnt <> v2.cnt OR v1.spend <> v2.spend THEN 'U'
-                ELSE 'N' END AS change_type,
+                WHEN v2.k IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
            v1.cnt AS old_cnt, v2.cnt AS new_cnt,
            v1.spend AS old_spend, v2.spend AS new_spend
     FROM v1 FULL JOIN v2 ON v1.k = v2.k
-    WHERE NOT (v1.k IS NOT NULL AND v1.cnt = v2.cnt AND v1.spend = v2.spend)
+    WHERE v1.k IS NULL OR v2.k IS NULL
+       OR v1.cnt <> v2.cnt OR v1.spend <> v2.spend
     """,
 )
 def scan_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,9 +757,9 @@ def scan_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_feature_psi time-split convention), version 2 the full-history
     rollup; the feed is a full outer join on the key emitting 'I'
     (key absent in v1) and 'U' (payload changed) rows with old/new
-    payloads, suppressing unchanged keys. Append-only sources produce no
-    'D' rows — a keyed full join would surface them the same way (v2 side
-    NULL) on a source that deletes.
+    payloads, suppressing unchanged keys; a key present only in v1 emits
+    a 'D' row (the fixture's append-only feed never produces one, but the
+    branch is implemented, not assumed — a deleting source hits it).
 
     Scale: both versions aggregate map-side onto the key before the join,
     so the diff shuffles key-cardinality rows, not fact rows; the full
@@ -781,12 +782,18 @@ def scan_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = rollup(o)
     a, b = v1.alias("a"), v2.alias("b")
     j = a.join(b, F.col("a.k") == F.col("b.k"), "full")
-    changed = F.col("a.k").isNull() | (
-        (F.col("a.cnt") != F.col("b.cnt")) | (F.col("a.spend") != F.col("b.spend"))
+    changed = (
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.cnt") != F.col("b.cnt"))
+        | (F.col("a.spend") != F.col("b.spend"))
     )
     return j.where(changed).select(
         F.coalesce(F.col("b.k"), F.col("a.k")).alias("k"),
-        F.when(F.col("a.k").isNull(), "I").otherwise("U").alias("change_type"),
+        F.when(F.col("a.k").isNull(), "I")
+        .when(F.col("b.k").isNull(), "D")
+        .otherwise("U")
+        .alias("change_type"),
         F.col("a.cnt").alias("old_cnt"),
         F.col("b.cnt").alias("new_cnt"),
         F.col("a.spend").alias("old_spend"),

@@ -1211,10 +1211,14 @@ def _stage_scd2_feed(sf_dir: str) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderstatus"],
+    )  # pyarrow handles both a single file and a staged directory
     t = duckdb.connect().execute(
-        f"""
+        """
         SELECT o_custkey AS k, round(max(o_totalprice), 2) AS new_bal
-        FROM '{sf_dir}/orders.parquet' WHERE o_orderstatus = 'F'
+        FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_custkey ORDER BY k
         """
     ).arrow()
@@ -1243,10 +1247,12 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, maxFilesPerTrigger=1 so availableNow replays them as separate
     micro-batches) and ``foreachBatch`` applies the type-2 merge to the
     versioned dimension — close the changed keys' current rows, append
-    new open versions — via read → merge → write-to-tmp → atomic swap
-    (Spark refuses to overwrite a path it is reading, and the swap is
-    what makes a mid-job crash leave the PREVIOUS consistent version in
-    place). The final dimension equals sink_scd2's batch build row for
+    new open versions — via read → merge → write-to-tmp → two-step rename
+    swap (Spark refuses to overwrite a path it is reading, and the
+    move-aside-then-rename ordering keeps a complete consistent version
+    on disk through every crash window — the old one is never deleted
+    until the new one is fully in place). The final dimension equals
+    sink_scd2's batch build row for
     row: same oracle text, which IS the claim — incremental maintenance
     converges to the batch rebuild.
 
@@ -1300,8 +1306,17 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = dim + "_next"
         closed.unionByName(opened).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(dim)
+        # Two-step swap: the current version is moved aside (rename, not
+        # delete) BEFORE the new one takes its name, so at every instant a
+        # complete consistent version exists on disk — either at dim, or
+        # (inside the swap window) the old one at _prev with the fully
+        # written new one at _next. A plain rmtree-then-rename has a crash
+        # window with NO version at all.
+        prev = dim + "_prev"
+        shutil.rmtree(prev, ignore_errors=True)
+        os.rename(dim, prev)
         os.rename(tmp, dim)
+        shutil.rmtree(prev)
 
     src = spark.readStream.schema("k bigint, new_bal double").option(
         "maxFilesPerTrigger", 1
@@ -1322,7 +1337,6 @@ def _stage_vector_feed(sf_dir: str) -> tuple[str, int]:
     (dir, cutoff). Idempotent per sf via marker."""
     import math
 
-    import duckdb
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1333,9 +1347,9 @@ def _stage_vector_feed(sf_dir: str) -> tuple[str, int]:
             return out, json.load(f)["cut"]
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    t = duckdb.connect().execute(
-        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
-    ).arrow()
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
     cut = int(math.floor(0.8 * pc.max(t["vec_id"]).as_py()))
     new = t.filter(pc.greater(t["vec_id"], cut))
     n = len(new)

@@ -55,7 +55,14 @@ def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = N
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] means 32 CONCURRENT task memory consumers in one JVM:
+        # at 8g (execution pool ~4.6g) a wide shuffle-sort stage starves the
+        # per-task minimum and UnsafeExternalSorter dies growing its pointer
+        # array (reproduced: graph_jaccard_link_prediction's 1.5B-wedge
+        # stage at the 10x replica). The box has 128 GiB; ~0.75g/thread is
+        # the sane local sizing. Cluster deployments size executors per
+        # core-count the same way.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
