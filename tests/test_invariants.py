@@ -1539,3 +1539,28 @@ def test_kmeans_filtered_probe_semantics(spark):
     surviving = {(r.vec_id, r.neighbor_id) for r in unf if r.neighbor_id in en}
     assert surviving <= fset
     assert fset - {(r.vec_id, r.neighbor_id) for r in unf}
+
+
+def test_capped_link_prediction_quality(spark):
+    """graph_link_prediction_capped's conservativeness and usefulness:
+    capped common counts never exceed the exact sibling's (wedge capping
+    can only miss co-occurrences), and the capped top-3 predictions agree
+    with the exact top-3 for a solid majority of nodes on the fixture —
+    the quality gate that justifies shipping the bounded form."""
+    exact = OPS["graph_jaccard_link_prediction"].fn(spark, SF_DIR).collect()
+    capped = OPS["graph_link_prediction_capped"].fn(spark, SF_DIR).collect()
+    ex_common = {(r.node, r.cand): r.common for r in exact}
+    for r in capped:
+        if (r.node, r.cand) in ex_common:
+            assert r.common <= ex_common[(r.node, r.cand)], (r.node, r.cand)
+    ex_top = {}
+    for r in exact:
+        ex_top.setdefault(r.node, set()).add(r.cand)
+    hits = tot = 0
+    for r in capped:
+        if r.node in ex_top:
+            tot += 1
+            hits += r.cand in ex_top[r.node]
+    assert tot > 0
+    agree = hits / tot
+    assert agree >= 0.8, f"capped top-3 agreement regressed: {agree:.3f}"

@@ -1054,3 +1054,115 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+LINKPRED_MIDPOINT_CAP = 128  # wedge participants per midpoint (deterministic)
+
+
+@op(
+    "graph_link_prediction_capped",
+    oracle=f"""
+    WITH ip AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS n, v AS nbr FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    adjc AS (  -- per midpoint, the CAP smallest-id participants
+      SELECT n, nbr FROM (
+        SELECT n, nbr, row_number() OVER (PARTITION BY nbr ORDER BY n ASC) AS rn
+        FROM adj
+      ) WHERE rn <= {LINKPRED_MIDPOINT_CAP}
+    ),
+    wedge AS (
+      SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS common
+      FROM adjc a JOIN adjc b ON a.nbr = b.nbr AND a.n < b.n
+      GROUP BY a.n, b.n
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common FROM wedge w
+      LEFT JOIN pairs p ON p.u = w.u AND p.v = w.v
+      WHERE p.u IS NULL
+    ),
+    scored AS (
+      SELECT c.u, c.v, c.common,
+             round(CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common), 6) AS jaccard
+      FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+    )
+    SELECT u AS node, v AS cand, common, jaccard, CAST(rn AS INT) AS rank FROM (
+      SELECT u, v, common, jaccard,
+             row_number() OVER (PARTITION BY u ORDER BY jaccard DESC, v ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT form of graph_jaccard_link_prediction — the
+    hub-midpoint cap its sibling's docstring names, implemented rather
+    than hand-waved: each midpoint contributes only its CAP (=64)
+    smallest-id participants to wedge enumeration, so the wedge stage is
+    bounded by Σ C(min(deg, CAP), 2) ≤ nodes × C(CAP, 2) — LINEAR in node
+    count — instead of Σ C(deg, 2), which on the dense co-purchase graph
+    (avg degree ~120) produced 1.48B wedge rows at sf0.1×10 and a 355 s
+    wall for the exact form. CAP=128 sits above the fixture's typical
+    degree (the cap exists for the power-law celebrity tail a real
+    co-purchase graph has, not the uniformly dense synthetic one), so the
+    fixture validates near-exactness where the cap barely binds; at
+    deployment CAP is the recall-vs-cost knob. Common counts become LOWER BOUNDS (capped
+    wedges can only miss co-occurrences) over the full-degree Jaccard
+    denominator, so scores are conservative; the deterministic smallest-id
+    cap keeps the op EXACT-oracled where a sampled cap would be ROWS.
+
+    Quality is gated, not assumed:
+    tests/test_invariants.py::test_capped_link_prediction_quality pins
+    per-pair count soundness (capped common <= exact common) and top-3
+    agreement with the exact sibling on the fixture."""
+    li = load(spark, sf_dir).lineitem
+    ip = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = ip.alias("a"), ip.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    pairs = pin(pairs)
+    adj = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+    w_cap = Window.partitionBy("nbr").orderBy(F.col("n").asc())
+    adjc = (
+        adj.withColumn("rn", F.row_number().over(w_cap))
+        .where(F.col("rn") <= LINKPRED_MIDPOINT_CAP)
+        .select("n", "nbr")
+    )
+    wa, wb = adjc.alias("wa"), adjc.alias("wb")
+    wedge = (
+        wa.join(wb, (F.col("wa.nbr") == F.col("wb.nbr")) & (F.col("wa.n") < F.col("wb.n")))
+        .groupBy(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    cand = wedge.join(pairs, ["u", "v"], "left_anti")
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    scored = cand.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "common",
+        F.round(
+            F.col("common").cast("double") / (F.col("du") + F.col("dv") - F.col("common")), 6
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("u").orderBy(F.col("jaccard").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("u").alias("node"),
+            F.col("v").alias("cand"),
+            "common",
+            "jaccard",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

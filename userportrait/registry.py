@@ -64,13 +64,13 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r11 window: the sixteen never-driver-graded r11 additions lead
+# r11 window: the seventeen never-driver-graded r11 additions lead
 # (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb,
 # diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance,
 # scan_scd2_asof, join_asof_forward, tag_audience_overlap,
 # scan_cdc_changefeed, events_diff_in_diff, scan_ivf_probe_kmeans_filtered,
 # graph_jaccard_link_prediction, tag_segment_migration, stream_scd2_apply,
-# stream_ivf_append). Next,
+# stream_ivf_append, graph_link_prediction_capped). Next,
 # re-certification of every op
 # MODIFIED since its last grade: scan_ivf_probe + stream_funnel_stages +
 # sink_scd2 + scan_ivf_probe_kmeans (bodies factored into the shared
@@ -100,6 +100,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "tag_segment_migration",
     "stream_scd2_apply",
     "stream_ivf_append",
+    "graph_link_prediction_capped",
     "scan_ivf_probe",
     "scan_ivf_probe_kmeans",
     "sink_scd2",
@@ -133,7 +134,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "catalog_views",
     "filter_simple",
     "filter_null_semantics",
-    "join_inner_equi",
 )
 
 
