@@ -1026,11 +1026,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     ).repartition(1024, "nbr")
     deg = adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
     wa, wb = adj.alias("wa"), adj.alias("wb")
-    wedge = (
-        wa.join(wb, (F.col("wa.nbr") == F.col("wb.nbr")) & (F.col("wa.n") < F.col("wb.n")))
-        .groupBy(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("common"))
-    )
+    wedge = _wedge_common(wa, wb)
     cand = wedge.join(pairs, ["u", "v"], "left_anti")
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -1053,6 +1049,25 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             "jaccard",
             F.col("rn").cast("int").alias("rank"),
         )
+    )
+
+
+def _wedge_common(wa: "DataFrame", wb: "DataFrame") -> "DataFrame":
+    """(u, v, common): wedge enumeration through shared midpoints + count.
+    The count is pre-partitioned on (u, v) at the SAME width as the wedge
+    join: at 32 final agg partitions a billion-wedge graph concentrates
+    tens of millions of distinct (u, v) groups per task and the hash agg
+    dies on JVM heap (measured: the skewed 10× replica, 21.5B exact
+    wedges → Java heap OOM in the final agg) — the explicit
+    hashpartitioning satisfies the aggregate's distribution, so Catalyst
+    adds no second exchange and each of the 1024 tasks aggregates a
+    bounded group slice."""
+    return (
+        wa.join(wb, (F.col("wa.nbr") == F.col("wb.nbr")) & (F.col("wa.n") < F.col("wb.n")))
+        .select(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
+        .repartition(1024, "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("common"))
     )
 
 
@@ -1138,11 +1153,7 @@ def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", "nbr")
     )
     wa, wb = adjc.alias("wa"), adjc.alias("wb")
-    wedge = (
-        wa.join(wb, (F.col("wa.nbr") == F.col("wb.nbr")) & (F.col("wa.n") < F.col("wb.n")))
-        .groupBy(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("common"))
-    )
+    wedge = _wedge_common(wa, wb)
     cand = wedge.join(pairs, ["u", "v"], "left_anti")
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
