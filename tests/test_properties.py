@@ -519,3 +519,82 @@ def test_onesided_covers_are_exact(bounds):
             if bx[0] <= x <= bx[1] and bx[2] <= y <= bx[3]
         }
         assert covered == want
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=10),     # ts (seconds, ties likely)
+        st.booleans(),                              # is_purchase (query side)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=asof_events)
+@settings(**SETTINGS)
+def test_asof_forward_matches_bruteforce(spark, rows):
+    """join_asof_forward's union+window construction vs the obviously
+    correct form: for each purchase, the candidate with the smallest
+    (ts, event_id) among same-user non-purchase events with STRICTLY
+    larger ts — equal-ts candidates must never match (the role-ordering
+    subtlety the op's window encodes)."""
+    from userportrait.ops.joins import asof_forward_frame
+
+    data = [
+        (i, u, ts, "purchase" if is_p else "view")
+        for i, (u, ts, is_p) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, float(ts), et) for i, u, ts, et in data],
+        "event_id long, user_id long, ts double, event_type string",
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("ts").alias("ts"), "event_type"
+    )
+    got = {r.event_id: r.next_event_id for r in asof_forward_frame(ev).collect()}
+    for qid, qu, qts, qet in data:
+        if qet != "purchase":
+            continue
+        cands = [
+            (ts, i) for i, u, ts, et in data if u == qu and et != "purchase" and ts > qts
+        ]
+        expect = min(cands)[1] if cands else None
+        assert got[qid] == expect, (qid, got[qid], expect)
+
+
+overlap_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),            # audience
+        st.integers(min_value=0, max_value=40),      # member id
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=overlap_rows)
+@settings(**SETTINGS)
+def test_audience_overlap_matches_set_algebra(spark, rows):
+    """tag_audience_overlap's bitmap identity (|A∩B| = |A|+|B|−|A∪B| per
+    bucket) vs Python set intersection, on arbitrary membership frames —
+    including audiences missing from some buckets (the null-skipping sum
+    branch)."""
+    from userportrait.ops.portrait import audience_overlap_frame
+
+    fact = spark.createDataFrame(rows, "st string, member long")
+    got = {
+        (r.st_a, r.st_b): (r.n_a, r.n_b, r.n_inter) for r in audience_overlap_frame(fact).collect()
+    }
+    sets: dict[str, set] = {}
+    for stt, m in rows:
+        sets.setdefault(stt, set()).add(m)
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            assert got[(a, b)] == (
+                len(sets[a]),
+                len(sets[b]),
+                len(sets[a] & sets[b]),
+            ), (a, b, got.get((a, b)))
+    assert len(got) == len(names) * (len(names) - 1) // 2

@@ -491,7 +491,15 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate ahead with ``first(ignorenulls)`` over
     (currentRow, unboundedFollowing). One shuffle per user, no pairwise
     blowup — identical scale shape to join_asof_latest."""
-    ev = load(spark, sf_dir).events
+    return asof_forward_frame(load(spark, sf_dir).events)
+
+
+def asof_forward_frame(ev: DataFrame) -> DataFrame:
+    """The forward-as-of union+window construction over any
+    (event_id, user_id, ts, event_type) frame — factored so the
+    hypothesis property test can drive it with arbitrary inputs against
+    a brute-force reference (the role ordering at equal timestamps is
+    the subtle part worth property-testing)."""
     cands = ev.filter(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "ts", F.lit(0).alias("role"), F.col("event_id").alias("cand_id")
     )

@@ -852,10 +852,19 @@ def tag_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast self-join of the distinct statuses (k rows); the EXACT
     oracle recomputes every pair with COUNT(DISTINCT) set algebra."""
     o = load(spark, sf_dir).orders
-    lvl1 = o.groupBy(
-        F.col("o_orderstatus").alias("st"),
-        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
-    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    return audience_overlap_frame(
+        o.select(F.col("o_orderstatus").alias("st"), F.col("o_custkey").alias("member"))
+    )
+
+
+def audience_overlap_frame(fact: DataFrame) -> DataFrame:
+    """The bitmap overlap algebra over any (st, member) frame — factored
+    so the hypothesis property test can check the |A|+|B|−|A∪B| identity
+    against Python set intersection on arbitrary inputs."""
+    lvl1 = fact.groupBy(
+        "st",
+        F.expr("bitmap_bucket_number(member)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(member))").alias("bm"))
     lvl1 = lvl1.withColumn("cnt", F.expr("bitmap_count(bm)"))
 
     s = lvl1.select("st").distinct()
