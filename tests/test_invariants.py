@@ -1564,3 +1564,33 @@ def test_capped_link_prediction_quality(spark):
     assert tot > 0
     agree = hits / tot
     assert agree >= 0.8, f"capped top-3 agreement regressed: {agree:.3f}"
+
+
+def test_index_meta_join_enforces_doc_contract(spark):
+    """_join_doc_meta_1to1 (r11 ADVICE #1): the IVF index writers assume
+    vec_id = doc_id is 1:1 with documents. The guard must (a) pass
+    metadata through untouched when the contract holds, (b) RAISE on an
+    embedding with no documents row (the old inner join silently dropped
+    it), (c) RAISE on a duplicate doc_id (the old join silently
+    duplicated index members)."""
+    import pytest
+
+    from userportrait.ops.llm_similarity import _join_doc_meta_1to1
+
+    members = spark.createDataFrame([(1, "c0"), (2, "c1")], "vec_id long, cell string")
+    docs_ok = spark.createDataFrame([(1, "en"), (2, "de")], "doc_id long, lang string")
+    got = {
+        (r.vec_id, r.lang): r.cell
+        for r in _join_doc_meta_1to1(members, docs_ok, ["lang"]).collect()
+    }
+    assert got == {(1, "en"): "c0", (2, "de"): "c1"}
+
+    docs_missing = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(Exception, match="documents contract violated"):
+        _join_doc_meta_1to1(members, docs_missing, ["lang"]).collect()
+
+    docs_dup = spark.createDataFrame(
+        [(1, "en"), (1, "fr"), (2, "de")], "doc_id long, lang string"
+    )
+    with pytest.raises(Exception, match="documents contract violated"):
+        _join_doc_meta_1to1(members, docs_dup, ["lang"]).collect()

@@ -341,6 +341,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: one vec_id-range index chunk (<= chunk width rows)",
         ("pipeline_ext.py", 'cur_sum = labels.agg(F.sum("lab")).collect()[0][0]'):
             "scalar: connected-components convergence probe",
+        ("pipeline_ext.py", 'wedges = int(deg.agg(F.sum(est)).first()[0] or 0)  # one scalar: the wedge-volume estimate'):
+            "scalar: Σ C(deg,2) wedge-volume estimate sizing the wedge-stage partition width",
         ("scans.py", 'cutoff = int(e.agg(F.expr("percentile(event_id, 0.8)")).collect()[0][0])'):
             "scalar: incremental-agg batch split point",
         ("ranking.py", "combos = work.groupBy(*b_cols).count().collect()"):

@@ -598,3 +598,69 @@ def test_audience_overlap_matches_set_algebra(spark, rows):
                 len(sets[a] & sets[b]),
             ), (a, b, got.get((a, b)))
     assert len(got) == len(names) * (len(names) - 1) // 2
+
+
+scd2_dim_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                          # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),    # old bal
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+scd2_batch_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(dim=scd2_dim_rows, batch=scd2_batch_rows)
+@settings(**SETTINGS)
+def test_scd2_merge_is_null_safe_and_replay_idempotent(spark, dim, batch):
+    """scd2_merge_frame's NULL-payload semantics (the r11 VERDICT #3 class):
+    'changed' must be IS DISTINCT FROM — a NULL payload over a non-NULL
+    balance VERSIONS the row (and vice versa), NULL over NULL does not —
+    and replaying the identical batch onto the merged state is a no-op
+    (the new current version carries new_bal, so <=> holds)."""
+    from collections import Counter
+
+    from userportrait.ops.streaming import scd2_merge_frame
+
+    eff = F.lit("2000-01-01").cast("timestamp")
+    cur = spark.createDataFrame(
+        [
+            (k, float(b) if b is not None else None, 1, None, None, True)
+            for k, b in dim
+        ],
+        "c_custkey long, c_acctbal double, version int, "
+        "valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    bdf = spark.createDataFrame(
+        [(k, float(b) if b is not None else None) for k, b in batch] or [(None, None)],
+        "k long, new_bal double",
+    ).where(F.col("k").isNotNull())
+    merged = scd2_merge_frame(cur, bdf, eff)
+    rows = merged.collect()
+    bmap = dict(batch)
+    for k, old in dim:
+        # Python's != on Optional[int] IS the IS DISTINCT FROM reference.
+        changed = k in bmap and bmap[k] != old
+        got = sorted(
+            (r.version, r.c_acctbal, r.is_current)
+            for r in rows
+            if r.c_custkey == k
+        )
+        old_f = float(old) if old is not None else None
+        if changed:
+            new_f = float(bmap[k]) if bmap[k] is not None else None
+            assert got == [(1, old_f, False), (2, new_f, True)], (k, got)
+        else:
+            assert got == [(1, old_f, True)], (k, got)
+    replay = scd2_merge_frame(merged, bdf, eff).collect()
+    assert Counter(map(tuple, replay)) == Counter(map(tuple, rows))

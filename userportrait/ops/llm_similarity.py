@@ -657,26 +657,16 @@ def _ivf_probe_rescore(e: DataFrame, cent: DataFrame) -> DataFrame:
     the probed cells only, top-5 per query. ``cent`` is a
     (cell, c: array<double>, cnrm) frame — tiny (cells × dim) by
     construction, so the vector-to-centroid scoring is a broadcast cross
-    join; the candidate join is a hash join on the cell id."""
+    join; the candidate join is a hash join on the cell id. Scoring is
+    the ONE shared kernel (_cell_scores) — assign-at-build and
+    score-at-serve cannot silently diverge (r11 VERDICT queue #2)."""
     from pyspark.sql import Window
 
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = e.select("vec_id", v.alias("v")).withColumn(
-        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
-    )
-    vc = vn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (
-            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("csim"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
-    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cell")
-    probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("vec_id", "cell")
+    vn = _norm_vectors(e)
+    ranked = _cell_scores(e, cent)
+    assign = ranked.where(F.col("crank") == 1).select("vec_id", "cell")
+    probes = ranked.where(F.col("crank") <= _IVF_NPROBE).select("vec_id", "cell")
 
     p, a = probes.alias("p"), assign.alias("a")
     cand = p.join(
@@ -746,29 +736,23 @@ def label_centroids(e: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cell): each vector's nearest cell by cosine (csim desc,
-    cell asc tie-break) — the assignment half of _ivf_probe_rescore's
-    scoring, factored for the persisted-index sink."""
-    from pyspark.sql import Window
-
+def _norm_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>, nrm): double-cast vectors with their L2
+    norm — the shared pre-scoring projection of the whole IVF family
+    (assign, rescore, serve, diagnostics)."""
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = e.select("vec_id", v.alias("v")).withColumn(
+    return e.select("vec_id", v.alias("v")).withColumn(
         "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
-    vc = vn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (
-            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("csim"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1).select(
-        "vec_id", "cell"
-    )
+
+
+def ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): each vector's nearest cell by cosine (csim desc,
+    cell asc tie-break) — assignment IS the crank==1 slice of the shared
+    _cell_scores kernel, so the sinks assign with the exact expression
+    the serving ops score with."""
+    return _cell_scores(e, cent).where(F.col("crank") == 1).select("vec_id", "cell")
 
 
 # k is env-tunable because the IVF cost model needs cells to GROW with the
@@ -1550,10 +1534,6 @@ def scan_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted layout; the label-quantizer form here is the oracle-EXACT
     contract of the read path, sized for query workloads over
     fixed-cardinality cells."""
-    from pyspark.sql import Window
-
-    from .curation import HEX
-
     e = load(spark, sf_dir).embeddings
     cent = label_centroids(e)
     back = spark.read.parquet(_write_ivf_index(spark, sf_dir))
@@ -1569,7 +1549,8 @@ def _ivf_serve_probe(e: DataFrame, cent: DataFrame, back: DataFrame) -> DataFram
     readback, optionally pre-filtered); exact cosine rescore, top-5 per
     query on (sim desc, neighbor_id asc). Any member-side predicate a
     caller applies to ``back`` sits BELOW this rescore by construction,
-    so k is maintained over survivors."""
+    so k is maintained over survivors. Query-side cell ranking goes
+    through the shared _cell_scores kernel."""
     from .curation import HEX
 
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -1577,22 +1558,11 @@ def _ivf_serve_probe(e: DataFrame, cent: DataFrame, back: DataFrame) -> DataFram
     sample = (
         F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
     )
-    qn = (
-        e.where(sample)
-        .select("vec_id", v.alias("v"))
-        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
-    )
-    qc = qn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (
-            agg_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
-            / (F.col("nrm") * F.col("cnrm"))
-        ).alias("csim"),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    q = e.where(sample)
+    qn = _norm_vectors(q)
     probes = (
-        qc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") <= 2)
+        _cell_scores(q, cent)
+        .where(F.col("crank") <= 2)
         .select("vec_id", F.col("cell").cast("bigint").alias("cell"))
     )
     nb = back.select(
@@ -1650,13 +1620,14 @@ def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     assign = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
     root = _scratch("embeddings_ivf_kmeans")
     cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-    # lang rides NEXT TO each member (vec_id = doc_id, 1:1) so attribute-
-    # predicated serving (scan_ivf_probe_kmeans_filtered) is a parquet
-    # pushdown on the member scan, not a serve-time metadata join.
-    meta = load(spark, sf_dir).documents.select(F.col("doc_id").alias("vec_id"), "lang")
+    # lang rides NEXT TO each member (vec_id = doc_id, 1:1 — ENFORCED by
+    # _join_doc_meta_1to1's raise_error gate) so attribute-predicated
+    # serving (scan_ivf_probe_kmeans_filtered) is a parquet pushdown on
+    # the member scan, not a serve-time metadata join.
     (
-        assign.select("vec_id", "u", "cell")
-        .join(meta, "vec_id")
+        _join_doc_meta_1to1(
+            assign.select("vec_id", "u", "cell"), load(spark, sf_dir).documents, ["lang"]
+        )
         .select("vec_id", "u", "lang", "cell")
         .repartition("cell")
         .sortWithinPartitions("vec_id")
@@ -2053,6 +2024,39 @@ def scan_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # daily-crawl appends without a rebuild.
 
 
+def _join_doc_meta_1to1(members: DataFrame, docs: DataFrame, cols: list) -> DataFrame:
+    """LEFT-join documents metadata onto index members with the assumed
+    1:1 vec_id = doc_id contract ENFORCED (r11 ADVICE #1): the former
+    inner join silently DROPPED embeddings without a documents row
+    (changing pre-existing probe results) and would DUPLICATE index
+    members on a duplicate doc_id. Either violation now raises at build
+    time: the grouped meta side carries its per-key row count, and every
+    metadata column is selected through a count==1 gate whose else
+    branch is raise_error — evaluated inside the write job (a left-join
+    null makes the gate false too), no extra driver action."""
+    meta = docs.groupBy(F.col("doc_id").alias("vec_id")).agg(
+        *[F.max(c).alias(c) for c in cols], F.count("*").alias("_n")
+    )
+    ok = F.col("_n") == 1
+    checked = [
+        F.when(ok, F.col(c))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "index meta join: documents contract violated "
+                        "(missing or duplicate doc row) for vec_id="
+                    ),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        )
+        .alias(c)
+        for c in cols
+    ]
+    return members.join(meta, "vec_id", "left").select(*members.columns, *checked)
+
+
 def _write_ivf_meta_index(spark: SparkSession, sf_dir: str) -> str:
     """Write the cell-partitioned IVF index WITH filterable metadata
     columns (lang, source — joined from documents on vec_id = doc_id):
@@ -2066,13 +2070,12 @@ def _write_ivf_meta_index(spark: SparkSession, sf_dir: str) -> str:
 
     t = load(spark, sf_dir)
     e = t.embeddings
-    meta = t.documents.select(F.col("doc_id").alias("vec_id"), "lang", "source")
     assign = ivf_assign(e, label_centroids(e))
-    idx = (
-        e.join(assign, "vec_id")
-        .join(meta, "vec_id")
-        .select("vec_id", "embedding", "lang", "source", "cell")
-    )
+    idx = _join_doc_meta_1to1(
+        e.join(assign, "vec_id").select("vec_id", "embedding", "cell"),
+        t.documents,
+        ["lang", "source"],
+    ).select("vec_id", "embedding", "lang", "source", "cell")
     path = _scratch("embeddings_ivf_meta")
     (
         idx.repartition("cell")
@@ -2258,17 +2261,15 @@ def sink_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cell_scores(e: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cell, csim, crank): every vector's cosine to every broadcast
-    centroid, ranked per vector (csim desc, cell asc) — the scoring body of
-    the IVF family, factored so the r11 diagnostics (dq_ann_index_health,
-    diag_ann_nprobe_curve) share one copy instead of re-pasting the fold.
-    ivf_assign/_ivf_probe_rescore keep their own graded lineage; folding
-    them onto this helper is a future consolidation, not a semantic gap —
-    the expression text is identical."""
+    centroid, ranked per vector (csim desc, cell asc) — THE scoring kernel
+    of the label-quantizer IVF family. ivf_assign, _ivf_probe_rescore,
+    _ivf_serve_probe's query side, and the r11 diagnostics
+    (dq_ann_index_health, diag_ann_nprobe_curve) all rank cells through
+    this one body (r12 consolidation of the r11 VERDICT queue #2), so
+    assign-at-build and score-at-serve are the same expression by
+    construction."""
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vn = e.select("vec_id", v.alias("v")).withColumn(
-        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
-    )
+    vn = _norm_vectors(e)
     vc = vn.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",

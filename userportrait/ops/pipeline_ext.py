@@ -1019,14 +1019,18 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     # aggregate runs out of execution memory (measured: the r11 scale10
     # ladder OOM'd); partition the midpoint join wide enough that a task's
     # wedge slice (and the pipelined partial-agg hash state it feeds) stays
-    # inside a task's share of execution memory. A cluster deployment sizes
-    # this with spark.sql.shuffle.partitions; the local fixture pins it.
+    # inside a task's share of execution memory. wedge_partitions sizes
+    # this from the measured wedge volume (Σ C(deg, 2), one scalar over
+    # the pinned edge set); spark.userportrait.wedge.partitions overrides.
     adj = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
-    ).repartition(1024, "nbr")
-    deg = adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
-    wa, wb = adj.alias("wa"), adj.alias("wb")
-    wedge = _wedge_common(wa, wb)
+    )
+    # deg feeds three consumers (the width scalar, du, dv) — pin one eval
+    deg = pin(adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d")))
+    width = wedge_partitions(deg)
+    adjw = adj.repartition(width, "nbr")
+    wa, wb = adjw.alias("wa"), adjw.alias("wb")
+    wedge = _wedge_common(wa, wb, width)
     cand = wedge.join(pairs, ["u", "v"], "left_anti")
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -1052,7 +1056,32 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _wedge_common(wa: "DataFrame", wb: "DataFrame") -> "DataFrame":
+WEDGE_ROWS_PER_TASK = 2_000_000  # r11 ladder: 1.48B wedges / 1024 tasks ≈ 1.45M/task ran inside a 0.75g/thread JVM share
+
+
+def wedge_partitions(deg: "DataFrame", cap: int | None = None) -> int:
+    """Partition width for the wedge join + count stages, sized by wedge
+    VOLUME rather than the session default (the r11 lesson, twice: the
+    sorter starved at 32 partitions on a 1.48B-wedge graph, then the
+    final agg OOM'd at 32 partitions on the 21.5B-wedge skewed replica).
+    ``spark.userportrait.wedge.partitions`` overrides outright (the
+    deployment knob; the ladder scripts pin it); otherwise estimate
+    Σ C(min(deg, cap), 2) from the degree frame — one scalar aggregate
+    over an already-pinned edge set — and size tasks to
+    WEDGE_ROWS_PER_TASK wedge rows, never below the session shuffle
+    width."""
+    spark = deg.sparkSession
+    explicit = spark.conf.get("spark.userportrait.wedge.partitions", "")
+    if explicit:
+        return int(explicit)
+    d = F.least(F.col("d"), F.lit(cap)) if cap else F.col("d")
+    est = (d * (d - F.lit(1)) / F.lit(2)).cast("double")
+    wedges = int(deg.agg(F.sum(est)).first()[0] or 0)  # one scalar: the wedge-volume estimate
+    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(base, min(wedges // WEDGE_ROWS_PER_TASK + 1, 65536))
+
+
+def _wedge_common(wa: "DataFrame", wb: "DataFrame", width: int) -> "DataFrame":
     """(u, v, common): wedge enumeration through shared midpoints + count.
     The count is pre-partitioned on (u, v) at the SAME width as the wedge
     join: at 32 final agg partitions a billion-wedge graph concentrates
@@ -1060,12 +1089,12 @@ def _wedge_common(wa: "DataFrame", wb: "DataFrame") -> "DataFrame":
     dies on JVM heap (measured: the skewed 10× replica, 21.5B exact
     wedges → Java heap OOM in the final agg) — the explicit
     hashpartitioning satisfies the aggregate's distribution, so Catalyst
-    adds no second exchange and each of the 1024 tasks aggregates a
-    bounded group slice."""
+    adds no second exchange and each of the ``width`` tasks (sized by
+    wedge_partitions) aggregates a bounded group slice."""
     return (
         wa.join(wb, (F.col("wa.nbr") == F.col("wb.nbr")) & (F.col("wa.n") < F.col("wb.n")))
         .select(F.col("wa.n").alias("u"), F.col("wb.n").alias("v"))
-        .repartition(1024, "u", "v")
+        .repartition(width, "u", "v")
         .groupBy("u", "v")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
@@ -1115,8 +1144,8 @@ LINKPRED_MIDPOINT_CAP = 128  # wedge participants per midpoint (deterministic)
 def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYMENT form of graph_jaccard_link_prediction — the
     hub-midpoint cap its sibling's docstring names, implemented rather
-    than hand-waved: each midpoint contributes only its CAP (=64)
-    smallest-id participants to wedge enumeration, so the wedge stage is
+    than hand-waved: each midpoint contributes only its LINKPRED_MIDPOINT_CAP
+    (=128) smallest-id participants to wedge enumeration, so the wedge stage is
     bounded by Σ C(min(deg, CAP), 2) ≤ nodes × C(CAP, 2) — LINEAR in node
     count — instead of Σ C(deg, 2), which on the dense co-purchase graph
     (avg degree ~120) produced 1.48B wedge rows at sf0.1×10 and a 355 s
@@ -1145,7 +1174,8 @@ def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
     )
-    deg = adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+    # deg feeds three consumers (the width scalar, du, dv) — pin one eval
+    deg = pin(adj.groupBy("n").agg(F.count("*").cast("bigint").alias("d")))
     w_cap = Window.partitionBy("nbr").orderBy(F.col("n").asc())
     adjc = (
         adj.withColumn("rn", F.row_number().over(w_cap))
@@ -1153,7 +1183,7 @@ def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", "nbr")
     )
     wa, wb = adjc.alias("wa"), adjc.alias("wb")
-    wedge = _wedge_common(wa, wb)
+    wedge = _wedge_common(wa, wb, wedge_partitions(deg, cap=LINKPRED_MIDPOINT_CAP))
     cand = wedge.join(pairs, ["u", "v"], "left_anti")
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))

@@ -528,7 +528,7 @@ _SCD2_HIST_CTE = """
       FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
     ), base AS (
       SELECT c.c_custkey, c.c_acctbal, chg.new_bal,
-             (chg.k IS NOT NULL AND chg.new_bal <> c.c_acctbal) AS changed
+             (chg.k IS NOT NULL AND chg.new_bal IS DISTINCT FROM c.c_acctbal) AS changed
       FROM customer c LEFT JOIN chg ON chg.k = c.c_custkey
     ), hist AS (
       SELECT c_custkey, c_acctbal, 1 AS version,
@@ -587,7 +587,9 @@ def _write_scd2(spark: SparkSession, sf_dir: str) -> str:
         "c_custkey",
         "c_acctbal",
         "new_bal",
-        (F.col("k").isNotNull() & (F.col("new_bal") != F.col("c_acctbal"))).alias("changed"),
+        (
+            F.col("k").isNotNull() & ~F.col("new_bal").eqNullSafe(F.col("c_acctbal"))
+        ).alias("changed"),
     )
     closed = base.select(
         "c_custkey",

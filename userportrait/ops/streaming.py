@@ -1232,6 +1232,39 @@ def _stage_scd2_feed(sf_dir: str) -> str:
     return out
 
 
+def scd2_merge_frame(cur: DataFrame, batch_df: DataFrame, eff) -> DataFrame:
+    """Type-2 merge of a ``(k, new_bal)`` change batch into a versioned
+    dimension (c_custkey, c_acctbal, version, valid_from, valid_to,
+    is_current): close the changed keys' CURRENT rows at ``eff`` and
+    append new open versions. Factored frame-level so the NULL-payload
+    property test drives it directly; the 'changed' predicate is
+    NULL-safe (``~(new <=> old)``) — a NULL payload versions the row,
+    and replaying the same batch is a no-op because NULL <=> NULL."""
+    j = cur.join(batch_df, cur.c_custkey == batch_df.k, "left")
+    changed = (
+        F.col("k").isNotNull()
+        & F.col("is_current")
+        & ~F.col("new_bal").eqNullSafe(F.col("c_acctbal"))
+    )
+    closed = j.select(
+        "c_custkey",
+        "c_acctbal",
+        "version",
+        "valid_from",
+        F.when(changed, eff).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(changed, F.lit(False)).otherwise(F.col("is_current")).alias("is_current"),
+    )
+    opened = j.where(changed).select(
+        "c_custkey",
+        F.col("new_bal").alias("c_acctbal"),
+        (F.col("version") + 1).cast("int").alias("version"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)
+
+
 @op(
     "stream_scd2_apply",
     oracle=_SCD2_HIST_CTE
@@ -1257,8 +1290,14 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges to the batch rebuild.
 
     Replay safety: the merge is keyed and the 'changed' predicate
-    compares payloads, so re-applying a batch after a retry is a no-op
-    (the key's current version already carries new_bal). At 100 TB the
+    compares payloads NULL-safely (``~(new <=> old)``), so re-applying a
+    batch after a retry is a no-op (the key's current version already
+    carries new_bal — including a NULL payload, since NULL <=> NULL is
+    true) while a genuine NULL payload DOES version the row instead of
+    silently no-op'ing. Note the swap window: between the two renames the
+    ``dim`` path itself is briefly absent — complete versions exist at
+    ``_prev``/``_next`` — which is fine for this single-writer topology
+    but a concurrent reader would need the _prev fallback. At 100 TB the
     dimension is customer-grain (not fact-grain); the per-batch rewrite
     is dim-sized, and a real deployment swaps in a format with row-level
     MERGE (the same batch body unchanged)."""
@@ -1282,30 +1321,8 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur = spark.read.parquet(dim)
-        j = cur.join(batch_df, cur.c_custkey == batch_df.k, "left")
-        changed = (
-            F.col("k").isNotNull()
-            & F.col("is_current")
-            & (F.col("new_bal") != F.col("c_acctbal"))
-        )
-        closed = j.select(
-            "c_custkey",
-            "c_acctbal",
-            "version",
-            "valid_from",
-            F.when(changed, eff).otherwise(F.col("valid_to")).alias("valid_to"),
-            F.when(changed, F.lit(False)).otherwise(F.col("is_current")).alias("is_current"),
-        )
-        opened = j.where(changed).select(
-            "c_custkey",
-            F.col("new_bal").alias("c_acctbal"),
-            (F.col("version") + 1).cast("int").alias("version"),
-            eff.alias("valid_from"),
-            F.lit(None).cast("timestamp").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
         tmp = dim + "_next"
-        closed.unionByName(opened).write.mode("overwrite").parquet(tmp)
+        scd2_merge_frame(cur, batch_df, eff).write.mode("overwrite").parquet(tmp)
         # Two-step swap: the current version is moved aside (rename, not
         # delete) BEFORE the new one takes its name, so at every instant a
         # complete consistent version exists on disk — either at dim, or

@@ -41,6 +41,19 @@ def apply_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """JVM heap default sized to the MACHINE, not hard-coded (r11 ADVICE
+    #4): cap = 24g (~0.75g per local[32] thread, the sizing the r11 wedge
+    ladder established on the 128 GiB box), floor = 2g, otherwise ~1/5 of
+    physical RAM so a laptop-sized host doesn't over-commit out of the
+    box. SPARK_DRIVER_MEMORY overrides unconditionally."""
+    try:
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "24g"
+    return f"{max(2, min(24, total_gb // 5))}g"
+
+
 def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a local session with engine conventions applied.
 
@@ -51,6 +64,7 @@ def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = N
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -62,7 +76,7 @@ def get_spark(app_name: str = "userportrait", shuffle_partitions: int | None = N
         # stage at the 10x replica). The box has 128 GiB; ~0.75g/thread is
         # the sane local sizing. Cluster deployments size executors per
         # core-count the same way.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
