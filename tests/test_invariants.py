@@ -1594,3 +1594,189 @@ def test_index_meta_join_enforces_doc_contract(spark):
     )
     with pytest.raises(Exception, match="documents contract violated"):
         _join_doc_meta_1to1(members, docs_dup, ["lang"]).collect()
+
+
+def test_ivf_compact_collapses_files_and_preserves_probes(spark):
+    """sink_ivf_compact's two non-oracle claims (r11 VERDICT missing #1):
+    (a) FILE COLLAPSE — after the fold every base cell directory holds
+    exactly one file and the per-batch append dirs are retired, so the
+    serving view's file count strictly drops; (b) PROBE AGREEMENT — the
+    serving answers over base ∪ batch dirs before compaction are
+    bit-identical to the answers over the base alone after it."""
+    import glob
+    import os
+
+    from userportrait.ops.llm_similarity import _ivf_serve_probe
+    from userportrait.ops.streaming import _run_stream_ivf_ingest
+    from userportrait.registry import OPS
+
+    path, _cutoff, cent, batches_root = _run_stream_ivf_ingest(spark, SF_DIR)
+    files_before = glob.glob(os.path.join(path, "cell=*", "*.parquet")) + glob.glob(
+        os.path.join(batches_root, "batch_id=*", "cell=*", "*.parquet")
+    )
+    view = (
+        spark.read.parquet(path)
+        .select("vec_id", "embedding", "cell")
+        .unionByName(spark.read.parquet(batches_root).select("vec_id", "embedding", "cell"))
+    )
+    e = load(spark, SF_DIR).embeddings
+    before = sorted(map(tuple, _ivf_serve_probe(e, cent, view).collect()))
+
+    OPS["sink_ivf_compact"].fn(spark, SF_DIR).collect()
+
+    assert not os.path.exists(batches_root), "batch dirs must be retired by the fold"
+    files_after = glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+    assert len(files_after) < len(files_before)
+    from collections import Counter
+
+    per_cell = Counter(os.path.basename(os.path.dirname(f)) for f in files_after)
+    assert all(n == 1 for n in per_cell.values()), per_cell
+
+    base_view = spark.read.parquet(path).select("vec_id", "embedding", "cell")
+    after = sorted(map(tuple, _ivf_serve_probe(e, cent, base_view).collect()))
+    assert after == before
+
+
+def test_pq_append_frozen_books_and_reachability(spark):
+    """sink_pq_append's model-side claims, which the EXACT count rollup
+    cannot see: (a) the append leaves the BASE code rows and the
+    codebooks bit-identical (no retraining, no rewrite); (b) appended
+    rows equal encoding the new vectors directly with the frozen books
+    (replaying the encoder from the persisted quantizer is
+    deterministic); (c) appended vectors are REACHABLE — the ADC search
+    over the merged code table surfaces post-cutoff neighbors."""
+    import numpy as np
+
+    from userportrait.ops.llm_similarity import (
+        _pq_adc_search,
+        _pq_append_parts,
+        _pq_encode,
+        _unit_embeddings,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from userportrait.registry import OPS
+
+    import os as _os
+
+    root, cutoff = _pq_append_parts(spark, SF_DIR)
+    base_codes = dict(
+        (r.vec_id, r.code)
+        for r in spark.read.parquet(_os.path.join(root, "codes")).collect()
+    )
+    books_before = sorted(
+        map(tuple, spark.read.parquet(_os.path.join(root, "codebooks")).collect())
+    )
+
+    OPS["sink_pq_append"].fn(spark, SF_DIR).collect()
+
+    books_after_rows = spark.read.parquet(_os.path.join(root, "codebooks")).collect()
+    assert sorted(map(tuple, books_after_rows)) == books_before
+    merged = {
+        r.vec_id: r.code
+        for r in spark.read.parquet(_os.path.join(root, "codes")).collect()
+    }
+    for vid, code in base_codes.items():
+        assert merged[vid] == code, f"base code rewritten for vec_id={vid}"
+
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in books_after_rows:
+        books[r.sub, r.cent, r.dim] = r.w
+    e = load(spark, SF_DIR).embeddings
+    direct = {
+        r.vec_id: r.code
+        for r in _unit_embeddings(e.where(F.col("vec_id") > cutoff))
+        .mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .collect()
+    }
+    assert direct, "fixture must have post-cutoff vectors"
+    for vid, code in direct.items():
+        assert merged[vid] == code, f"appended code diverges for vec_id={vid}"
+
+    from userportrait.ops.curation import HEX
+
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    codes_df = spark.read.parquet(_os.path.join(root, "codes"))
+    res = _pq_adc_search(spark, e, _unit_embeddings(e.where(sample)), codes_df, books).collect()
+    assert any(r.neighbor_id > cutoff for r in res), "appended vectors unreachable"
+
+
+def test_stream_left_outer_nulls_emitted_by_watermark(spark):
+    """stream_stream_left_outer's defining mechanic: the unmatched-click
+    NULL row is emitted by WATERMARK PASSAGE, not by data arrival. On a
+    hand-staged three-batch stream — batch 0: a click plus an unrelated
+    purchase (watermark stays below click.ts + 1 h, state must HOLD);
+    batch 1: a far-future sentinel (advances the watermark past the
+    horizon); batch 2: a second sentinel (the data batch that runs join
+    cleanup under the advanced watermark) — the NULL row must appear in
+    no batch before index 2 and exactly once in total."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    d = "/tmp/up_test_lo_stage"
+    chk = "/tmp/up_test_lo_chk"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    os.makedirs(os.path.join(d, "in"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+    batches = [
+        [(1, ts("2024-01-01 10:00:00"), 1, "click"), (2, ts("2024-01-01 10:30:00"), 2, "purchase")],
+        [(-1, ts("2024-01-01 13:00:00"), -1, "__s__")],
+        [(-1, ts("2024-01-01 13:00:00"), -1, "__s__")],
+    ]
+    for i, rows in enumerate(batches):
+        tmp = os.path.join(d, f"c{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, "in", f"chunk_{i:02d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1000 + 100 * i,) * 2)
+
+    def mk():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(d, "in"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    clicks = mk().where("event_type IN ('click', '__s__')").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = mk().where("event_type IN ('purchase', '__s__')").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    emitted = []
+    def fb(b, i):
+        emitted.extend((i, tuple(r)) for r in b.where("click_id != -1").collect())
+
+    q = (
+        j.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # row layout: (click_id, c_user, c_ts, purchase_id, p_user, p_ts)
+    nulls = [(i, r) for i, r in emitted if r[3] is None]
+    assert len(nulls) == 1, emitted
+    batch_idx = nulls[0][0]
+    assert batch_idx >= 2, f"NULL emitted in batch {batch_idx}: not watermark-driven"
+    assert nulls[0][1][0] == 1  # the unmatched click
