@@ -64,76 +64,73 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r11 window: the seventeen never-driver-graded r11 additions lead
-# (scan_ivf_probe_filtered, sink_ivf_append, stream_funnel_rocksdb,
-# diag_ann_nprobe_curve, dq_ann_index_health, sink_ivf_rebalance,
-# scan_scd2_asof, join_asof_forward, tag_audience_overlap,
-# scan_cdc_changefeed, events_diff_in_diff, scan_ivf_probe_kmeans_filtered,
-# graph_jaccard_link_prediction, tag_segment_migration, stream_scd2_apply,
-# stream_ivf_append, graph_link_prediction_capped). Next,
-# re-certification of every op
-# MODIFIED since its last grade: scan_ivf_probe + stream_funnel_stages +
-# sink_scd2 + scan_ivf_probe_kmeans (bodies factored into the shared
-# _ivf_serve_probe / _funnel_out / _write_scd2 / _kmeans_serve helpers the
-# r11 siblings reuse; the kmeans index now carries lang for the filtered
-# sibling),
-# doc_pack_sequences (global token offset distributed — pinned range
-# partitions + mapInPandas prefix + broadcast offsets), stream_topic_router
-# (HALF_UP Decimal rounding), events_seasonal_decompose (densified day
-# spine), agg_kmv_set_cardinality (dead estimator lambda removed). Filler:
-# oldest-evidence greens (the r05/r06-vintage block — text kit, multimodal,
-# streaming v1, relational/join/agg core), oldest first, capped at 50.
+# r12 window: the three never-driver-graded r12 additions lead
+# (sink_ivf_compact, sink_pq_append, stream_stream_left_outer); next, the
+# seventeen ops MODIFIED this round (null-safe SCD2 changed-predicate in
+# the shared CTE + both merge bodies; the _cell_scores consolidation the
+# whole label-quantizer IVF family now scores through; the guarded 1:1
+# documents meta join in both index writers; conf-driven wedge partition
+# width on the link-prediction pair); filler: 30 of the 39 r06-vintage
+# stalest-evidence ops (the r11 VERDICT rotation item #6 asked for >= 25;
+# the 9 leftovers lead r13's filler block).
 GRADE_FIRST: tuple[str, ...] = (
-    "scan_ivf_probe_filtered",
-    "sink_ivf_append",
-    "stream_funnel_rocksdb",
-    "diag_ann_nprobe_curve",
-    "dq_ann_index_health",
-    "sink_ivf_rebalance",
+    # r12 window — 3 never-graded r12 additions first:
+    "sink_ivf_compact",
+    "sink_pq_append",
+    "stream_stream_left_outer",
+    # then re-certification of every op MODIFIED in r12 (null-safe SCD2
+    # predicate; _cell_scores consolidation across the IVF family; the
+    # guarded 1:1 meta join in both index writers; conf-driven wedge
+    # partition width on the link-prediction pair):
+    "sink_scd2",
     "scan_scd2_asof",
-    "join_asof_forward",
-    "tag_audience_overlap",
-    "scan_cdc_changefeed",
-    "events_diff_in_diff",
+    "stream_scd2_apply",
+    "sim_knn_ivf",
+    "sim_knn_ivf_recall",
+    "scan_ivf_probe",
+    "scan_ivf_probe_filtered",
+    "sink_ivf_layout",
+    "sink_ivf_append",
+    "stream_ivf_append",
+    "sink_ivf_rebalance",
+    "dq_ann_index_health",
+    "diag_ann_nprobe_curve",
+    "scan_ivf_probe_kmeans",
     "scan_ivf_probe_kmeans_filtered",
     "graph_jaccard_link_prediction",
-    "tag_segment_migration",
-    "stream_scd2_apply",
-    "stream_ivf_append",
     "graph_link_prediction_capped",
-    "scan_ivf_probe",
-    "scan_ivf_probe_kmeans",
-    "sink_scd2",
-    "stream_funnel_stages",
-    "doc_pack_sequences",
-    "stream_topic_router",
-    "events_seasonal_decompose",
-    "agg_kmv_set_cardinality",
-    "tag_lookalike",
-    "ml_lr_propensity",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_entropy",
-    "text_lm_score",
-    "sim_knn_lsh",
-    "dedup_embed_cosine",
-    "mm_binary_metadata",
-    "mm_decode_stub",
-    "mm_resize_stub",
-    "mm_feature_extract",
-    "stream_custom_state",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_foreachbatch_sink",
-    "stream_complete_counts",
-    "udf_arrow_scalar",
-    "scan_parquet",
-    "scan_events_ns",
-    "catalog_views",
-    "filter_simple",
-    "filter_null_semantics",
+    # then 30 of the 39 r06-vintage stalest-evidence ops (the r11 VERDICT
+    # rotation item; the 9 leftovers lead the r13 filler block):
+    "agg_count_distinct",
+    "agg_percentile",
+    "agg_stats",
+    "agg_unpivot",
+    "dedup_ngram_spans",
+    "diag_key_skew",
+    "doc_chunking",
+    "doc_length_outliers",
+    "doc_source_cap_sample",
+    "embed_dim_stats",
+    "embed_quantize",
+    "events_anomaly_zscore",
+    "events_dau_stickiness",
+    "join_skew_salted",
+    "join_theta_range",
+    "sample_stratified",
+    "sessionize_events",
+    "sim_centroid_assign",
+    "sink_compact_small_files",
+    "subq_correlated",
+    "tag_activity_streak",
+    "tag_activity_trend",
+    "tag_basket_affinity",
+    "tag_refresh_delta",
+    "text_repetition",
+    "win_lag_lead",
+    "win_topk_per_group",
+    "join_inner_equi",
+    "join_asof_latest",
+    "tag_rfm",
 )
 
 
