@@ -1541,38 +1541,13 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_ivf_compact", oracle=_IVF_APPEND_ORACLE)
-def sink_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index COMPACTION — the maintenance verb the streaming append
-    creates a need for (r11 VERDICT missing #1): stream_ivf_append writes
-    one overwrite directory per micro-batch for exactly-once replay, so
-    after a week of triggers the serving view is base ∪ N batch dirs — a
-    small-file fan-out on every probe (the vector-index version of the
-    problem sink_compact_small_files solves for plain tables). This op
-    folds the settled batch dirs into the base cell partitions and
-    retires them, returning serving to a single-layout read.
-
-    Mechanics: replay the streaming ingest (shared _run_stream_ivf_ingest
-    state), read the batch members, and rewrite ONLY the touched cells
-    via dynamic partition overwrite — each touched cell's new partition
-    is its base members ∪ its batch members, pinned (materialized) before
-    the write so Spark is not overwriting a path it is reading. Untouched
-    cells' files are never rewritten: the pass costs O(mass in touched
-    cells), not O(corpus). Batch dirs are then retired with the SCD2
-    move-aside-then-delete convention. Single-writer topology; a
-    concurrent-reader deployment flips a manifest from 'base ∪ batches'
-    to 'base' at the commit point instead (same fold body).
-
-    The rollup reads back the BASE ONLY — equality with the append
-    oracle (same text as sink_ivf_append / stream_ivf_append) IS the
-    claim: after compaction the base alone carries every vector, per
-    cell, with an exact vec_id checksum. File collapse (touched cells
-    end at one file; the batch fan-out is gone) and probe agreement
-    (serving answers bit-identical before/after the fold) are pinned by
-    tests/test_invariants.py::test_ivf_compact_collapses_files_and_preserves_probes."""
+def ivf_fold_batches(spark: SparkSession, path: str, batches_root: str) -> None:
+    """The fold body of sink_ivf_compact, factored so the scale ladder
+    (scripts/ivf_compact_ladder.py) drives it against an arbitrary batch
+    fan-out: rewrite ONLY the touched cells (base ∪ batch members, pinned
+    to break the read-overwrite cycle) via dynamic partition overwrite,
+    then retire the batch dirs move-aside-first."""
     from ..catalog import pin
-
-    path, cutoff, _cent, batches_root = _run_stream_ivf_ingest(spark, sf_dir)
 
     batches = spark.read.parquet(batches_root).select("vec_id", "embedding", "cell")
     touched = batches.select("cell").distinct()
@@ -1602,6 +1577,38 @@ def sink_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.rename(batches_root, retired)
     shutil.rmtree(retired)
 
+
+@op("sink_ivf_compact", oracle=_IVF_APPEND_ORACLE)
+def sink_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index COMPACTION — the maintenance verb the streaming append
+    creates a need for (r11 VERDICT missing #1): stream_ivf_append writes
+    one overwrite directory per micro-batch for exactly-once replay, so
+    after a week of triggers the serving view is base ∪ N batch dirs — a
+    small-file fan-out on every probe (the vector-index version of the
+    problem sink_compact_small_files solves for plain tables). This op
+    folds the settled batch dirs into the base cell partitions and
+    retires them, returning serving to a single-layout read.
+
+    Mechanics: replay the streaming ingest (shared _run_stream_ivf_ingest
+    state), read the batch members, and rewrite ONLY the touched cells
+    via dynamic partition overwrite — each touched cell's new partition
+    is its base members ∪ its batch members, pinned (materialized) before
+    the write so Spark is not overwriting a path it is reading. Untouched
+    cells' files are never rewritten: the pass costs O(mass in touched
+    cells), not O(corpus). Batch dirs are then retired with the SCD2
+    move-aside-then-delete convention. Single-writer topology; a
+    concurrent-reader deployment flips a manifest from 'base ∪ batches'
+    to 'base' at the commit point instead (same fold body).
+
+    The rollup reads back the BASE ONLY — equality with the append
+    oracle (same text as sink_ivf_append / stream_ivf_append) IS the
+    claim: after compaction the base alone carries every vector, per
+    cell, with an exact vec_id checksum. File collapse (touched cells
+    end at one file; the batch fan-out is gone) and probe agreement
+    (serving answers bit-identical before/after the fold) are pinned by
+    tests/test_invariants.py::test_ivf_compact_collapses_files_and_preserves_probes."""
+    path, cutoff, _cent, batches_root = _run_stream_ivf_ingest(spark, sf_dir)
+    ivf_fold_batches(spark, path, batches_root)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
