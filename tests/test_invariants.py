@@ -1780,3 +1780,112 @@ def test_stream_left_outer_nulls_emitted_by_watermark(spark):
     batch_idx = nulls[0][0]
     assert batch_idx >= 2, f"NULL emitted in batch {batch_idx}: not watermark-driven"
     assert nulls[0][1][0] == 1  # the unmatched click
+
+
+def test_ivf_delete_tombstone_purge_agree(spark):
+    """sink_ivf_delete's serving claims: (a) the TOMBSTONE view (members
+    anti-join manifest) and the PURGED index answer the serving probe
+    identically — logical and physical deletion are the same index; (b) no
+    erased vec_id appears in post-delete serving answers, as query or as
+    neighbor; (c) the applied manifest is exactly the deterministic
+    deletion set (the GDPR audit trail)."""
+    import os as _os
+
+    from userportrait.ops.curation import HEX
+    from userportrait.ops.llm_similarity import _ivf_serve_probe, label_centroids
+    from userportrait.ops.scans import SCRATCH
+    from userportrait.registry import OPS
+
+    e = load(spark, SF_DIR).embeddings
+    del_pred = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 15
+    )
+    deleted_ids = {r.vec_id for r in e.where(del_pred).select("vec_id").collect()}
+    assert deleted_ids, "fixture must hit the deletion nibble"
+
+    OPS["sink_ivf_delete"].fn(spark, SF_DIR).collect()
+    path = _os.path.join(SCRATCH, "embeddings_ivf_del")  # NOT _scratch(): that wipes the dir
+
+    applied = {
+        r.vec_id for r in spark.read.parquet(path + "_applied").select("vec_id").collect()
+    }
+    assert applied == deleted_ids
+
+    purged = spark.read.parquet(path).select("vec_id", "embedding", "cell")
+    assert purged.where(F.col("vec_id").isin(list(deleted_ids))).count() == 0
+
+    cent = label_centroids(e)
+    qs = e.where(~del_pred)  # erased users are not queryable either
+    got_purged = sorted(map(tuple, _ivf_serve_probe(qs, cent, purged).collect()))
+    # the logical view: rebuild the pre-purge members and anti-join the set
+    full = e.join(
+        purged.select("vec_id", "cell").unionByName(
+            spark.read.parquet(path + "_applied").select("vec_id", "cell")
+        ),
+        "vec_id",
+    ).select("vec_id", "embedding", "cell")
+    logical = full.join(
+        spark.read.parquet(path + "_applied").select("vec_id"), "vec_id", "left_anti"
+    )
+    got_logical = sorted(map(tuple, _ivf_serve_probe(qs, cent, logical).collect()))
+    assert got_purged == got_logical
+    ids_in_answers = {r[0] for r in got_purged} | {r[1] for r in got_purged}
+    assert not (ids_in_answers & deleted_ids)
+
+
+def test_pq_probe_filtered_lang_and_recall(spark):
+    """scan_pq_probe_filtered (ROWS-only: trained codebooks) invariants:
+    (a) every answered neighbor satisfies the lang predicate (the filter
+    is semantic, not advisory); (b) run-stable; (c) k MAINTAINED over
+    survivors (5 per query); (d) recall@5 vs the exact FILTERED kNN on
+    the same md5 query sample clears the unfiltered probe's floor."""
+    from collections import Counter
+
+    from pyspark.sql import Window as W
+
+    from userportrait.ops.curation import HEX
+    from userportrait.ops.llm_similarity import _FILTERED_LANG
+
+    a = sorted(map(tuple, OPS["scan_pq_probe_filtered"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["scan_pq_probe_filtered"].fn(spark, SF_DIR).collect()))
+    assert a == b, "filtered PQ probe must be run-stable"
+    per_query = Counter(r[0] for r in a)
+    assert per_query and set(per_query.values()) == {5}
+
+    t = load(spark, SF_DIR)
+    lang = {r.doc_id: r.lang for r in t.documents.select("doc_id", "lang").collect()}
+    assert all(lang[r[1]] == _FILTERED_LANG for r in a), "non-matching neighbor served"
+
+    # exact FILTERED kNN on the same sample: brute-force cosine over the
+    # lang-matching candidates (fixture-sized; the reference the ADC path
+    # approximates)
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vn = t.embeddings.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    en = t.documents.where(F.col("lang") == _FILTERED_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = vn.where(sample).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vn.join(en, "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = q.join(c, F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        (agg_sum(F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y)) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    exact = {
+        (r.qid, r.cid)
+        for r in scored.withColumn("rn", F.row_number().over(w)).where("rn <= 5").collect()
+    }
+    hits = sum((r[0], r[1]) in exact for r in a)
+    recall = hits / len(a)
+    assert recall >= 0.6, f"filtered PQ probe recall@5 regressed: {recall:.4f}"

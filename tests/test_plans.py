@@ -349,6 +349,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= 32^3-row bucket-count metadata frame",
         ("llm_similarity.py", "parts = pf.collect()"):
             "bounded: <= #partitions PCA moment rows (d + d^2 doubles each)",
+        ("llm_similarity.py", 'fully = [r.cell for r in touched.join(survivors.select("cell").distinct(), "cell", "left_anti").collect()]  # <= cell-count rows (quantizer metadata)'):
+            "bounded: <= quantizer-cell-count ids — the fully-deleted cells dynamic overwrite cannot clear",
         ("llm_similarity.py", 'probed = [r["cell"] for r in probes.select("cell").distinct().collect()]'):
             "bounded: <= k quantizer-cell ids (metadata, never data volume) — the static partition filter of the serving probe",
         ("streaming.py", 'for r in words.collect():'):

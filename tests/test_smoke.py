@@ -44,6 +44,7 @@ def test_registry_contract(spark):
         "stream_topic_router",
         "scan_pq_probe",
         "scan_ivf_probe_kmeans_filtered",
+        "scan_pq_probe_filtered",
     }, rows_only
 
 

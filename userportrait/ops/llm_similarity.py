@@ -2739,3 +2739,191 @@ def sink_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("bigint").alias("vec_min"),
         F.max("vec_id").cast("bigint").alias("vec_max"),
     )
+
+
+@op(
+    "sink_ivf_delete",
+    oracle=_IVF_ASSIGN_CTE_DUCK
+    + """
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           CAST(sum(CASE WHEN NOT a.del THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN NOT a.del THEN a.vec_id ELSE 0 END) AS BIGINT) AS vecid_sum,
+           CAST(sum(CASE WHEN a.del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+    FROM (
+      SELECT vec_id, cell,
+             instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 = 15 AS del
+      FROM assign
+    ) a
+    GROUP BY a.cell
+    """,
+)
+def sink_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETION — the right-to-be-forgotten verb that completes
+    the lifecycle (build / append / compact / rebalance / DELETE): a
+    deterministic deletion set (first md5 nibble of vec_id = 15, ~1/16 of
+    members — standing in for the erasure-request id list a GDPR pipeline
+    receives) is removed from the persisted cell-partitioned index in the
+    two phases a real deployment runs:
+
+    1. TOMBSTONE (logical, instant): the deletion manifest is written
+       next to the index; serving anti-joins it, so erased vectors stop
+       appearing the moment the manifest lands — no data rewritten.
+    2. PURGE (physical, amortized): only the cells that hold tombstoned
+       members are rewritten survivor-only via dynamic partition
+       overwrite (the sink_ivf_compact fold discipline — pinned merge
+       frame, O(touched mass) not O(corpus)); a cell whose members were
+       ALL deleted is not in the survivor frame, so dynamic overwrite
+       cannot clear it — those directories are removed explicitly (the
+       bounded ≤cell-count collect below). The manifest is then retired
+       to an _applied audit trail, which the rollup also reads back —
+       erasure compliance wants proof of WHAT was purged, not just its
+       absence.
+
+    Readback rollup (EXACT): per cell, surviving count + exact vec_id
+    checksum + the applied-deletion count — the oracle recomputes the
+    full-corpus assignment algebraically and splits it on the same md5
+    predicate. Probe agreement between the tombstone view and the purged
+    index, and the absence of every erased id from serving answers, are
+    pinned by tests/test_invariants.py::test_ivf_delete_tombstone_purge_agree."""
+    import shutil as _sh
+
+    from .curation import HEX
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings
+    cent = label_centroids(e)
+    idx = e.join(ivf_assign(e, cent), "vec_id").select("vec_id", "embedding", "cell")
+    path = _scratch("embeddings_ivf_del")
+    (
+        idx.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+    # Phase 1: tombstone manifest (vec_id, cell) — cell rides along so the
+    # purge prunes to touched partitions without re-deriving assignments.
+    del_pred = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 15
+    )
+    back = spark.read.parquet(path)
+    ts_path = path + "_tombstones"
+    back.where(del_pred).select("vec_id", "cell").write.mode("overwrite").parquet(ts_path)
+
+    # Phase 2: purge — survivor-only rewrite of ONLY the touched cells.
+    tsr = spark.read.parquet(ts_path)
+    touched = tsr.select("cell").distinct()
+    survivors = pin(
+        back.join(F.broadcast(touched), "cell")
+        .join(tsr.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "embedding", "cell")
+    )
+    fully = [r.cell for r in touched.join(survivors.select("cell").distinct(), "cell", "left_anti").collect()]  # <= cell-count rows (quantizer metadata)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            survivors.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    for c in fully:
+        _sh.rmtree(os.path.join(path, f"cell={c}"), ignore_errors=True)
+
+    applied = path + "_applied"
+    _sh.rmtree(applied, ignore_errors=True)
+    os.rename(ts_path, applied)
+
+    sur = spark.read.parquet(path).groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+    )
+    dels = spark.read.parquet(applied).groupBy(
+        F.col("cell").cast("bigint").alias("cell")
+    ).agg(F.count("*").cast("bigint").alias("n_deleted"))
+    return sur.join(dels, "cell", "full").select(
+        "cell",
+        F.coalesce("n_vecs", F.lit(0)).cast("bigint").alias("n_vecs"),
+        F.coalesce("vecid_sum", F.lit(0)).cast("bigint").alias("vecid_sum"),
+        F.coalesce("n_deleted", F.lit(0)).cast("bigint").alias("n_deleted"),
+    )
+
+
+def _write_pq_meta_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the PQ index with FILTERABLE metadata riding next to each
+    code row (vec_id, code, lang — the _write_ivf_meta_index convention
+    carried to the compressed layout): an attribute predicate prunes the
+    CODE TABLE at the parquet scan, so a filtered ADC pass broadcasts
+    only surviving codes. Shared by scan_pq_probe_filtered."""
+    from .scans import _scratch
+
+    t = load(spark, sf_dir)
+    e = t.embeddings
+    unit = _unit_embeddings(e)
+    books = _pq_codebooks(unit)
+    root = _scratch("embeddings_pq_meta")
+    rows = [
+        (s_, c_, d_, float(books[s_, c_, d_]))
+        for s_ in range(PQ_M)
+        for c_ in range(PQ_K)
+        for d_ in range(PQ_SUBDIM)
+    ]
+    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "codebooks"))
+    codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+    (
+        _join_doc_meta_1to1(codes, t.documents, ["lang"])
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "codes"))
+    )
+    return root
+
+
+@op("scan_pq_probe_filtered", oracle=None)
+def scan_pq_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED serving from the persisted PQ index — the
+    compressed-layout sibling of scan_ivf_probe_filtered: the lang
+    predicate lands on the CODE TABLE scan (lang rides next to each code
+    row at build, so the filter is a parquet PushedFilters prune
+    composing with the ADC pass's vec_id-range chunk pushdown — no
+    serve-time metadata join), the ADC scan then broadcasts only
+    surviving codes, and the exact rescore ranks top-5 per query over
+    survivors — k is MAINTAINED over the filtered candidate set, not
+    post-filtered from an unfiltered top-5.
+
+    At 100 TB the economics mirror the IVF finding (r11 ladder: filtering
+    in the scan is a cost REDUCTION): a lang that keeps 40% of the corpus
+    shrinks every broadcast chunk and every ADC lookup table by the same
+    fraction. Oracle = ROWS (trained codebooks); gated by
+    tests/test_invariants.py::test_pq_probe_filtered_lang_and_recall —
+    lang purity of every answer, run-stability, k-maintenance, and
+    recall@5 against the exact FILTERED kNN on the same sample."""
+    import numpy as np
+
+    from .curation import HEX
+
+    root = _write_pq_meta_index(spark, sf_dir)
+    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        books[r.sub, r.cent, r.dim] = r.w
+    codes = (
+        spark.read.parquet(os.path.join(root, "codes"))
+        .where(F.col("lang") == _FILTERED_LANG)
+        .select("vec_id", "code")
+    )
+    e = load(spark, sf_dir).embeddings
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    queries = _unit_embeddings(e.where(sample))
+    return _pq_adc_search(spark, e, queries, codes, books)
