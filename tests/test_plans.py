@@ -958,3 +958,27 @@ def test_scd2_asof_pushes_validity_predicate_to_scan(spark):
     ]
     assert pushed, "validity predicate must reach the parquet scan"
     assert "Join" not in plan, "AS OF must be a filter, not a snapshot-spine join"
+
+
+def test_pq_filtered_codes_scan_pushes_lang(spark):
+    """scan_pq_probe_filtered's scale claim: the lang predicate prunes the
+    CODE TABLE at the parquet scan (PushedFilters), composing with the ADC
+    chunk fetch's vec_id-range pushdown — no serve-time metadata join. The
+    frame below is the op's own codes construction (llm_similarity.py::
+    scan_pq_probe_filtered)."""
+    from pyspark.sql import functions as F
+
+    from userportrait.ops.llm_similarity import _FILTERED_LANG, _write_pq_meta_index
+
+    root = _write_pq_meta_index(spark, SF_DIR)
+    codes = (
+        spark.read.parquet(root + "/codes")
+        .where(F.col("lang") == _FILTERED_LANG)
+        .select("vec_id", "code")
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "EqualTo(lang,en)" in l
+    ]
+    assert pushed, "lang predicate must reach the code-table scan as a pushed filter"
+    assert "embeddings_pq_meta" in plan

@@ -1580,3 +1580,48 @@ def dq_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_cnt",
         F.round((p - q) * F.log(p / q), 6).alias("psi"),
     )
+
+
+@op(
+    "diag_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
+    FROM orders
+    """,
+)
+def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics via ``df.observe`` (named Observation):
+    row count, threshold-breach count, null count, and an exact decimal
+    total are accumulated ON the data pass itself (AccumulatorV2 under
+    the hood) — the production pattern for data-quality gates that must
+    not pay a second scan. At 100 TB the difference between observe and
+    a separate dq aggregate is a full extra read of the fact table; the
+    observed pass here is a zero-output noop-sink write, standing in for
+    whatever real write the pipeline performs. The metrics arrive as one
+    driver-side row (bounded by construction — it is an aggregate), and
+    the op returns them as the 1-row health frame a dq dashboard ingests.
+    Oracle recomputes the identical aggregate relationally."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_health")
+    o = load(spark, sf_dir).orders
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 450000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_big"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get  # 1-row observation payload (aggregate metadata, never data volume)
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["n_null_priority"], m["total"])],
+        "n_rows bigint, n_big bigint, n_null_priority bigint, total double",
+    )

@@ -1616,3 +1616,85 @@ def sink_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("vec_id") > cutoff, 1).otherwise(0)).cast("bigint").alias("n_appended"),
         F.sum("vec_id").cast("bigint").alias("vecid_sum"),
     )
+
+
+@op(
+    "stream_custom_datasource",
+    oracle="""
+    SELECT i AS id, md5(CAST(i AS VARCHAR)) AS h, CAST(i % 7 AS INT) AS bucket
+    FROM generate_series(0, 999) t(i)
+    """,
+)
+def stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING connector via the Python Data Source API (Spark 4) — the
+    micro-batch twin of scan_custom_datasource: a SimpleDataSourceStreamReader
+    whose offset is a plain dict checkpointed by the engine, advancing 300
+    ids per trigger until the deterministic range (1000 rows) is drained.
+    This is the extension point for message buses Spark has no built-in
+    reader for (the Kafka-shaped gap the container cannot host a broker
+    for): offsets-in / rows-out, replay from any committed offset via
+    readBetweenOffsets, exactly-once into the sink.
+
+    Termination: this build's engine falls back to single-batch execution
+    for availableNow on Python sources (observed warning), so the op runs
+    processingTime + processAllAvailable — which stops once read() returns
+    a non-advancing offset — and asserts nothing was double-read. The
+    EXACT oracle regenerates the same rows arithmetically; a duplicated or
+    dropped micro-batch changes the row multiset and fails the hash."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    TOTAL, STEP = 1000, 300
+
+    class CounterReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start):
+            import hashlib
+
+            s = start["offset"]
+            if s >= TOTAL:
+                return iter([]), start
+            e = min(s + STEP, TOTAL)
+            rows = [
+                (i, hashlib.md5(str(i).encode()).hexdigest(), i % 7) for i in range(s, e)
+            ]
+            return iter(rows), {"offset": e}
+
+        def readBetweenOffsets(self, start, end):
+            import hashlib
+
+            return iter(
+                (i, hashlib.md5(str(i).encode()).hexdigest(), i % 7)
+                for i in range(start["offset"], end["offset"])
+            )
+
+    class CounterSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "up_counter_stream"
+
+        def schema(self):
+            return "id bigint, h string, bucket int"
+
+        def simpleStreamReader(self, schema):
+            return CounterReader()
+
+    spark.dataSource.register(CounterSource)
+    global _query_seq
+    _query_seq += 1
+    qname = f"up_counter_{os.getpid()}_{_query_seq}"
+    chk = os.path.join(_STAGE_ROOT, "counter_chk", qname)
+    shutil.rmtree(chk, ignore_errors=True)
+    q = (
+        spark.readStream.format("up_counter_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname)
