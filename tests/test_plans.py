@@ -537,6 +537,10 @@ def test_no_unaudited_broadcast_hints():
             "part dim 2-col projection (standard star-join build side)",
         ("curation.py", "d.crossJoin(F.broadcast(q))"):
             "1-row quantile-scalar frame (length outlier bounds)",
+        ("llm_similarity.py", 'back.join(F.broadcast(touched), "cell")'):
+            "distinct tombstoned cells (<= quantizer cell count — metadata, never data volume)",
+        ("streaming.py", '.join(F.broadcast(touched), "cell")'):
+            "distinct appended cells (<= quantizer cell count — metadata, never data volume)",
         ("curation.py", 'daily.join(F.broadcast(m), "event_type")'):
             "per-event-type moments (<= #event_types rows)",
         ("curation.py", 'probes.join(F.broadcast(cells), ["seed", "bucket"])'):

@@ -1603,9 +1603,24 @@ def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever real write the pipeline performs. The metrics arrive as one
     driver-side row (bounded by construction — it is an aggregate), and
     the op returns them as the 1-row health frame a dq dashboard ingests.
-    Oracle recomputes the identical aggregate relationally."""
+    Oracle recomputes the identical aggregate relationally.
+
+    Session-poisoning wart (measured on this build): registering an
+    Observation instantiates the session's LAZY ObservationManager, which
+    is not java-serializable — every later closure that captures the
+    session (e.g. an MLlib model transform shipping its trainingSummary)
+    then dies with Task-not-serializable. The observe therefore runs on a
+    throwaway child session (same SparkContext, own session state), so
+    the parent's manager field stays null — and the parent is restored as
+    the ACTIVE session afterwards, because running anything on the child
+    silently makes it thread-active and a later ``fit`` would capture the
+    poisoned child into its training summary (also measured)."""
     from pyspark.sql import Observation
 
+    from ..session import apply_session_confs
+
+    parent = spark
+    spark = apply_session_confs(spark.newSession())
     obs = Observation("orders_health")
     o = load(spark, sf_dir).orders
     observed = o.observe(
@@ -1619,9 +1634,106 @@ def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_priority"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
     )
-    observed.write.format("noop").mode("overwrite").save()
-    m = obs.get  # 1-row observation payload (aggregate metadata, never data volume)
-    return spark.createDataFrame(
+    try:
+        observed.write.format("noop").mode("overwrite").save()
+        m = obs.get  # 1-row observation payload (aggregate metadata, never data volume)
+    finally:
+        parent._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            parent._jsparkSession
+        )
+    return parent.createDataFrame(
         [(m["n_rows"], m["n_big"], m["n_null_priority"], m["total"])],
         "n_rows bigint, n_big bigint, n_null_priority bigint, total double",
     )
+
+
+@op(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS expectation,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orders_custkey_not_null', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS suite (the contract-check
+    shape of Great Expectations / dbt tests, engine-native): primary-key
+    uniqueness, not-null, value-range, categorical domain, and referential
+    integrity against the customer dim — one (expectation, n_checked,
+    n_violations) row each, the frame a CI gate asserts all-zeros on.
+
+    Scale shape: the three ROW-LOCAL expectations (not-null, range,
+    domain) fuse into ONE scan of the fact table as conditional sums — a
+    suite of 30 such checks still costs one pass; the uniqueness check is
+    a map-side-combinable groupBy on the key; the FK check is a broadcast
+    left join against the dim. Nothing here is per-expectation scans — at
+    100 TB that difference is the whole feature. (diag_observe_metrics is
+    the zero-extra-pass variant that rides an existing write; this op is
+    the standalone audit.)"""
+    t = load(spark, sf_dir)
+    o = t.orders
+
+    def row(name, n, viol):
+        return F.struct(
+            F.lit(name).alias("expectation"),
+            n.cast("bigint").alias("n_checked"),
+            viol.cast("bigint").alias("n_violations"),
+        )
+
+    # one fused pass over orders: every row-local expectation is a
+    # conditional sum over the same scan
+    fused = o.agg(
+        row(
+            "orders_custkey_not_null",
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+        ).alias("a"),
+        row(
+            "orders_totalprice_positive",
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+        ).alias("b"),
+        row(
+            "orders_status_domain",
+            F.count(F.lit(1)),
+            F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)),
+        ).alias("c"),
+    ).select(F.explode(F.array("a", "b", "c")).alias("r")).select("r.*")
+
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.lit("orders_pk_unique").alias("expectation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        )
+    )
+    # no broadcast hint: customer grows with SF (not bounded by
+    # construction) — AQE picks the broadcast at measured size when it fits
+    fk = (
+        o.join(t.customer.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left")
+        .agg(
+            F.lit("orders_fk_customer").alias("expectation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    return fused.unionByName(uniq).unionByName(fk)
