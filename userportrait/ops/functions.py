@@ -324,3 +324,47 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k2").cast("bigint").alias("k2_sum"),
         F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing"),
     )
+
+
+@op(
+    "fn_collation",
+    oracle="""
+    WITH w AS (
+      SELECT CASE p_partkey % 3 WHEN 0 THEN upper(p_brand)
+                                WHEN 1 THEN lower(p_brand)
+                                ELSE p_brand END AS w
+      FROM part
+    )
+    SELECT min(w) AS brand_min, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_variants
+    FROM w GROUP BY lower(w)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4): a case-mixed brand column (upper /
+    lower / original by key mod 3) is grouped under the UTF8_LCASE
+    collation — the engine-native way to make comparisons, joins, GROUP
+    BY, and ORDER BY case-insensitive WITHOUT wrapping every reference in
+    lower() (which blocks pushdown and breaks stats; a collated column
+    keeps both). Output is normalized deterministically (binary min of
+    the variants + counts), so the cross-engine claim is that the
+    collation induces exactly the lower()-partitioning DuckDB computes —
+    true by UTF8_LCASE's definition. At 100 TB collations matter because
+    the lower()-wrapper alternative is applied per-query per-reference;
+    the collation is declared once on the column."""
+    p = load(spark, sf_dir).part
+    w = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+    )
+    return (
+        p.select(w.alias("w"))
+        .groupBy(F.collate("w", "UTF8_LCASE").alias("wc"))
+        .agg(
+            F.min(F.col("w").cast("string")).alias("brand_min"),
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct(F.col("w").cast("string")).cast("bigint").alias("n_variants"),
+        )
+        .drop("wc")
+    )

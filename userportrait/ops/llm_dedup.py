@@ -747,3 +747,116 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+LSH_CURVE_SAMPLE = 256  # bounded pair universe: 256 docs -> ~32k pairs at ANY SF
+
+
+@op(
+    "diag_lsh_band_curve",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {LSH_CURVE_SAMPLE}
+    ), sig AS (
+      SELECT doc_id,
+             {_SIG_COLS_DUCK}
+      FROM docs
+    ), banded AS (
+      SELECT doc_id, b.b, CASE b.b {_BAND_KEYS_DUCK} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL_DUCK}) AS shingle FROM docs
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+      FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)) AS jac,
+             CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      LEFT JOIN inter i ON i.da = a.doc_id AND i.db = b.doc_id
+      LEFT JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id
+    ), bp AS (
+      SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bucket, is_cand FROM pairs
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS rate,
+           round(1 - power(1 - power((bucket + 0.5) / 10, {N_HASHES // N_BANDS}), {N_BANDS}), 6) AS theory
+    FROM bp GROUP BY bucket
+    """,
+)
+def diag_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING CURVE — the dedup twin of diag_ann_nprobe_curve: for
+    a bounded deterministic doc sample (first {LSH_CURVE_SAMPLE} by
+    doc_id — a fixed-size pair universe at ANY corpus scale, the honest
+    form of a diagnostic that is quadratic in its sample), every pair's
+    EXACT 5-shingle Jaccard is bucketed (width 0.1) and compared against
+    its banded-candidate outcome, next to the theoretical S-curve
+    P(candidate | s) = 1-(1-s^r)^b for the shipped b=4, r=4. This is THE
+    artifact for choosing a banding: a capacity review reads measured
+    candidate-rate-vs-similarity against theory off one ≤10-row frame and
+    sees both error directions (false-candidate cost below the knee,
+    missed-near-dup risk above it). EXACT-oracled because the md5 hash
+    family is bit-identical cross-engine — even the measured curve is
+    deterministic algebra here."""
+    d = load(spark, sf_dir).documents
+    sample = d.orderBy("doc_id").limit(LSH_CURVE_SAMPLE)
+    sh = distinct_shingle_arrays(sample).select("doc_id", "arr", "n_sh")
+    bands = minhash_band_keys(sample)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (
+                F.size(F.array_intersect("a.arr", "b.arr")).cast("double")
+                / (
+                    F.col("a.n_sh")
+                    + F.col("b.n_sh")
+                    - F.size(F.array_intersect("a.arr", "b.arr"))
+                )
+            ).alias("jac"),
+        )
+        .join(cand.withColumn("is_cand", F.lit(1)), ["da", "db"], "left")
+        .select("jac", F.coalesce("is_cand", F.lit(0)).alias("is_cand"))
+    )
+    r, nb = N_HASHES // N_BANDS, N_BANDS
+    bucket = F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("int")
+    s_mid = (F.col("bucket") + 0.5) / 10
+    return (
+        pairs.select(bucket.alias("bucket"), "is_cand")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.round(F.sum("is_cand").cast("double") / F.count("*"), 6).alias("rate"),
+        )
+        .withColumn(
+            "theory",
+            F.round(1 - F.pow(1 - F.pow(s_mid, F.lit(r)), F.lit(nb)), 6),
+        )
+    )
