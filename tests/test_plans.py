@@ -471,6 +471,7 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "dq_feature_psi": "total-count window over the 10-row bucket frame (decile metadata, never data volume)",
         "doc_pack_sequences": "prefix-sum over <=32-row partition-count metadata (token offsets; data path is pinned range partitions + mapInPandas)",
         "diag_key_skew": "total/mean scalar aggregate (1 row)",
+        "dq_expectations": "three 1-row expectation aggregates (fused scan / uniqueness / FK) — map-side partials cross the exchange, never rows",
         "tag_activity_trend": "global week-anchor scalar",
         "doc_source_cap_sample": "per-source cap scalar aggregate",
         "tag_basket_affinity": "basket-universe scalar aggregate",
