@@ -1889,3 +1889,50 @@ def test_pq_probe_filtered_lang_and_recall(spark):
     hits = sum((r[0], r[1]) in exact for r in a)
     recall = hits / len(a)
     assert recall >= 0.6, f"filtered PQ probe recall@5 regressed: {recall:.4f}"
+
+
+def test_pq_compact_restores_range_layout(spark):
+    """sink_pq_compact's layout claims: (a) the rewrite is LOSSLESS —
+    code rows bit-identical to the fragmented pre-compaction table; (b)
+    the code table lands as the 8-file build layout; (c) per-file vec_id
+    ranges are DISJOINT (the property the ADC range fetch relies on —
+    fragmented appends interleave ranges, compaction separates them)."""
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from userportrait.ops.scans import SCRATCH
+    from userportrait.registry import OPS
+
+    OPS["sink_pq_compact"].fn(spark, SF_DIR).collect()
+    codes_dir = _os.path.join(SCRATCH, "embeddings_pq_incr", "codes")
+    files = sorted(glob.glob(_os.path.join(codes_dir, "part-*.parquet")))
+    assert len(files) == 8, files
+
+    ranges = []
+    rows = {}
+    for f in files:
+        t = _pq.read_table(f, columns=["vec_id", "code"])
+        ids = t["vec_id"].to_pylist()
+        for vid, code in zip(ids, t["code"].to_pylist()):
+            rows[vid] = code
+        if ids:
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # losslessness vs an independently rebuilt fragmented table
+    from userportrait.ops.llm_similarity import _pq_append_parts
+
+    root, cutoff = _pq_append_parts(spark, SF_DIR)
+    base_rows = {
+        r.vec_id: r.code
+        for r in spark.read.parquet(_os.path.join(root, "codes")).collect()
+    }
+    for vid, code in base_rows.items():
+        assert rows[vid] == code, f"compaction changed code for vec_id={vid}"
+    # and every post-cutoff vector is present exactly once
+    n_appended = sum(1 for v in rows if v > cutoff)
+    assert n_appended > 0 and len(rows) == len(set(rows))

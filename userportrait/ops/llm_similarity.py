@@ -2927,3 +2927,81 @@ def scan_pq_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = _unit_embeddings(e.where(sample))
     return _pq_adc_search(spark, e, queries, codes, books)
+
+
+@op(
+    "sink_pq_compact",
+    oracle="""
+    WITH cut AS (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS c FROM embeddings)
+    SELECT CASE WHEN e.vec_id <= cut.c THEN 'base' ELSE 'appended' END AS part,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(e.vec_id) AS BIGINT) AS vecid_sum,
+           CAST(min(e.vec_id) AS BIGINT) AS vec_min,
+           CAST(max(e.vec_id) AS BIGINT) AS vec_max
+    FROM embeddings e CROSS JOIN cut GROUP BY 1
+    """,
+)
+def sink_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code-table COMPACTION — closes the PQ maintenance loop the same
+    way sink_ivf_compact closes the IVF one: every sink_pq_append lands
+    new files whose vec_id ranges sit NEXT TO the base range files, so
+    weeks of appends fragment the code table — and the ADC serving scan
+    (_pq_adc_search) fetches candidates by vec_id-RANGE pushdown, so
+    fragmentation turns each range fetch into many small file reads with
+    interleaved row-group stats. The compaction rewrites the full code
+    table into clean disjoint range partitions (repartitionByRange +
+    sortWithinPartitions, the build layout) via a staging dir + rename
+    swap (the SCD2 two-step discipline: a complete consistent table
+    exists on disk through every crash window).
+
+    Cost honesty: unlike the IVF fold (O(touched cells)), this pass is
+    O(all codes) — but codes are the 8 B/vector COMPRESSED form, so a
+    1e9-vector corpus rewrites ~8 GB, the cheapest full pass in the whole
+    index family; a deployment runs it on the append cadence. Rollup =
+    the append provenance oracle (the rewrite is lossless); bit-identical
+    code rows, the 8-file layout, and DISJOINT per-file vec_id ranges are
+    pinned by tests/test_invariants.py::test_pq_compact_restores_range_layout."""
+    import shutil as _sh
+
+    root, cutoff = _pq_append_parts(spark, sf_dir)
+    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
+    import numpy as np
+
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        books[r.sub, r.cent, r.dim] = r.w
+    e = load(spark, sf_dir).embeddings
+    new = e.where(F.col("vec_id") > cutoff)
+    codes_dir = os.path.join(root, "codes")
+    (
+        _unit_embeddings(new)
+        .mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .repartitionByRange(2, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .parquet(codes_dir)
+    )
+
+    tmp = codes_dir + "_next"
+    (
+        spark.read.parquet(codes_dir)
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    prev = codes_dir + "_prev"
+    _sh.rmtree(prev, ignore_errors=True)
+    os.rename(codes_dir, prev)
+    os.rename(tmp, codes_dir)
+    _sh.rmtree(prev)
+
+    codes = spark.read.parquet(codes_dir)
+    return codes.groupBy(
+        F.when(F.col("vec_id") <= cutoff, "base").otherwise("appended").alias("part")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+        F.min("vec_id").cast("bigint").alias("vec_min"),
+        F.max("vec_id").cast("bigint").alias("vec_max"),
+    )

@@ -64,21 +64,21 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r12 window: the eleven never-driver-graded r12 additions lead
+# r12 window: the twelve never-driver-graded r12 additions lead
 # (sink_ivf_compact, sink_pq_append, stream_stream_left_outer,
 # sink_ivf_delete, scan_pq_probe_filtered, fn_variant,
 # diag_observe_metrics, stream_custom_datasource, dq_expectations,
-# fn_collation, diag_lsh_band_curve); next, the
+# fn_collation, diag_lsh_band_curve, sink_pq_compact); next, the
 # seventeen ops MODIFIED this round (null-safe SCD2 changed-predicate in
 # the shared CTE + both merge bodies; the _cell_scores consolidation the
 # whole label-quantizer IVF family now scores through; the guarded 1:1
 # documents meta join in both index writers; conf-driven wedge partition
-# width on the link-prediction pair); filler: 22 of the 39 r06-vintage
+# width on the link-prediction pair); filler: 21 of the 39 r06-vintage
 # stalest-evidence ops (the r11 VERDICT rotation item #6 asked for >= 25;
-# the 17 leftovers — including the dozen the r11 judge already re-verified
+# the 18 leftovers — including the dozen the r11 judge already re-verified
 # out-of-window — lead r13's filler block).
 GRADE_FIRST: tuple[str, ...] = (
-    # r12 window — the 11 never-graded r12 additions first:
+    # r12 window — the 12 never-graded r12 additions first:
     "sink_ivf_compact",
     "sink_pq_append",
     "stream_stream_left_outer",
@@ -90,6 +90,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "dq_expectations",
     "fn_collation",
     "diag_lsh_band_curve",
+    "sink_pq_compact",
     # then re-certification of every op MODIFIED in r12 (null-safe SCD2
     # predicate; _cell_scores consolidation across the IVF family; the
     # guarded 1:1 meta join in both index writers; conf-driven wedge
@@ -111,8 +112,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "scan_ivf_probe_kmeans_filtered",
     "graph_jaccard_link_prediction",
     "graph_link_prediction_capped",
-    # then 22 of the 39 r06-vintage stalest-evidence ops (the r11 VERDICT
-    # rotation item; the 17 leftovers lead the r13 filler block):
+    # then 21 of the 39 r06-vintage stalest-evidence ops (the r11 VERDICT
+    # rotation item; the 18 leftovers lead the r13 filler block):
     "agg_count_distinct",
     "agg_percentile",
     "agg_stats",
@@ -134,7 +135,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_compact_small_files",
     "subq_correlated",
     "tag_activity_streak",
-    "tag_activity_trend",
 )
 
 
