@@ -1936,3 +1936,65 @@ def test_pq_compact_restores_range_layout(spark):
     # and every post-cutoff vector is present exactly once
     n_appended = sum(1 for v in rows if v > cutoff)
     assert n_appended > 0 and len(rows) == len(set(rows))
+
+
+def test_stream_left_outer_evicts_midstream_with_bounded_state(spark):
+    """stream_stream_left_outer's bounded-state claim, exercised where it
+    actually binds: over the ordered2 staging (32 ts-SORTED chunks, so the
+    watermark advances ~22 h per batch) with a tight 60 s lateness
+    allowance, unmatched clicks must flush THROUGHOUT the replay — NULL
+    rows in many distinct micro-batches, not one terminal dump — and the
+    join state must stay a small fraction of the stream (rows evict as
+    the watermark passes click.ts + 1 h; only ~one chunk's span of clicks
+    plus in-horizon purchases is ever held). Completeness: total emitted
+    click rows equal the batch LEFT join's row count (the op's oracle at
+    the flush2 staging computes the same 2006 rows at sf0.01)."""
+    import shutil
+
+    from userportrait.ops.streaming import _stage, left_outer_click_join
+
+    stage_dir, _delay = _stage(SF_DIR, "ordered2")
+    joined = left_outer_click_join(spark, stage_dir, 60)
+
+    per_batch_nulls = {}
+    total_rows = 0
+    def fb(b, i):
+        nonlocal total_rows
+        rows = b.where("click_id != -1").collect()
+        total_rows += len(rows)
+        n = sum(1 for r in rows if r.purchase_id is None)
+        if n:
+            per_batch_nulls[i] = n
+
+    chk = "/tmp/up_test_lo_mid_chk"
+    shutil.rmtree(chk, ignore_errors=True)
+    q = (
+        joined.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_state = max(
+        (op["numRowsTotal"] for p in q.recentProgress for op in p["stateOperators"]),
+        default=0,
+    )
+
+    e = load(spark, SF_DIR).events
+    clicks = e.where("event_type = 'click'")
+    n_clicks = clicks.count()
+    p = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    batch_rows = clicks.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).count()
+    assert total_rows == batch_rows, (total_rows, batch_rows)
+    assert len(per_batch_nulls) >= 5, f"NULLs not emitted mid-stream: {per_batch_nulls}"
+    n_events = e.count()
+    assert 0 < max_state < 0.25 * n_events, (max_state, n_events)
+    assert n_clicks > 0

@@ -108,9 +108,11 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
     elif variant == "dups":
         dup = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 7), 0))
         chunks = [t, dup]
-    elif variant == "ordered":
+    elif variant in ("ordered", "ordered2"):
         # 32 chunks over the ~30-day span → the watermark advances in
         # ~22 h steps, fine enough for sub-day TTLs to evict mid-stream
+        # (ordered2 = ordered + the second sentinel file, for join-state
+        # flush — same reason as flush2)
         srt = t.sort_by("ts")
         n, k = len(srt), 32
         chunks = [srt.slice(i * n // k, (i + 1) * n // k - i * n // k) for i in range(k)]
@@ -128,7 +130,7 @@ def _stage(sf_dir: str, variant: str) -> tuple[str, int]:
         }
     )
     files = [*chunks, sentinel.cast(t.schema)]
-    if variant == "flush2":
+    if variant in ("flush2", "ordered2"):
         # One more sentinel file = one more DATA micro-batch AFTER the
         # watermark-advancing one: stream-stream join state cleanup (and
         # its outer-join NULL emission) runs only in data batches —
@@ -472,6 +474,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def left_outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
+    """The left-outer attribution join plan over a staged event stream,
+    factored so the mid-stream eviction test drives it over the ordered2
+    (watermark-advancing) staging: sentinels pass BOTH branch filters (the
+    watermark sits below the pushed filter, see the op docstring) and are
+    dropped after the join by their event_id."""
+    clicks = (
+        _stream_events(spark, stage_dir, delay_s)
+        .where((F.col("event_type") == "click") | (F.col("event_type") == _SENTINEL_TYPE))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        _stream_events(spark, stage_dir, delay_s)
+        .where((F.col("event_type") == "purchase") | (F.col("event_type") == _SENTINEL_TYPE))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+
+
 @op(
     "stream_stream_left_outer",
     oracle="""
@@ -515,31 +550,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations but not joins — so the staging appends a second
     sentinel file to run one batch under the advanced watermark."""
     stage_dir, delay_s = _stage(sf_dir, "flush2")
-    clicks = (
-        _stream_events(spark, stage_dir, delay_s)
-        .where((F.col("event_type") == "click") | (F.col("event_type") == _SENTINEL_TYPE))
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-    )
-    purchases = (
-        _stream_events(spark, stage_dir, delay_s)
-        .where((F.col("event_type") == "purchase") | (F.col("event_type") == _SENTINEL_TYPE))
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    )
+    joined = left_outer_click_join(spark, stage_dir, delay_s)
     out = _run_to_table(spark, joined, "stream_left_outer")
     return out.where(F.col("click_id") != -1).select(
         "click_id",
