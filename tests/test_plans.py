@@ -987,3 +987,28 @@ def test_pq_filtered_codes_scan_pushes_lang(spark):
     ]
     assert pushed, "lang predicate must reach the code-table scan as a pushed filter"
     assert "embeddings_pq_meta" in plan
+
+
+def test_wedge_partitions_override_validated(spark):
+    # A positive-int conf override wins outright; a non-integer or
+    # non-positive value must be IGNORED (warn + fall through to the
+    # volume estimate), never raise at plan time or return an invalid
+    # repartition width (ADVICE r12).
+    import warnings
+
+    from userportrait.ops.pipeline_ext import wedge_partitions
+
+    deg = spark.createDataFrame([(i, 3) for i in range(10)], "node long, d int")
+    key = "spark.userportrait.wedge.partitions"
+    baseline = wedge_partitions(deg)
+    assert baseline > 0
+    try:
+        spark.conf.set(key, "123")
+        assert wedge_partitions(deg) == 123
+        for bad in ("abc", "0", "-4", "1.5"):
+            spark.conf.set(key, bad)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                assert wedge_partitions(deg) == baseline, bad
+    finally:
+        spark.conf.unset(key)

@@ -2779,6 +2779,21 @@ def sink_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
        erasure compliance wants proof of WHAT was purged, not just its
        absence.
 
+    Crash-recovery contract (the purge is a multi-step sequence; the
+    MANIFEST RENAME at the end is the commit point): serving always
+    anti-joins the live tombstone manifest, so every intermediate state —
+    crash after the dynamic overwrite, crash between the overwrite and
+    the fully-deleted-cell rmtree — still serves correctly (erased ids
+    stay masked by phase 1). Re-running the purge from any such state is
+    safe and convergent: touched cells come from the manifest, survivors
+    are recomputed from the CURRENT on-disk index (anti-join is
+    idempotent — already-purged cells rewrite to themselves), and a
+    fully-deleted cell whose directory survived a crash re-enters the
+    ``fully`` list and is removed (rmtree ignore_errors makes the removal
+    itself re-runnable). Only after all physical work does the manifest
+    rename to ``_applied`` retire the tombstones; until that rename the
+    purge is considered not-run and must be re-driven from the manifest.
+
     Readback rollup (EXACT): per cell, surviving count + exact vec_id
     checksum + the applied-deletion count — the oracle recomputes the
     full-corpus assignment algebraically and splits it on the same md5

@@ -1064,21 +1064,42 @@ def wedge_partitions(deg: "DataFrame", cap: int | None = None) -> int:
     VOLUME rather than the session default (the r11 lesson, twice: the
     sorter starved at 32 partitions on a 1.48B-wedge graph, then the
     final agg OOM'd at 32 partitions on the 21.5B-wedge skewed replica).
-    ``spark.userportrait.wedge.partitions`` overrides outright (the
-    deployment knob; the ladder scripts pin it); otherwise estimate
+    ``spark.userportrait.wedge.partitions`` overrides outright when it is
+    a positive integer (the deployment knob; the ladder scripts pin it) —
+    anything else (non-numeric, zero, negative) is rejected with a
+    warning and falls through to the estimate rather than raising at plan
+    time or producing an invalid repartition; otherwise estimate
     Σ C(min(deg, cap), 2) from the degree frame — one scalar aggregate
     over an already-pinned edge set — and size tasks to
-    WEDGE_ROWS_PER_TASK wedge rows, never below the session shuffle
-    width."""
+    WEDGE_ROWS_PER_TASK wedge rows. The floor is the session shuffle
+    width only when the estimate can actually use it: a small graph on a
+    deployment with a large session shuffle width floors at
+    defaultParallelism (keep every core busy) instead of inheriting the
+    full fact-table width for a few million wedges."""
+    import warnings
+
     spark = deg.sparkSession
     explicit = spark.conf.get("spark.userportrait.wedge.partitions", "")
     if explicit:
-        return int(explicit)
+        try:
+            w = int(explicit)
+        except ValueError:
+            w = 0
+        if w > 0:
+            return w
+        warnings.warn(
+            f"spark.userportrait.wedge.partitions={explicit!r} is not a "
+            "positive integer; ignoring the override and sizing from the "
+            "wedge-volume estimate",
+            stacklevel=2,
+        )
     d = F.least(F.col("d"), F.lit(cap)) if cap else F.col("d")
     est = (d * (d - F.lit(1)) / F.lit(2)).cast("double")
     wedges = int(deg.agg(F.sum(est)).first()[0] or 0)  # one scalar: the wedge-volume estimate
     base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(base, min(wedges // WEDGE_ROWS_PER_TASK + 1, 65536))
+    need = wedges // WEDGE_ROWS_PER_TASK + 1
+    cores = spark.sparkContext.defaultParallelism
+    return min(65536, max(need, min(base, max(cores, need))))
 
 
 def _wedge_common(wa: "DataFrame", wb: "DataFrame", width: int) -> "DataFrame":

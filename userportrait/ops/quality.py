@@ -1582,6 +1582,29 @@ def dq_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _restore_active_session(parent: SparkSession) -> None:
+    """Restore ``parent`` as the thread-active session after running work
+    on a throwaway child session. This necessarily goes through JVM
+    internals pinned to THIS build (Spark 4.x classic, non-Connect):
+    ``org.apache.spark.sql.classic.SparkSession.setActiveSession`` — the
+    ``classic`` package path is new in Spark 4 and absent under Spark
+    Connect, and PySpark exposes no public setActiveSession. The feature
+    check makes a runtime migration fail loudly HERE, naming the pinned
+    assumption, instead of with an opaque attribute error mid-op."""
+    jvm = getattr(parent, "_jvm", None)
+    jsession = getattr(parent, "_jsparkSession", None)
+    if jvm is None or jsession is None:
+        raise RuntimeError(
+            "active-session restore assumes a classic (non-Connect) Spark 4 "
+            "runtime exposing _jvm/_jsparkSession and "
+            "org.apache.spark.sql.classic.SparkSession.setActiveSession; "
+            "this runtime exposes neither — port _restore_active_session "
+            "to the new runtime's session-management API before using "
+            "child-session ops (diag_observe_metrics) on it"
+        )
+    jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(jsession)
+
+
 @op(
     "diag_observe_metrics",
     oracle="""
@@ -1638,9 +1661,7 @@ def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         observed.write.format("noop").mode("overwrite").save()
         m = obs.get  # 1-row observation payload (aggregate metadata, never data volume)
     finally:
-        parent._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
-            parent._jsparkSession
-        )
+        _restore_active_session(parent)
     return parent.createDataFrame(
         [(m["n_rows"], m["n_big"], m["n_null_priority"], m["total"])],
         "n_rows bigint, n_big bigint, n_null_priority bigint, total double",
