@@ -1012,3 +1012,28 @@ def test_wedge_partitions_override_validated(spark):
                 assert wedge_partitions(deg) == baseline, bad
     finally:
         spark.conf.unset(key)
+
+
+def test_embed_partitions_conf_takes_effect(spark):
+    # The embeddings/documents hash-repartition width derives from
+    # spark.userportrait.embed.partitions (default defaultParallelism) —
+    # the conf must reach the physical plan's hashpartitioning, and an
+    # invalid value must fall through, never raise (VERDICT r12 item 5).
+    import warnings
+
+    from userportrait.catalog import embed_partitions
+
+    key = "spark.userportrait.embed.partitions"
+    assert embed_partitions(spark) == spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(key, "17")
+        assert embed_partitions(spark) == 17
+        plan = _plan(spark, "text_fingerprint")
+        assert "hashpartitioning(doc_id" in plan and ", 17)" in plan, plan
+        for bad in ("abc", "0", "-4"):
+            spark.conf.set(key, bad)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                assert embed_partitions(spark) == spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.unset(key)

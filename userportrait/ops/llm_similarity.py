@@ -35,7 +35,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, pin
+from ..catalog import embed_partitions, load, pin
 from ..registry import op
 
 K_NEIGHBORS = 5
@@ -549,7 +549,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition: posexplode + interpreted folds off a one-split scan at
     # test scale would otherwise run single-core
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     cand = _lsh_candidates(spark, e, LSH_TABLES, LSH_BITS, LSH_BUCKET_CAP, dominators_only=False)
     scored = _exact_rescore(e, cand)
     w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -593,7 +593,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is deterministic, and the oracle mirrors the SAME candidate
     generation — the approximation itself is exact-oracled, like sim_knn_lsh.
     Recall tunes with (tables, bits, cap) as the corpus grows."""
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     cand = _lsh_candidates(
         spark, e, DEDUP_LSH_TABLES, DEDUP_LSH_BITS, LSH_BUCKET_CAP, dominators_only=True
     )
@@ -707,7 +707,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates per query ≈ nprobe × (n/cells); centroids stay tiny
     (cells × dim) → broadcast; the cell join is a hash join on cell id."""
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     return _ivf_probe_rescore(e, label_centroids(e))
 
 
@@ -908,7 +908,7 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — candidates/query ≈ nprobe·(n/k), so fixed k at 100× data
     means 100×-wider cells. Centroids stay k × dim driver literals →
     broadcast."""
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     unit = _unit_embeddings(e)
     cent = _kmeans_cells(spark, unit)
@@ -1600,11 +1600,11 @@ def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     sink_ivf_layout keeps the EXACT-oracle contract of the write path."""
     from .scans import _scratch
 
-    # Same lineage as sim_knn_ivf_kmeans (repartition(64, vec_id) BEFORE
+    # Same lineage as sim_knn_ivf_kmeans (repartition(embed_partitions, vec_id) BEFORE
     # normalization): k-means|| init samples per partition, so the trained
     # centers are only bit-identical across the in-memory sibling and this
     # persisted build when both train over the same partitioning.
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     unit = _unit_embeddings(e)
     cent = _kmeans_cells(spark, unit)
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -1866,7 +1866,7 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) once by cell id; per-task transients stay tiled."""
     import numpy as np
 
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     unit = _unit_embeddings(e)
     cent = _kmeans_cells(spark, unit)
     books = _pq_codebooks(unit)
@@ -2443,7 +2443,7 @@ def diag_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-sample of queries (the sim_knn_recall convention),
     which estimates the curve, not the index. Columns: nprobe, n_exact
     (5 × queries), n_hits, recall."""
-    e = load(spark, sf_dir).embeddings.repartition(64, "vec_id")
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     cent = label_centroids(e)
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))

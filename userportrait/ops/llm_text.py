@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import embed_partitions, load
 from ..registry import op
 
 
@@ -320,7 +320,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition: trigram explode is generated single-core off a one-split
     # scan at test scale (see minhash_sig_wide note)
-    d = load(spark, sf_dir).documents.repartition(64, "doc_id")
+    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
     tri = d.select(
         "doc_id",
         "lang",
@@ -372,7 +372,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup; one narrow map stage, no shuffle at all."""
     # repartition: the per-char fold is interpreted (CodegenFallback) and the
     # scan is one split at test scale — spread it across cores
-    d = load(spark, sf_dir).documents.repartition(64, "doc_id")
+    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
     chars = F.expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))")
     rolling = F.aggregate(chars, F.lit(0).cast("bigint"), lambda a, c: (a * 31 + c) % 1000000007)
     shingle_md5s = F.expr(
@@ -466,7 +466,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at its measured size, and the corpus side streams its
     n-grams through that join in one narrow pass either way."""
     d = load(spark, sf_dir).documents
-    grams = d.repartition(64, "doc_id").select(
+    grams = d.repartition(embed_partitions(spark), "doc_id").select(
         "doc_id",
         F.explode(
             F.expr(
@@ -518,7 +518,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines is absorbed by round-4 on the per-doc mean."""
     d = load(spark, sf_dir).documents
     bg = (
-        d.repartition(64, "doc_id")
+        d.repartition(embed_partitions(spark), "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 2)
         .select(
