@@ -1998,3 +1998,69 @@ def test_stream_left_outer_evicts_midstream_with_bounded_state(spark):
     n_events = e.count()
     assert 0 < max_state < 0.25 * n_events, (max_state, n_events)
     assert n_clicks > 0
+
+
+def test_scd2_vacuum_retention_contract(spark):
+    """Vacuum must (1) leave every AS OF snapshot INSIDE retention
+    identical, (2) physically remove all out-of-retention history, and
+    (3) never touch newer-closed/open partitions (byte-identical)."""
+    import glob
+    import hashlib
+    import os
+
+    from userportrait.ops.scans import (
+        SCD2_RETENTION_WATERMARK,
+        _scd2_vacuum,
+        _write_scd2_deep,
+    )
+
+    path = _write_scd2_deep(spark, SF_DIR)
+
+    def asof_rows(ts):
+        t = F.lit(ts).cast("timestamp")
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(path)
+                .where((F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (t < F.col("valid_to"))))
+                .select("c_custkey", "c_acctbal", "version")
+                .collect(),
+            )
+        )
+
+    def dir_hash(sub):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(path, sub, "*.parquet"))):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    # inside-retention snapshots: at the watermark, between the boundary
+    # closures, and deep in the open era
+    instants = [SCD2_RETENTION_WATERMARK, "2003-09-15", "2010-01-01"]
+    pre = {ts: asof_rows(ts) for ts in instants}
+    assert all(pre[ts] for ts in instants)
+    open_pre = dir_hash("vt_year=9999")
+
+    _scd2_vacuum(spark, path, SCD2_RETENTION_WATERMARK)
+
+    # (1) every inside-retention snapshot unchanged
+    for ts in instants:
+        assert asof_rows(ts) == pre[ts], ts
+    # (2) out-of-retention history is GONE: the wholly-expired partition
+    # directory was dropped and no surviving row closed before the watermark
+    assert not os.path.exists(os.path.join(path, "vt_year=2000"))
+    wm = F.lit(SCD2_RETENTION_WATERMARK).cast("timestamp")
+    assert spark.read.parquet(path).where(F.col("valid_to") < wm).count() == 0
+    # the boundary partition kept its post-watermark closures
+    assert (
+        spark.read.parquet(path)
+        .where(F.col("valid_to") == F.lit("2003-09-01").cast("timestamp"))
+        .count()
+        > 0
+    )
+    # (3) the untouched open partition is byte-identical
+    assert dir_hash("vt_year=9999") == open_pre
+    # re-running the vacuum from the vacuumed state is a no-op (idempotent)
+    _scd2_vacuum(spark, path, SCD2_RETENTION_WATERMARK)
+    assert asof_rows(instants[-1]) == pre[instants[-1]]
