@@ -2064,3 +2064,60 @@ def test_scd2_vacuum_retention_contract(spark):
     # re-running the vacuum from the vacuumed state is a no-op (idempotent)
     _scd2_vacuum(spark, path, SCD2_RETENTION_WATERMARK)
     assert asof_rows(instants[-1]) == pre[instants[-1]]
+
+
+def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
+    """The deployment delete's O(touched cells) claim, made physical:
+    purging a fixed-size erasure list from the kmeans-quantized index
+    must (1) serve exactly the tombstone view (survivor row-set
+    equality), (2) physically drop every erased id, and (3) leave every
+    cell with no erased member BYTE-IDENTICAL — untouched means unread
+    and unwritten, which is what makes the purge request-sized instead
+    of corpus-sized."""
+    import glob
+    import hashlib
+    import os
+
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_delete,
+        _ivf_kmeans_erasure,
+        _write_ivf_kmeans_index,
+    )
+
+    root = _write_ivf_kmeans_index(spark, SF_DIR)
+    cells_path = os.path.join(root, "cells")
+    back = spark.read.parquet(cells_path)
+    erase = {r.vec_id for r in _ivf_kmeans_erasure(back).collect()}
+    assert len(erase) == 8
+    touched = {
+        r.cell for r in back.where(F.col("vec_id").isin(list(erase))).select("cell").distinct().collect()
+    }
+    all_cells = {r.cell for r in back.select("cell").distinct().collect()}
+    assert touched and touched < all_cells, (touched, all_cells)
+
+    def dir_hash(cell):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(cells_path, f"cell={cell}", "*.parquet"))):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    untouched_pre = {c: dir_hash(c) for c in all_cells - touched}
+    # the tombstone VIEW a serving anti-join would answer from
+    view = sorted(
+        map(tuple, back.where(~F.col("vec_id").isin(list(erase))).select("vec_id", "cell").collect())
+    )
+
+    _ivf_kmeans_delete(spark, root)
+
+    post = spark.read.parquet(cells_path)
+    # (1) purged index == tombstone view, row for row
+    assert sorted(map(tuple, post.select("vec_id", "cell").collect())) == view
+    # (2) every erased id is physically gone
+    assert post.where(F.col("vec_id").isin(list(erase))).count() == 0
+    # (3) untouched cells byte-identical
+    for c, pre_h in untouched_pre.items():
+        assert dir_hash(c) == pre_h, c
+    # the retired manifest records exactly the erasure list
+    applied = spark.read.parquet(os.path.join(root, "tombstones_applied"))
+    assert {r.vec_id for r in applied.collect()} == erase

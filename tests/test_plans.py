@@ -365,6 +365,12 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: PQ_M*PQ_K*PQ_SUBDIM = 1024 codebook rows (model metadata, never data volume)",
         ("streaming.py", 'for r in batch_df.collect():  # <= changed-keys rows per trigger (dashboard-sized)'):
             "bounded: update-mode emission = changed (day x type) keys per trigger — key cardinality, never stream volume",
+        ("llm_similarity.py", 'erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids'):
+            "bounded: the erasure-request list itself (IVF_ERASE_N ids) — request-sized, never corpus-sized",
+        ("llm_similarity.py", 'touched = [r.cell for r in tsr.select("cell").distinct().collect()]  # bounded: <= IVF_ERASE_N touched-cell ids (quantizer metadata)'):
+            "bounded: <= erasure-list-size touched-cell ids — the static partition filter of the purge",
+        ("llm_similarity.py", 'alive = [r.cell for r in survivors.select("cell").distinct().collect()]  # bounded: <= touched-cell count'):
+            "bounded: <= touched-cell count surviving-cell ids — identifies fully-deleted cells dynamic overwrite cannot clear",
     }
     found = set()
     for py in root.rglob("*.py"):

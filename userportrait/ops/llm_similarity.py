@@ -2870,6 +2870,136 @@ def sink_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_ERASE_N = int(os.environ.get("UP_IVF_ERASE_N", "8"))
+
+
+def _ivf_kmeans_erasure(members: DataFrame) -> DataFrame:
+    """The deterministic stand-in for a GDPR erasure-request list: the
+    IVF_ERASE_N vec_ids with the lexicographically smallest md5 digests —
+    a fixed-SIZE, pseudo-randomly spread id set. Fixed size is the point:
+    a real erasure request does not grow with the corpus, so the purge's
+    touched-cell count is bounded by the request size however large the
+    index gets (the property the delete ladder measures; contrast the
+    1/16-of-corpus predicate sink_ivf_delete grades, which by design
+    touches every cell). Env knob UP_IVF_ERASE_N sizes ladder runs; the
+    oracle pins the default 8."""
+    return (
+        members.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_ERASE_N)
+    )
+
+
+def _ivf_kmeans_delete(spark: SparkSession, root: str) -> None:
+    """Tombstone-then-purge an erasure list from the kmeans-quantized
+    serving index at ``root`` (the _write_ivf_kmeans_index layout) — the
+    DEPLOYMENT delete, where O(touched cells) actually binds (the r12
+    delete ladder showed the ~10-cell label quantizer degenerates to a
+    full rewrite; with √n trained cells a bounded erasure list touches a
+    bounded cell subset and everything else is never read or written):
+
+    1. LOCATE + TOMBSTONE: the erasure ids become an IN-list predicate on
+       the member scan — members are vec_id-sorted within each cell file,
+       so parquet row-group/page stats skip almost everything and finding
+       the erased members costs near-metadata, not a corpus scan. The
+       (vec_id, cell) manifest lands next to the index; serving anti-joins
+       it, so erased vectors stop appearing before any rewrite.
+    2. PURGE: the touched-cell set (≤ erasure-list size, collected as
+       metadata) becomes a static partition filter — ONLY touched cell
+       directories are read, survivor-filtered map-side (NOT IN — no
+       shuffle), and rewritten via dynamic partition overwrite; a touched
+       cell with no survivors is removed outright. Untouched cells are
+       byte-identical after the purge (invariant-tested).
+
+    Crash-recovery contract (the sink_ivf_delete discipline verbatim):
+    the manifest rename to ``tombstones_applied`` is the commit point;
+    serving stays correct in every intermediate state because the live
+    manifest keeps masking erased ids, and re-running the purge from the
+    manifest is idempotent — survivors are recomputed from the current
+    on-disk index and already-purged cells rewrite to themselves."""
+    import shutil as _sh
+
+    cells_path = os.path.join(root, "cells")
+    back = spark.read.parquet(cells_path)
+    erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids
+    ts = back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "cell")
+    ts_path = os.path.join(root, "tombstones")
+    ts.write.mode("overwrite").parquet(ts_path)
+
+    tsr = spark.read.parquet(ts_path)
+    touched = [r.cell for r in tsr.select("cell").distinct().collect()]  # bounded: <= IVF_ERASE_N touched-cell ids (quantizer metadata)
+    bound = spark.read.parquet(cells_path).where(F.col("cell").isin(touched))
+    survivors = pin(bound.where(~F.col("vec_id").isin(erase_ids)))  # breaks lineage from cells_path so the overwrite below is legal
+    alive = [r.cell for r in survivors.select("cell").distinct().collect()]  # bounded: <= touched-cell count
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            survivors.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(cells_path)
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    for c in set(touched) - set(alive):
+        _sh.rmtree(os.path.join(cells_path, f"cell={c}"), ignore_errors=True)
+
+    applied = os.path.join(root, "tombstones_applied")
+    _sh.rmtree(applied, ignore_errors=True)
+    os.rename(ts_path, applied)
+
+
+@op(
+    "sink_ivf_delete_kmeans",
+    oracle="""
+    WITH del AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(e.vec_id) AS BIGINT) AS vecid_sum,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted,
+           CAST((SELECT sum(vec_id) FROM del) AS BIGINT) AS deleted_vecid_sum
+    FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM del)
+    """,
+)
+def sink_ivf_delete_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index deletion on the DEPLOYMENT (√n trained kmeans) quantizer
+    — the form where sink_ivf_delete's O(touched-cell mass) headline
+    actually binds (VERDICT r12 missing item 2): a fixed-size erasure
+    list against k cells touches ≤ |list| of them, so purge cost tracks
+    the request, not the corpus. Build the persisted kmeans index (the
+    scan_ivf_probe_kmeans layout — quantizer shipped next to the
+    cell-partitioned members), tombstone-then-purge the erasure list via
+    _ivf_kmeans_delete, and return the quantizer-INDEPENDENT provenance
+    rollup: surviving count + exact vec_id checksum from the purged
+    index, applied-deletion count + checksum from the retired manifest.
+    Cell-level assignments depend on the trained quantizer (ROWS-only by
+    construction everywhere else in this family), but these global
+    aggregates do not — the guarded 1:1 build contract means the index
+    holds exactly the embeddings table, so the oracle recomputes the same
+    erasure split relationally and the op grades EXACT.
+
+    Untouched-cell byte-identity, erased-id absence from serving, and
+    tombstone-view/purged-index agreement are pinned by
+    tests/test_invariants.py::test_ivf_kmeans_delete_touches_only_erased_cells;
+    the purge-wall ∝ touched-mass ladder rung is in PLANS.md (r13)."""
+    root = _write_ivf_kmeans_index(spark, sf_dir)
+    _ivf_kmeans_delete(spark, root)
+    sur = spark.read.parquet(os.path.join(root, "cells")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+    )
+    dl = spark.read.parquet(os.path.join(root, "tombstones_applied")).agg(
+        F.count("*").cast("bigint").alias("n_deleted"),
+        F.sum("vec_id").cast("bigint").alias("deleted_vecid_sum"),
+    )
+    return sur.crossJoin(dl)
+
+
 def _write_pq_meta_index(spark: SparkSession, sf_dir: str) -> str:
     """Write the PQ index with FILTERABLE metadata riding next to each
     code row (vec_id, code, lang — the _write_ivf_meta_index convention
