@@ -2121,3 +2121,70 @@ def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
     # the retired manifest records exactly the erasure list
     applied = spark.read.parquet(os.path.join(root, "tombstones_applied"))
     assert {r.vec_id for r in applied.collect()} == erase
+
+
+def test_stream_full_outer_dual_nulls_midstream_bounded_state(spark):
+    """stream_stream_full_outer's dual eviction clocks, exercised where
+    they bind: over the ordered2 staging (watermark advances ~22 h per
+    batch) with a tight 60 s allowance, BOTH unmatched sides must flush
+    THROUGHOUT the replay — click rows with NULL purchase columns AND
+    purchase rows with NULL click columns, each across many distinct
+    micro-batches — while join state stays a small fraction of the
+    stream. Completeness: total emitted rows equal the batch FULL join."""
+    import shutil
+
+    from userportrait.ops.streaming import _stage, full_outer_click_join
+
+    stage_dir, _delay = _stage(SF_DIR, "ordered2")
+    joined = full_outer_click_join(spark, stage_dir, 60)
+
+    left_null_batches = {}
+    right_null_batches = {}
+    total_rows = 0
+
+    def fb(b, i):
+        nonlocal total_rows
+        # sentinel drop; Python None != -1 is True, so this is already
+        # null-safe (unlike the SQL filter in the op, which needs eqNullSafe)
+        rows = [r for r in b.collect() if r.click_id != -1 and r.purchase_id != -1]
+        total_rows += len(rows)
+        ln = sum(1 for r in rows if r.purchase_id is None)
+        rn = sum(1 for r in rows if r.click_id is None)
+        if ln:
+            left_null_batches[i] = ln
+        if rn:
+            right_null_batches[i] = rn
+
+    chk = "/tmp/up_test_fo_mid_chk"
+    shutil.rmtree(chk, ignore_errors=True)
+    q = (
+        joined.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_state = max(
+        (op["numRowsTotal"] for p in q.recentProgress for op in p["stateOperators"]),
+        default=0,
+    )
+
+    e = load(spark, SF_DIR).events
+    c = e.where("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch_rows = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full",
+    ).count()
+    assert total_rows == batch_rows, (total_rows, batch_rows)
+    assert len(left_null_batches) >= 5, f"click-side NULLs not mid-stream: {left_null_batches}"
+    assert len(right_null_batches) >= 5, f"purchase-side NULLs not mid-stream: {right_null_batches}"
+    n_events = e.count()
+    assert 0 < max_state < 0.25 * n_events, (max_state, n_events)
