@@ -2188,3 +2188,51 @@ def test_stream_full_outer_dual_nulls_midstream_bounded_state(spark):
     assert len(right_null_batches) >= 5, f"purchase-side NULLs not mid-stream: {right_null_batches}"
     n_events = e.count()
     assert 0 < max_state < 0.25 * n_events, (max_state, n_events)
+
+
+def test_pq_delete_survivors_bit_identical(spark):
+    """PQ erasure must remove exactly the erased code rows: survivors are
+    BIT-identical (vec_id, code, lang) to the pre-delete table minus the
+    erasure list, erased ids are physically gone, the range layout the
+    ADC fetch pushes down on survives the purge (8 files, disjoint
+    vec_id ranges), and the applied manifest preserves the erased CODES
+    for the compliance audit trail."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_erasure,
+        _write_pq_meta_index,
+        sink_pq_delete,
+    )
+
+    root = _write_pq_meta_index(spark, SF_DIR)
+    codes_dir = os.path.join(root, "codes")
+    back = spark.read.parquet(codes_dir)
+    erase = {r.vec_id for r in _ivf_kmeans_erasure(back).collect()}
+    pre = {r.vec_id: (r.code, r.lang) for r in back.collect()}
+    assert erase <= set(pre)
+
+    # the op rebuilds the index deterministically (frozen seed + same
+    # partitioning), then purges — drive it end to end
+    sink_pq_delete(spark, SF_DIR)
+
+    post = {r.vec_id: (r.code, r.lang) for r in spark.read.parquet(codes_dir).collect()}
+    assert post == {v: c for v, c in pre.items() if v not in erase}
+    files = sorted(glob.glob(os.path.join(codes_dir, "*.parquet")))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["vec_id"])
+        ids = t["vec_id"].to_pylist()
+        if ids:
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, (ranges,)
+    applied = spark.read.parquet(os.path.join(root, "tombstones_applied"))
+    assert {r.vec_id: r.code for r in applied.collect()} == {
+        v: pre[v][0] for v in erase
+    }

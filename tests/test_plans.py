@@ -371,6 +371,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= erasure-list-size touched-cell ids — the static partition filter of the purge",
         ("llm_similarity.py", 'alive = [r.cell for r in survivors.select("cell").distinct().collect()]  # bounded: <= touched-cell count'):
             "bounded: <= touched-cell count surviving-cell ids — identifies fully-deleted cells dynamic overwrite cannot clear",
+        ("llm_similarity.py", 'erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids (one request, every index)'):
+            "bounded: the erasure-request list itself (IVF_ERASE_N ids) — request-sized, never corpus-sized",
     }
     found = set()
     for py in root.rglob("*.py"):

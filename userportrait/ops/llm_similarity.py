@@ -3150,3 +3150,91 @@ def sink_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("bigint").alias("vec_min"),
         F.max("vec_id").cast("bigint").alias("vec_max"),
     )
+
+
+@op(
+    "sink_pq_delete",
+    oracle="""
+    WITH del AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(sum(e.vec_id) AS BIGINT) AS vecid_sum,
+           CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deleted,
+           CAST((SELECT sum(vec_id) FROM del) AS BIGINT) AS deleted_vecid_sum
+    FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM del)
+    """,
+)
+def sink_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure against the COMPRESSED serving layout — the delete verb
+    that completes the PQ lifecycle (encode / append / compact / serve /
+    DELETE), because a right-to-be-forgotten request must purge the code
+    table too, not just the full-precision index: a PQ code is derived
+    personal data. Same fixed-size erasure list as sink_ivf_delete_kmeans
+    (the 8 smallest-md5 vec_ids — one GDPR request, every index it
+    touches), two phases:
+
+    1. TOMBSTONE (instant): the erased (vec_id, code) rows — located by
+       IN-list pushdown over the vec_id-range-sorted code files, near-
+       metadata cost — land in a manifest next to the index; ADC serving
+       anti-joins it, so erased vectors stop scoring immediately.
+    2. PURGE folded into the COMPACTION pass: an id-RANGE layout spreads
+       any erasure list uniformly across the range partitions, so unlike
+       the cell-partitioned IVF there is no touched-subset to exploit —
+       the honest amortization is purge-at-compaction: the survivor-only
+       rewrite (``NOT IN``, map-side) rides the same full-table
+       repartitionByRange + staging + rename-swap pass the table needs on
+       the append cadence anyway, at zero marginal cost. O(all codes),
+       but codes are the 8 B/vector compressed form — the cheapest full
+       pass in the index family (sink_pq_compact's cost note). The
+       manifest retires to ``tombstones_applied`` AFTER the swap — the
+       commit point; re-running from any crash window is safe because the
+       live manifest keeps masking erased ids and the rewrite recomputes
+       survivors from the current table.
+
+    Rollup (EXACT, quantizer-independent): every vector yields exactly
+    one code row (the append-oracle invariant), so surviving-code count +
+    exact vec_id checksum and the applied count + checksum equal the same
+    split computed relationally over the embeddings table — no trained
+    value is graded. Survivor code BIT-identity, erased-id absence, and
+    the preserved range layout are pinned by
+    tests/test_invariants.py::test_pq_delete_survivors_bit_identical."""
+    import shutil as _sh
+
+    root = _write_pq_meta_index(spark, sf_dir)
+    codes_dir = os.path.join(root, "codes")
+    back = spark.read.parquet(codes_dir)
+    erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids (one request, every index)
+    ts_path = os.path.join(root, "tombstones")
+    back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "code").write.mode(
+        "overwrite"
+    ).parquet(ts_path)
+
+    tmp = codes_dir + "_next"
+    (
+        spark.read.parquet(codes_dir)
+        .where(~F.col("vec_id").isin(erase_ids))
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    prev = codes_dir + "_prev"
+    _sh.rmtree(prev, ignore_errors=True)
+    os.rename(codes_dir, prev)
+    os.rename(tmp, codes_dir)
+    _sh.rmtree(prev)
+    applied = os.path.join(root, "tombstones_applied")
+    _sh.rmtree(applied, ignore_errors=True)
+    os.rename(ts_path, applied)
+
+    sur = spark.read.parquet(codes_dir).agg(
+        F.count("*").cast("bigint").alias("n_codes"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+    )
+    dl = spark.read.parquet(applied).agg(
+        F.count("*").cast("bigint").alias("n_deleted"),
+        F.sum("vec_id").cast("bigint").alias("deleted_vecid_sum"),
+    )
+    return sur.crossJoin(dl)
