@@ -64,77 +64,77 @@ _LOADED = False
 # first. Everything else follows in module order; ops already proven green in
 # a committed CORRECTNESS_r{N}.json rotate out. COVERAGE.md tracks the union.
 #
-# r12 window: the twelve never-driver-graded r12 additions lead
-# (sink_ivf_compact, sink_pq_append, stream_stream_left_outer,
-# sink_ivf_delete, scan_pq_probe_filtered, fn_variant,
-# diag_observe_metrics, stream_custom_datasource, dq_expectations,
-# fn_collation, diag_lsh_band_curve, sink_pq_compact); next, the
-# seventeen ops MODIFIED this round (null-safe SCD2 changed-predicate in
-# the shared CTE + both merge bodies; the _cell_scores consolidation the
-# whole label-quantizer IVF family now scores through; the guarded 1:1
-# documents meta join in both index writers; conf-driven wedge partition
-# width on the link-prediction pair); filler: 21 of the 39 r06-vintage
-# stalest-evidence ops (the r11 VERDICT rotation item #6 asked for >= 25;
-# the 18 leftovers — including the dozen the r11 judge already re-verified
-# out-of-window — lead r13's filler block).
+# r13 window: the 18 r06-vintage stale-evidence leftovers LEAD (VERDICT
+# r12 "Next round" #1 — their evidence is six rounds old; both the r12
+# close self-recheck and the r12 judge's own out-of-window differential
+# read 18/18 green, so this is cheap certainty that retires the oldest
+# frontier). Then the four never-graded r13 additions (SCD2 retention
+# vacuum, the kmeans-quantizer erasure where O(touched cells) binds, the
+# stream-stream FULL OUTER join, the PQ-layout erasure); then every op
+# MODIFIED in r13 (conf-derived embed shuffle width across the ANN/text
+# families — hash-invariant for EXACT ops, retrains the ROWS-only kmeans
+# family; the wedge-width override validation on the link-prediction
+# pair; the guarded session-restore helper in diag_observe_metrics);
+# filler: 13 of the 44 r07-vintage ops — the new stale frontier (the 31
+# leftovers lead r14's filler block).
 GRADE_FIRST: tuple[str, ...] = (
-    # r12 window — the 12 never-graded r12 additions first:
-    "sink_ivf_compact",
-    "sink_pq_append",
-    "stream_stream_left_outer",
-    "sink_ivf_delete",
-    "scan_pq_probe_filtered",
-    "fn_variant",
-    "diag_observe_metrics",
-    "stream_custom_datasource",
-    "dq_expectations",
-    "fn_collation",
-    "diag_lsh_band_curve",
-    "sink_pq_compact",
-    # then re-certification of every op MODIFIED in r12 (null-safe SCD2
-    # predicate; _cell_scores consolidation across the IVF family; the
-    # guarded 1:1 meta join in both index writers; conf-driven wedge
-    # partition width on the link-prediction pair):
-    "sink_scd2",
-    "scan_scd2_asof",
-    "stream_scd2_apply",
+    # the 18 r06-vintage stale-evidence ops first (VERDICT r12 item 1):
+    "agg_hll_partitioned_merge",
+    "dedup_edit_distance",
+    "doc_train_split",
+    "events_transition_matrix",
+    "fn_regex",
+    "graph_pagerank",
+    "join_asof_latest",
+    "join_inner_equi",
+    "sim_knn_recall",
+    "tag_activity_trend",
+    "tag_basket_affinity",
+    "tag_refresh_delta",
+    "tag_rfe",
+    "tag_rfm",
+    "text_pii_redact",
+    "text_repetition",
+    "win_lag_lead",
+    "win_topk_per_group",
+    # the four never-graded r13 additions:
+    "sink_scd2_vacuum",
+    "sink_ivf_delete_kmeans",
+    "stream_stream_full_outer",
+    "sink_pq_delete",
+    # re-certification of every op MODIFIED in r13 (embed_partitions
+    # conf-derived shuffle width; wedge override validation; the guarded
+    # _restore_active_session helper):
+    "sim_knn_lsh",
+    "dedup_embed_cosine",
     "sim_knn_ivf",
-    "sim_knn_ivf_recall",
-    "scan_ivf_probe",
-    "scan_ivf_probe_filtered",
-    "sink_ivf_layout",
-    "sink_ivf_append",
-    "stream_ivf_append",
-    "sink_ivf_rebalance",
-    "dq_ann_index_health",
+    "sim_knn_ivf_kmeans",
+    "sim_knn_ivf_pq",
     "diag_ann_nprobe_curve",
     "scan_ivf_probe_kmeans",
     "scan_ivf_probe_kmeans_filtered",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_contamination",
+    "text_lm_score",
     "graph_jaccard_link_prediction",
     "graph_link_prediction_capped",
-    # then 21 of the 39 r06-vintage stalest-evidence ops (the r11 VERDICT
-    # rotation item; the 18 leftovers lead the r13 filler block):
-    "agg_count_distinct",
-    "agg_percentile",
-    "agg_stats",
-    "agg_unpivot",
-    "dedup_ngram_spans",
-    "diag_key_skew",
-    "doc_chunking",
-    "doc_length_outliers",
-    "doc_source_cap_sample",
-    "embed_dim_stats",
-    "embed_quantize",
-    "events_anomaly_zscore",
-    "events_dau_stickiness",
-    "join_skew_salted",
-    "join_theta_range",
-    "sample_stratified",
-    "sessionize_events",
-    "sim_centroid_assign",
-    "sink_compact_small_files",
-    "subq_correlated",
-    "tag_activity_streak",
+    "diag_observe_metrics",
+    # filler: 13 of the 44 r07-vintage stalest-evidence ops (alphabetical
+    # head; the 31 leftovers lead r14's filler block):
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_histogram",
+    "agg_multi_distinct",
+    "agg_pivot",
+    "agg_rollup",
+    "doc_intra_span_removal",
+    "doc_mixture_weights",
+    "doc_ngram_novelty",
+    "doc_span_removal",
+    "events_growth_accounting",
+    "events_heatmap_hour_dow",
+    "events_ltv_cohort",
 )
 
 
