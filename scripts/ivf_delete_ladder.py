@@ -9,9 +9,15 @@ its phases; report touched cells / total cells and touched member mass /
 corpus mass. Across rungs (1x vs 10x corpus) the build wall should scale
 with the corpus and the purge wall with the touched mass.
 
+The erasure list is computed OUTSIDE the timed delete window and passed in
+— the deployment shape (the request arrives externally as a ticket), and
+the only honest timing: regenerating the fixture list inside the window
+would add an O(corpus) md5 rank scan to the very measurement that exists
+to show the purge does NOT scale with the corpus.
+
 Usage:
-    UP_IVF_KMEANS_K=141 python scripts/ivf_delete_ladder.py [sf_dir]
-    # default sf_dir: /tmp/userportrait_corpus10 (stage with scale_replica.py)
+    UP_IVF_KMEANS_K=141 python scripts/ivf_delete_ladder.py [sf_dir] [erase_n]
+    # defaults: /tmp/userportrait_corpus10 (stage with scale_replica.py), 8
 """
 
 from __future__ import annotations
@@ -30,10 +36,10 @@ from userportrait.session import get_spark  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/userportrait_corpus10"
+    erase_n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark("ivf-delete-ladder")
 
     from userportrait.ops.llm_similarity import (
-        IVF_ERASE_N,
         IVF_KMEANS_K,
         _ivf_kmeans_delete,
         _ivf_kmeans_erasure,
@@ -47,14 +53,14 @@ def main() -> int:
     cells_path = os.path.join(root, "cells")
     back = spark.read.parquet(cells_path)
     n_corpus = back.count()
-    erase = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]
+    erase = [r.vec_id for r in _ivf_kmeans_erasure(back, erase_n).collect()]
     touched = back.where(F.col("vec_id").isin(erase)).select("cell").distinct()
     n_touched_cells = touched.count()
     n_cells = back.select("cell").distinct().count()
     touched_mass = back.join(touched, "cell").count()
 
     t1 = time.time()
-    _ivf_kmeans_delete(spark, root)
+    _ivf_kmeans_delete(spark, root, erase)
     delete_wall = time.time() - t1
 
     print(
@@ -62,7 +68,7 @@ def main() -> int:
             {
                 "sf_dir": sf_dir,
                 "k": IVF_KMEANS_K,
-                "erase_n": IVF_ERASE_N,
+                "erase_n": erase_n,
                 "n_corpus": n_corpus,
                 "n_cells": n_cells,
                 "n_touched_cells": n_touched_cells,

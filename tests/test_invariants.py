@@ -2236,3 +2236,93 @@ def test_pq_delete_survivors_bit_identical(spark):
     assert {r.vec_id: r.code for r in applied.collect()} == {
         v: pre[v][0] for v in erase
     }
+
+
+def test_ivf_kmeans_delete_rerun_resumes_manifest(spark):
+    """The crash-recovery contract of the deployment delete: a re-run
+    that finds a COMMITTED un-retired tombstone manifest must resume THAT
+    request — never regenerate the erasure list (rank-based selection
+    over a half-purged index names different ids) and never honor a new
+    input list while one is in flight."""
+    import os
+
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_delete,
+        _ivf_kmeans_erasure,
+        _write_ivf_kmeans_index,
+    )
+
+    root = _write_ivf_kmeans_index(spark, SF_DIR)
+    cells_path = os.path.join(root, "cells")
+    back = spark.read.parquet(cells_path)
+    ranked = [r.vec_id for r in _ivf_kmeans_erasure(back, 16).collect()]
+    in_flight, competing = set(ranked[:8]), ranked[8:16]
+
+    # simulate the crash window: phase 1 committed (manifest on disk with
+    # _SUCCESS), purge never ran
+    ts_path = os.path.join(root, "tombstones")
+    back.where(F.col("vec_id").isin(list(in_flight))).select("vec_id", "cell").write.mode(
+        "overwrite"
+    ).parquet(ts_path)
+    assert os.path.exists(os.path.join(ts_path, "_SUCCESS"))
+
+    # the re-run passes a DIFFERENT list — it must be ignored in favor of
+    # the in-flight manifest
+    _ivf_kmeans_delete(spark, root, erase_ids=competing)
+
+    post = spark.read.parquet(cells_path)
+    assert post.where(F.col("vec_id").isin(list(in_flight))).count() == 0
+    assert post.where(F.col("vec_id").isin(competing)).count() == len(competing)
+    applied = spark.read.parquet(os.path.join(root, "tombstones_applied"))
+    assert {r.vec_id for r in applied.collect()} == in_flight
+    assert not os.path.exists(ts_path)
+
+
+def test_pq_swap_recover_rolls_forward_and_back(spark):
+    """The staging + rename-swap crash window: with the serving path
+    empty, recovery must prefer the COMPLETED staged rewrite (_next with
+    _SUCCESS → roll forward) and otherwise restore the pre-swap table
+    (_prev → roll back), bit-identically in both directions."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from userportrait.ops.llm_similarity import _pq_swap_recover, _write_pq_meta_index
+
+    root = _write_pq_meta_index(spark, SF_DIR)
+    codes_dir = os.path.join(root, "codes")
+
+    def dir_hash():
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(codes_dir, "*.parquet"))):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    pre = dir_hash()
+    # no-op when the serving path is present
+    _pq_swap_recover(codes_dir)
+    assert dir_hash() == pre
+
+    # roll back: crash after rename(codes -> prev), rewrite incomplete
+    os.rename(codes_dir, codes_dir + "_prev")
+    _pq_swap_recover(codes_dir)
+    assert dir_hash() == pre
+
+    # roll forward: crash after rename(codes -> prev) with a COMPLETE _next
+    shutil.copytree(codes_dir, codes_dir + "_next")
+    os.rename(codes_dir, codes_dir + "_prev")
+    _pq_swap_recover(codes_dir)
+    assert dir_hash() == pre
+    shutil.rmtree(codes_dir + "_prev")
+
+    # neither state: loud failure, not silent re-creation
+    os.rename(codes_dir, codes_dir + "_gone")
+    try:
+        _pq_swap_recover(codes_dir)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+    finally:
+        os.rename(codes_dir + "_gone", codes_dir)

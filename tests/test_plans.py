@@ -373,6 +373,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: <= touched-cell count surviving-cell ids — identifies fully-deleted cells dynamic overwrite cannot clear",
         ("llm_similarity.py", 'erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids (one request, every index)'):
             "bounded: the erasure-request list itself (IVF_ERASE_N ids) — request-sized, never corpus-sized",
+        ("llm_similarity.py", 'erase_ids = [r.vec_id for r in spark.read.parquet(ts_path).select("vec_id").collect()]  # bounded: the in-flight erasure request'):
+            "bounded: the committed tombstone manifest = one erasure request — request-sized, never corpus-sized",
     }
     found = set()
     for py in root.rglob("*.py"):

@@ -84,34 +84,48 @@ def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     return SimpleNamespace(**{name: read_table(spark, sf_dir, name) for name in TABLES})
 
 
+def positive_int_conf(spark: SparkSession, key: str) -> int | None:
+    """Read a session conf expected to be a positive-integer override.
+    Returns the value when it parses and is > 0; returns None (after a
+    warning) on anything else — an invalid deployment knob must fall
+    through to the caller's estimate, never raise at plan time or
+    produce an invalid repartition width. Shared by embed_partitions and
+    wedge_partitions so the validation cannot drift between knobs."""
+    import warnings
+
+    explicit = spark.conf.get(key, "")
+    if not explicit:
+        return None
+    try:
+        w = int(explicit)
+    except ValueError:
+        w = 0
+    if w > 0:
+        return w
+    warnings.warn(
+        f"{key}={explicit!r} is not a positive integer; ignoring the "
+        "override and falling through to the derived width",
+        stacklevel=3,
+    )
+    return None
+
+
 def embed_partitions(spark: SparkSession) -> int:
     """Shuffle width for the embeddings/documents hash-repartition sites
-    (the ANN index builds, the MinHash/BM25 shingle stages): conf
+    (the ANN index builds and the text-analysis doc_id stages —
+    lang-id/fingerprint/contamination/lm-score): conf
     ``spark.userportrait.embed.partitions`` when it is a positive integer
     (the deployment knob — pin it to corpus-size / target-task-bytes on a
     real cluster), else ``defaultParallelism``. This replaces the fixed
     ``repartition(64, ...)`` literals (VERDICT r12 "What's wrong" #1):
     at 100x corpus, 64 fixed partitions is a per-task memory/straggler
     bottleneck, while defaultParallelism tracks the executor fleet the
-    session actually has. An invalid override (non-numeric, zero,
-    negative) warns and falls through rather than raising at plan time —
-    the wedge_partitions validation discipline."""
-    import warnings
-
-    explicit = spark.conf.get("spark.userportrait.embed.partitions", "")
-    if explicit:
-        try:
-            w = int(explicit)
-        except ValueError:
-            w = 0
-        if w > 0:
-            return w
-        warnings.warn(
-            f"spark.userportrait.embed.partitions={explicit!r} is not a "
-            "positive integer; ignoring the override and using "
-            "defaultParallelism",
-            stacklevel=2,
-        )
+    session actually has. (The MinHash signature stages size themselves
+    to defaultParallelism directly — llm_dedup predates this knob and
+    its widths are already fleet-derived, not literals.)"""
+    explicit = positive_int_conf(spark, "spark.userportrait.embed.partitions")
+    if explicit is not None:
+        return explicit
     return spark.sparkContext.defaultParallelism
 
 

@@ -2870,33 +2870,43 @@ def sink_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_ERASE_N = int(os.environ.get("UP_IVF_ERASE_N", "8"))
+IVF_ERASE_N = 8  # pinned by the sink_ivf_delete_kmeans / sink_pq_delete oracles (LIMIT 8) — not an env knob; ladder runs pass their own list
 
 
-def _ivf_kmeans_erasure(members: DataFrame) -> DataFrame:
+def _ivf_kmeans_erasure(members: DataFrame, n: int = IVF_ERASE_N) -> DataFrame:
     """The deterministic stand-in for a GDPR erasure-request list: the
-    IVF_ERASE_N vec_ids with the lexicographically smallest md5 digests —
-    a fixed-SIZE, pseudo-randomly spread id set. Fixed size is the point:
+    ``n`` vec_ids with the lexicographically smallest md5 digests — a
+    fixed-SIZE, pseudo-randomly spread id set. Fixed size is the point:
     a real erasure request does not grow with the corpus, so the purge's
     touched-cell count is bounded by the request size however large the
     index gets (the property the delete ladder measures; contrast the
     1/16-of-corpus predicate sink_ivf_delete grades, which by design
-    touches every cell). Env knob UP_IVF_ERASE_N sizes ladder runs; the
-    oracle pins the default 8."""
+    touches every cell). NOTE this rank-based selection is NOT stable
+    under deletion (erasing the 8 smallest digests promotes the next 8),
+    which is exactly why the delete helpers treat the erasure list as an
+    INPUT and recover in-flight requests from the persisted manifest —
+    regenerating the list mid-request would erase ids nobody asked for."""
     return (
         members.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(IVF_ERASE_N)
+        .limit(n)
     )
 
 
-def _ivf_kmeans_delete(spark: SparkSession, root: str) -> None:
+def _ivf_kmeans_delete(
+    spark: SparkSession, root: str, erase_ids: list[int] | None = None
+) -> None:
     """Tombstone-then-purge an erasure list from the kmeans-quantized
     serving index at ``root`` (the _write_ivf_kmeans_index layout) — the
     DEPLOYMENT delete, where O(touched cells) actually binds (the r12
     delete ladder showed the ~10-cell label quantizer degenerates to a
     full rewrite; with √n trained cells a bounded erasure list touches a
-    bounded cell subset and everything else is never read or written):
+    bounded cell subset and everything else is never read or written).
+
+    ``erase_ids`` is the request — in deployment it arrives externally
+    (an erasure ticket), so it is an input, not something this helper
+    computes; None derives the fixture list (_ivf_kmeans_erasure) for the
+    graded op.
 
     1. LOCATE + TOMBSTONE: the erasure ids become an IN-list predicate on
        the member scan — members are vec_id-sorted within each cell file,
@@ -2911,20 +2921,31 @@ def _ivf_kmeans_delete(spark: SparkSession, root: str) -> None:
        cell with no survivors is removed outright. Untouched cells are
        byte-identical after the purge (invariant-tested).
 
-    Crash-recovery contract (the sink_ivf_delete discipline verbatim):
-    the manifest rename to ``tombstones_applied`` is the commit point;
-    serving stays correct in every intermediate state because the live
-    manifest keeps masking erased ids, and re-running the purge from the
-    manifest is idempotent — survivors are recomputed from the current
-    on-disk index and already-purged cells rewrite to themselves."""
+    Crash-recovery contract: the manifest rename to ``tombstones_applied``
+    is the commit point; serving stays correct in every intermediate state
+    because the live manifest keeps masking erased ids. A re-run that
+    finds a COMPLETE un-retired manifest (parquet _SUCCESS present)
+    resumes THAT request — the erasure ids are re-read from the manifest,
+    never regenerated, because a rank-based fixture list recomputed over a
+    half-purged index would name different ids (see _ivf_kmeans_erasure) —
+    and the purge is idempotent from there: survivors are recomputed from
+    the current on-disk index and already-purged cells rewrite to
+    themselves. An absent or incomplete manifest means no request is in
+    flight and the tombstone phase starts (or restarts) from the input.
+    Pinned by tests/test_invariants.py::test_ivf_kmeans_delete_rerun_resumes_manifest."""
     import shutil as _sh
 
     cells_path = os.path.join(root, "cells")
-    back = spark.read.parquet(cells_path)
-    erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids
-    ts = back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "cell")
     ts_path = os.path.join(root, "tombstones")
-    ts.write.mode("overwrite").parquet(ts_path)
+    back = spark.read.parquet(cells_path)
+    if os.path.exists(os.path.join(ts_path, "_SUCCESS")):
+        # in-flight request: resume from the committed manifest
+        erase_ids = [r.vec_id for r in spark.read.parquet(ts_path).select("vec_id").collect()]  # bounded: the in-flight erasure request
+    else:
+        if erase_ids is None:
+            erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids
+        ts = back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "cell")
+        ts.write.mode("overwrite").parquet(ts_path)
 
     tsr = spark.read.parquet(ts_path)
     touched = [r.cell for r in tsr.select("cell").distinct().collect()]  # bounded: <= IVF_ERASE_N touched-cell ids (quantizer metadata)
@@ -3152,6 +3173,28 @@ def sink_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_swap_recover(codes_dir: str) -> None:
+    """Re-run preamble for the staging + rename-swap discipline: if a
+    crash hit between the two renames, the serving path is empty but a
+    complete consistent table exists next to it — ROLL FORWARD when the
+    staged rewrite finished (``_next`` carries parquet _SUCCESS), ROLL
+    BACK to the pre-swap table otherwise. A no-op when the serving path
+    is present. Raises when neither state exists — that is data loss from
+    outside this discipline, not a crash window it owns."""
+    tmp = codes_dir + "_next"
+    prev = codes_dir + "_prev"
+    if os.path.exists(codes_dir):
+        return
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, codes_dir)
+    elif os.path.exists(prev):
+        os.rename(prev, codes_dir)
+    else:
+        raise FileNotFoundError(
+            f"no code table at {codes_dir} and no swap state (_next/_prev) to recover from"
+        )
+
+
 @op(
     "sink_pq_delete",
     oracle="""
@@ -3187,11 +3230,21 @@ def sink_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
        repartitionByRange + staging + rename-swap pass the table needs on
        the append cadence anyway, at zero marginal cost. O(all codes),
        but codes are the 8 B/vector compressed form — the cheapest full
-       pass in the index family (sink_pq_compact's cost note). The
-       manifest retires to ``tombstones_applied`` AFTER the swap — the
-       commit point; re-running from any crash window is safe because the
-       live manifest keeps masking erased ids and the rewrite recomputes
-       survivors from the current table.
+       pass in the index family (sink_pq_compact's cost note).
+
+    Crash-recovery contract, stated precisely: the manifest retires to
+    ``tombstones_applied`` AFTER the swap — the commit point. A complete
+    consistent code table exists ON DISK through every crash window, but
+    between the two renames it lives at ``codes_prev``/``codes_next``,
+    not at the serving path — so the re-run preamble ROLLS the swap
+    FORWARD (``codes_next`` complete → rename it in) or BACK
+    (``codes_prev`` present → restore it) before doing anything else. The
+    in-flight erasure ids are then re-read from the committed manifest,
+    never regenerated (a rank-based fixture list recomputed over a
+    half-purged table would name different ids — _ivf_kmeans_erasure's
+    caveat), and the survivor rewrite is idempotent from there. Serving
+    correctness never depends on the purge: the live manifest masks
+    erased ids in every intermediate state.
 
     Rollup (EXACT, quantizer-independent): every vector yields exactly
     one code row (the append-oracle invariant), so surviving-code count +
@@ -3204,14 +3257,20 @@ def sink_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _write_pq_meta_index(spark, sf_dir)
     codes_dir = os.path.join(root, "codes")
-    back = spark.read.parquet(codes_dir)
-    erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids (one request, every index)
-    ts_path = os.path.join(root, "tombstones")
-    back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "code").write.mode(
-        "overwrite"
-    ).parquet(ts_path)
-
     tmp = codes_dir + "_next"
+    prev = codes_dir + "_prev"
+    ts_path = os.path.join(root, "tombstones")
+    _pq_swap_recover(codes_dir)
+    back = spark.read.parquet(codes_dir)
+    if os.path.exists(os.path.join(ts_path, "_SUCCESS")):
+        # in-flight request: resume from the committed manifest
+        erase_ids = [r.vec_id for r in spark.read.parquet(ts_path).select("vec_id").collect()]  # bounded: the in-flight erasure request
+    else:
+        erase_ids = [r.vec_id for r in _ivf_kmeans_erasure(back).collect()]  # bounded: <= IVF_ERASE_N erasure-request ids (one request, every index)
+        back.where(F.col("vec_id").isin(erase_ids)).select("vec_id", "code").write.mode(
+            "overwrite"
+        ).parquet(ts_path)
+
     (
         spark.read.parquet(codes_dir)
         .where(~F.col("vec_id").isin(erase_ids))
@@ -3220,7 +3279,6 @@ def sink_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    prev = codes_dir + "_prev"
     _sh.rmtree(prev, ignore_errors=True)
     os.rename(codes_dir, prev)
     os.rename(tmp, codes_dir)

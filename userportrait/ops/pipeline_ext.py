@@ -1076,23 +1076,12 @@ def wedge_partitions(deg: "DataFrame", cap: int | None = None) -> int:
     deployment with a large session shuffle width floors at
     defaultParallelism (keep every core busy) instead of inheriting the
     full fact-table width for a few million wedges."""
-    import warnings
+    from ..catalog import positive_int_conf
 
     spark = deg.sparkSession
-    explicit = spark.conf.get("spark.userportrait.wedge.partitions", "")
-    if explicit:
-        try:
-            w = int(explicit)
-        except ValueError:
-            w = 0
-        if w > 0:
-            return w
-        warnings.warn(
-            f"spark.userportrait.wedge.partitions={explicit!r} is not a "
-            "positive integer; ignoring the override and sizing from the "
-            "wedge-volume estimate",
-            stacklevel=2,
-        )
+    explicit = positive_int_conf(spark, "spark.userportrait.wedge.partitions")
+    if explicit is not None:
+        return explicit
     d = F.least(F.col("d"), F.lit(cap)) if cap else F.col("d")
     est = (d * (d - F.lit(1)) / F.lit(2)).cast("double")
     wedges = int(deg.agg(F.sum(est)).first()[0] or 0)  # one scalar: the wedge-volume estimate

@@ -474,12 +474,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def left_outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
-    """The left-outer attribution join plan over a staged event stream,
-    factored so the mid-stream eviction test drives it over the ordered2
-    (watermark-advancing) staging: sentinels pass BOTH branch filters (the
-    watermark sits below the pushed filter, see the op docstring) and are
-    dropped after the join by their event_id."""
+def _outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int, how: str) -> DataFrame:
+    """Shared plan of the outer attribution joins (left / full) over a
+    staged event stream: sentinels pass BOTH branch filters (the watermark
+    stats sit below the pushed event-type filter — the measured Spark
+    mechanic both op docstrings describe) and are dropped AFTER the join
+    by the caller. The sentinel-pushdown subtlety lives here exactly once
+    so the join-type variants cannot drift."""
     clicks = (
         _stream_events(spark, stage_dir, delay_s)
         .where((F.col("event_type") == "click") | (F.col("event_type") == _SENTINEL_TYPE))
@@ -503,8 +504,15 @@ def left_outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int) -> 
         (F.col("p_user") == F.col("c_user"))
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
+        how,
     )
+
+
+def left_outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
+    """The left-outer attribution join plan, factored so the mid-stream
+    eviction test drives it over the ordered2 (watermark-advancing)
+    staging."""
+    return _outer_click_join(spark, stage_dir, delay_s, "leftOuter")
 
 
 @op(
@@ -561,39 +569,13 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def full_outer_click_join(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFrame:
-    """The FULL OUTER attribution join plan over a staged event stream,
-    factored so the mid-stream dual-eviction test drives it over the
-    ordered2 (watermark-advancing) staging. Same branch shape as
-    left_outer_click_join — sentinels must pass BOTH branch filters (the
-    watermark stats sit below the pushed event-type filter) and are
-    dropped after the join null-safely (an unmatched sentinel emits with
-    the OTHER side's columns NULL, so a plain ``!=`` comparison would be
-    NULL and silently drop every real unmatched row too)."""
-    clicks = (
-        _stream_events(spark, stage_dir, delay_s)
-        .where((F.col("event_type") == "click") | (F.col("event_type") == _SENTINEL_TYPE))
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-    )
-    purchases = (
-        _stream_events(spark, stage_dir, delay_s)
-        .where((F.col("event_type") == "purchase") | (F.col("event_type") == _SENTINEL_TYPE))
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    return clicks.join(
-        purchases,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "fullOuter",
-    )
+    """The FULL OUTER attribution join plan, factored so the mid-stream
+    dual-eviction test drives it over the ordered2 (watermark-advancing)
+    staging. Sentinels are dropped after the join by the caller —
+    NULL-SAFELY: an unmatched sentinel emits with the OTHER side's
+    columns NULL, so a plain ``!=`` comparison would be NULL and silently
+    drop every real unmatched row too."""
+    return _outer_click_join(spark, stage_dir, delay_s, "fullOuter")
 
 
 @op(
