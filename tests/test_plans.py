@@ -507,6 +507,8 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "events_diff_in_diff": "arm×period pivot over the 4-row cell frame (the ab_ttest allowance widened by the period axis)",
         "scan_cdc_changefeed": "1-row epoch-midpoint scalar (version-1 cutoff)",
         "tag_segment_migration": "1-row epoch-midpoint scalar (period split)",
+        "sink_ivf_delete_kmeans": "two 1-row provenance rollup aggregates (survivor + applied-manifest scalars) crossJoined",
+        "sink_pq_delete": "two 1-row provenance rollup aggregates (survivor + applied-manifest scalars) crossJoined",
     }
     offenders = {}
     for name in OPS:
