@@ -2326,3 +2326,53 @@ def test_pq_swap_recover_rolls_forward_and_back(spark):
         pass
     finally:
         os.rename(codes_dir + "_gone", codes_dir)
+
+
+def test_ivf_kmeans_append_frozen_quantizer(spark):
+    """The kmeans append's contract: base files are never rewritten
+    (byte-identical), every appended vector is reachable in the merged
+    index, and its cell equals the nearest-centroid assignment under the
+    SHIPPED (frozen) quantizer — never a retrained one."""
+    import glob
+    import hashlib
+    import os
+
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_append,
+        _kmeans_assign,
+        _unit_embeddings,
+        _write_ivf_kmeans_index,
+    )
+
+    e = load(spark, SF_DIR).embeddings
+    cutoff = int(e.agg(F.floor(F.lit(0.8) * F.max("vec_id"))).first()[0])
+    root = _write_ivf_kmeans_index(
+        spark, SF_DIR, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_incr"
+    )
+    cells_path = os.path.join(root, "cells")
+
+    def file_hashes():
+        out = {}
+        for f in glob.glob(os.path.join(cells_path, "cell=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    base_files = file_hashes()
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    new = e.where(F.col("vec_id") > cutoff)
+    expected = {
+        r.vec_id: r.cell for r in _kmeans_assign(_unit_embeddings(new), cent).collect()
+    }
+    assert expected
+
+    _ivf_kmeans_append(spark, SF_DIR, root, cutoff)
+
+    # base files byte-identical: append never rewrites them
+    post = file_hashes()
+    for f, h in base_files.items():
+        assert post.get(f) == h, f
+    # every appended vector reachable, in its frozen-quantizer cell
+    back = spark.read.parquet(cells_path).where(F.col("vec_id") > cutoff)
+    got = {r.vec_id: r.cell for r in back.select("vec_id", "cell").collect()}
+    assert got == expected

@@ -1587,26 +1587,13 @@ def _ivf_serve_probe(e: DataFrame, cent: DataFrame, back: DataFrame) -> DataFram
     )
 
 
-def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
-    """Write the DEPLOYMENT-quantizer serving index: trained √n-style
-    kmeans centroids persisted NEXT TO the cell-partitioned unit-vector
-    members (an index that does not ship its quantizer cannot be probed
-    by a fresh process). Returns the index root; layout:
-
-      <root>/centroids/   (cell, c, cnrm)           — k x dim, one file
-      <root>/cells/       partitionBy(cell) parquet  (vec_id, u)
-
-    Shared build for scan_ivf_probe_kmeans; the label-quantizer sibling
-    sink_ivf_layout keeps the EXACT-oracle contract of the write path."""
-    from .scans import _scratch
-
-    # Same lineage as sim_knn_ivf_kmeans (repartition(embed_partitions, vec_id) BEFORE
-    # normalization): k-means|| init samples per partition, so the trained
-    # centers are only bit-identical across the in-memory sibling and this
-    # persisted build when both train over the same partitioning.
-    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
-    unit = _unit_embeddings(e)
-    cent = _kmeans_cells(spark, unit)
+def _kmeans_assign(unit: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, u, cell): nearest-centroid assignment of unit vectors
+    against a broadcast kmeans centroid frame — csim desc, cell asc,
+    keep rank 1. THE assignment expression of the kmeans-quantizer
+    family: the index build and the append's frozen-quantizer assignment
+    route through this one body so they cannot drift (the _cell_scores
+    consolidation discipline, applied to the trained quantizer)."""
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     vc = unit.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -1617,8 +1604,42 @@ def _write_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
         ),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    assign = vc.withColumn("rn", F.row_number().over(w_cell)).where(F.col("rn") == 1)
-    root = _scratch("embeddings_ivf_kmeans")
+    return (
+        vc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "u", "cell")
+    )
+
+
+def _write_ivf_kmeans_index(
+    spark: SparkSession, sf_dir: str, max_vec_id: int | None = None, root_name: str = "embeddings_ivf_kmeans"
+) -> str:
+    """Write the DEPLOYMENT-quantizer serving index: trained √n-style
+    kmeans centroids persisted NEXT TO the cell-partitioned unit-vector
+    members (an index that does not ship its quantizer cannot be probed
+    by a fresh process). Returns the index root; layout:
+
+      <root>/centroids/   (cell, c, cnrm)           — k x dim, one file
+      <root>/cells/       partitionBy(cell) parquet  (vec_id, u)
+
+    ``max_vec_id`` restricts the build (and the quantizer TRAINING) to a
+    base-corpus prefix — the sink_ivf_append_kmeans convention, where
+    appended vectors must land in existing cells of a frozen quantizer.
+    Shared build for scan_ivf_probe_kmeans; the label-quantizer sibling
+    sink_ivf_layout keeps the EXACT-oracle contract of the write path."""
+    from .scans import _scratch
+
+    # Same lineage as sim_knn_ivf_kmeans (repartition(embed_partitions, vec_id) BEFORE
+    # normalization): k-means|| init samples per partition, so the trained
+    # centers are only bit-identical across the in-memory sibling and this
+    # persisted build when both train over the same partitioning.
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
+    if max_vec_id is not None:
+        e = e.where(F.col("vec_id") <= max_vec_id)
+    unit = _unit_embeddings(e)
+    cent = _kmeans_cells(spark, unit)
+    assign = _kmeans_assign(unit, cent)
+    root = _scratch(root_name)
     cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
     # lang rides NEXT TO each member (vec_id = doc_id, 1:1 — ENFORCED by
     # _join_doc_meta_1to1's raise_error gate) so attribute-predicated
@@ -3296,3 +3317,82 @@ def sink_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("bigint").alias("deleted_vecid_sum"),
     )
     return sur.crossJoin(dl)
+
+
+def _ivf_kmeans_append(spark: SparkSession, sf_dir: str, root: str, cutoff: int) -> None:
+    """Append the post-cutoff vectors to the kmeans index at ``root``:
+    centroids are read BACK FROM THE INDEX (frozen — the shipped
+    quantizer, never retrained) and assignment routes through the same
+    _kmeans_assign body the build uses; new members land mode("append")
+    in existing cell directories, base files never rewritten. Factored
+    so the frozen-quantizer test drives it against its own build."""
+    e = load(spark, sf_dir).embeddings
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    new = e.where(F.col("vec_id") > cutoff)
+    new_assign = _kmeans_assign(_unit_embeddings(new), cent)
+    (
+        _join_doc_meta_1to1(new_assign, load(spark, sf_dir).documents, ["lang"])
+        .select("vec_id", "u", "lang", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+
+
+@op(
+    "sink_ivf_append_kmeans",
+    oracle="""
+    WITH cut AS (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS c FROM embeddings)
+    SELECT CASE WHEN e.vec_id <= cut.c THEN 'base' ELSE 'appended' END AS part,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(e.vec_id) AS BIGINT) AS vecid_sum,
+           CAST(min(e.vec_id) AS BIGINT) AS vec_min,
+           CAST(max(e.vec_id) AS BIGINT) AS vec_max
+    FROM embeddings e CROSS JOIN cut GROUP BY 1
+    """,
+)
+def sink_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance on the DEPLOYMENT (√n trained kmeans)
+    quantizer — the append verb that makes its lifecycle symmetric with
+    the label index (build/serve/filtered-serve/DELETE existed after r13;
+    the daily-crawl append is what a deployment actually runs between
+    rebuilds): the newest ~20% of vectors (vec_id above the 0.8-of-max
+    cutoff, the dedup_incremental split convention) are assigned to the
+    EXISTING cells of a quantizer trained on the BASE corpus only and
+    written ``mode("append")`` into the cell-partitioned layout —
+    O(new × k) against broadcast centroids, no retraining, base files
+    never rewritten (byte-identity pinned).
+
+    The frozen-quantizer principle is enforced structurally: the append
+    reads the centroids BACK FROM THE INDEX (the quantizer ships with it
+    — scan_ivf_probe_kmeans's serve-time contract) and routes assignment
+    through the same _kmeans_assign body the build uses, so
+    build-assignment and append-assignment cannot drift. Quantizer drift
+    against the growing corpus is absorbed by the periodic rebuild +
+    rebalance cadence, exactly as on the label index.
+
+    Rollup (EXACT, quantizer-independent — cell assignments are trained,
+    ROWS-only by construction everywhere else in this family): per part
+    (base/appended), count + exact vec_id checksum + id range over the
+    merged readback; the guarded 1:1 build contract means the merged
+    index holds exactly the embeddings table, so the oracle recomputes
+    the same split relationally. Append-side probe mechanics (new
+    vectors reachable, base members' files untouched) are pinned by
+    tests/test_invariants.py::test_ivf_kmeans_append_frozen_quantizer."""
+    e = load(spark, sf_dir).embeddings
+    cutoff = e.agg(
+        F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint").alias("c")
+    ).collect()[0]["c"]
+    root = _write_ivf_kmeans_index(spark, sf_dir, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_incr")
+    _ivf_kmeans_append(spark, sf_dir, root, cutoff)
+    back = spark.read.parquet(os.path.join(root, "cells"))
+    return back.groupBy(
+        F.when(F.col("vec_id") <= cutoff, "base").otherwise("appended").alias("part")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+        F.min("vec_id").cast("bigint").alias("vec_min"),
+        F.max("vec_id").cast("bigint").alias("vec_max"),
+    )
