@@ -2376,3 +2376,36 @@ def test_ivf_kmeans_append_frozen_quantizer(spark):
     back = spark.read.parquet(cells_path).where(F.col("vec_id") > cutoff)
     got = {r.vec_id: r.cell for r in back.select("vec_id", "cell").collect()}
     assert got == expected
+
+
+def test_stream_ivf_kmeans_fold_lossless(spark):
+    """The kmeans compact's claims, physically: after the streaming
+    ingest (per-batch overwrite dirs), the fold must preserve EVERY
+    member row bit-for-bit (vec_id, u, lang, cell) while collapsing the
+    serving view to a single layout and retiring the batch dirs."""
+    import os
+
+    from userportrait.ops.streaming import _run_stream_ivf_kmeans_ingest, ivf_fold_batches
+
+    root, cutoff, batches_root = _run_stream_ivf_kmeans_ingest(spark, SF_DIR)
+    cells_path = os.path.join(root, "cells")
+    cols = ["vec_id", "u", "lang", "cell"]
+    base = spark.read.parquet(cells_path).select(*cols)
+    batches = spark.read.parquet(batches_root).select(*cols)
+    pre = sorted(
+        (r["vec_id"], tuple(r["u"]), r["lang"], r["cell"])
+        for r in base.unionByName(batches).collect()
+    )
+    n_batches = len([d for d in os.listdir(batches_root) if d.startswith("batch_id=")])
+    assert n_batches >= 2, "staging must replay multiple micro-batches"
+    # the stream delivered real appended vectors
+    assert batches.count() > 0
+
+    ivf_fold_batches(spark, cells_path, batches_root, member_cols=("vec_id", "u", "lang"))
+
+    post = sorted(
+        (r["vec_id"], tuple(r["u"]), r["lang"], r["cell"])
+        for r in spark.read.parquet(cells_path).select(*cols).collect()
+    )
+    assert post == pre
+    assert not os.path.exists(batches_root)

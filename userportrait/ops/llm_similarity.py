@@ -3341,9 +3341,14 @@ def _ivf_kmeans_append(spark: SparkSession, sf_dir: str, root: str, cutoff: int)
     )
 
 
-@op(
-    "sink_ivf_append_kmeans",
-    oracle="""
+# Quantizer-INDEPENDENT provenance rollup of the kmeans maintenance family
+# (cell assignments are trained — ROWS-only by construction — but per-part
+# counts/checksums/id-ranges over the merged index equal the same split
+# computed relationally, because the guarded 1:1 build contract means the
+# index holds exactly the embeddings table). Shared by sink_ivf_append_kmeans,
+# stream_ivf_append_kmeans, and sink_ivf_compact_kmeans: the streaming ingest
+# converges to the batch append, and the fold is lossless.
+_IVF_KMEANS_PART_ORACLE = """
     WITH cut AS (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS c FROM embeddings)
     SELECT CASE WHEN e.vec_id <= cut.c THEN 'base' ELSE 'appended' END AS part,
            CAST(count(*) AS BIGINT) AS n_vecs,
@@ -3351,8 +3356,23 @@ def _ivf_kmeans_append(spark: SparkSession, sf_dir: str, root: str, cutoff: int)
            CAST(min(e.vec_id) AS BIGINT) AS vec_min,
            CAST(max(e.vec_id) AS BIGINT) AS vec_max
     FROM embeddings e CROSS JOIN cut GROUP BY 1
-    """,
-)
+    """
+
+
+def _ivf_kmeans_part_rollup(back: DataFrame, cutoff: int) -> DataFrame:
+    """The readback side of _IVF_KMEANS_PART_ORACLE, shared by the three
+    kmeans maintenance ops."""
+    return back.groupBy(
+        F.when(F.col("vec_id") <= cutoff, "base").otherwise("appended").alias("part")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
+        F.min("vec_id").cast("bigint").alias("vec_min"),
+        F.max("vec_id").cast("bigint").alias("vec_max"),
+    )
+
+
+@op("sink_ivf_append_kmeans", oracle=_IVF_KMEANS_PART_ORACLE)
 def sink_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance on the DEPLOYMENT (√n trained kmeans)
     quantizer — the append verb that makes its lifecycle symmetric with
@@ -3387,12 +3407,4 @@ def sink_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["c"]
     root = _write_ivf_kmeans_index(spark, sf_dir, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_incr")
     _ivf_kmeans_append(spark, sf_dir, root, cutoff)
-    back = spark.read.parquet(os.path.join(root, "cells"))
-    return back.groupBy(
-        F.when(F.col("vec_id") <= cutoff, "base").otherwise("appended").alias("part")
-    ).agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum("vec_id").cast("bigint").alias("vecid_sum"),
-        F.min("vec_id").cast("bigint").alias("vec_min"),
-        F.max("vec_id").cast("bigint").alias("vec_max"),
-    )
+    return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS
 from ..registry import op
-from .llm_similarity import _IVF_APPEND_ORACLE
+from .llm_similarity import _IVF_APPEND_ORACLE, _IVF_KMEANS_PART_ORACLE
 from .scans import _SCD2_HIST_CTE
 
 _STAGE_ROOT = "/tmp/userportrait_streaming"
@@ -1624,20 +1624,132 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_fold_batches(spark: SparkSession, path: str, batches_root: str) -> None:
+def _run_stream_ivf_kmeans_ingest(spark: SparkSession, sf_dir: str):
+    """The kmeans twin of _run_stream_ivf_ingest: build the base
+    DEPLOYMENT index (quantizer trained on the <=cutoff prefix only,
+    shipped next to the cells), then replay the staged vector feed
+    through the per-batch-dir ingest — each micro-batch unit-normalized
+    and assigned through the same _kmeans_assign body the build uses,
+    against centroids read BACK FROM THE INDEX (frozen), with lang
+    riding next to each member (the kmeans cell layout). Per-batch
+    overwrite dirs make replay exactly-once, exactly as on the label
+    index. Returns (root, cutoff, batches_root). Shared by
+    stream_ivf_append_kmeans and sink_ivf_compact_kmeans."""
+    from ..catalog import load
+    from .llm_similarity import (
+        _join_doc_meta_1to1,
+        _kmeans_assign,
+        _unit_embeddings,
+        _write_ivf_kmeans_index,
+    )
+
+    feed_dir, cutoff = _stage_vector_feed(sf_dir)
+    root = _write_ivf_kmeans_index(
+        spark, sf_dir, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_stream"
+    )
+    cells_path = os.path.join(root, "cells")
+    cent = spark.read.parquet(os.path.join(root, "centroids"))  # frozen: the shipped quantizer
+    docs = load(spark, sf_dir).documents
+    batches_root = cells_path + "_batches"
+    shutil.rmtree(batches_root, ignore_errors=True)
+    chk = batches_root + "_chk"
+    shutil.rmtree(chk, ignore_errors=True)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = _kmeans_assign(_unit_embeddings(batch_df), cent)
+        (
+            _join_doc_meta_1to1(assigned, docs, ["lang"])
+            .select("vec_id", "u", "lang", "cell")
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(batches_root, f"batch_id={batch_id}"))
+        )
+
+    src = spark.readStream.schema(SCHEMAS["embeddings"]).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed_dir)
+    q = (
+        src.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return root, cutoff, batches_root
+
+
+@op("stream_ivf_append_kmeans", oracle=_IVF_KMEANS_PART_ORACLE)
+def stream_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingest into the DEPLOYMENT (kmeans) index — the
+    online half of the quantizer lifecycle a 100 TB serving fleet
+    actually runs (label-index sibling: stream_ivf_append): micro-batches
+    of new vectors are assigned to EXISTING cells of the frozen
+    base-trained quantizer — inside foreachBatch, through the same
+    _kmeans_assign body the build uses — and land in per-batch overwrite
+    directories, exactly-once under replay where blind append would
+    double vectors; the serving view is base ∪ batch dirs.
+
+    Graded EXACT as the quantizer-independent per-part provenance rollup
+    over that serving view (the sink_ivf_append_kmeans oracle verbatim —
+    streaming ingest converges to the batch append, the same claim the
+    label pair makes with ITS shared oracle). Per-batch-dir layout and
+    fold losslessness are pinned by
+    tests/test_invariants.py::test_stream_ivf_kmeans_fold_lossless."""
+    root, cutoff, batches_root = _run_stream_ivf_kmeans_ingest(spark, sf_dir)
+    from .llm_similarity import _ivf_kmeans_part_rollup
+
+    base = spark.read.parquet(os.path.join(root, "cells")).select("vec_id", "cell")
+    appended = spark.read.parquet(batches_root).select("vec_id", "cell")
+    return _ivf_kmeans_part_rollup(base.unionByName(appended), cutoff)
+
+
+@op("sink_ivf_compact_kmeans", oracle=_IVF_KMEANS_PART_ORACLE)
+def sink_ivf_compact_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION on the DEPLOYMENT index — folds
+    stream_ivf_append_kmeans's accumulated per-batch overwrite dirs into
+    the base cell partitions through the SAME ivf_fold_batches body the
+    label compact uses (member_cols parameterizes the kmeans layout:
+    vec_id, u, lang), rewriting only touched cells via dynamic partition
+    overwrite and retiring the batch dirs move-aside-first. Completes the
+    kmeans lifecycle: build / serve / filtered-serve / batch append /
+    streaming append / COMPACT / delete.
+
+    Graded EXACT as the post-fold per-part rollup over the BASE ONLY —
+    the fold is lossless, so the single-layout readback must equal the
+    full-corpus split the oracle computes (the sink_ivf_compact
+    discipline: reading only the base against the append oracle IS the
+    losslessness claim). Member-row preservation through the fold is
+    pinned by tests/test_invariants.py::test_stream_ivf_kmeans_fold_lossless."""
+    root, cutoff, batches_root = _run_stream_ivf_kmeans_ingest(spark, sf_dir)
+    cells_path = os.path.join(root, "cells")
+    ivf_fold_batches(spark, cells_path, batches_root, member_cols=("vec_id", "u", "lang"))
+    from .llm_similarity import _ivf_kmeans_part_rollup
+
+    return _ivf_kmeans_part_rollup(spark.read.parquet(cells_path), cutoff)
+
+
+def ivf_fold_batches(
+    spark: SparkSession, path: str, batches_root: str, member_cols: tuple[str, ...] = ("vec_id", "embedding")
+) -> None:
     """The fold body of sink_ivf_compact, factored so the scale ladder
     (scripts/ivf_compact_ladder.py) drives it against an arbitrary batch
     fan-out: rewrite ONLY the touched cells (base ∪ batch members, pinned
     to break the read-overwrite cycle) via dynamic partition overwrite,
-    then retire the batch dirs move-aside-first."""
+    then retire the batch dirs move-aside-first. ``member_cols``
+    parameterizes the member payload so the kmeans layout (vec_id, u,
+    lang) folds through the same body as the label layout — the fold
+    discipline lives once."""
     from ..catalog import pin
 
-    batches = spark.read.parquet(batches_root).select("vec_id", "embedding", "cell")
+    cols = [*member_cols, "cell"]
+    batches = spark.read.parquet(batches_root).select(*cols)
     touched = batches.select("cell").distinct()
     base_touched = (
         spark.read.parquet(path)
         .join(F.broadcast(touched), "cell")
-        .select("vec_id", "embedding", "cell")
+        .select(*cols)
     )
     merged = pin(base_touched.unionByName(batches))
 

@@ -68,15 +68,15 @@ _LOADED = False
 # r12 "Next round" #1 — their evidence is six rounds old; both the r12
 # close self-recheck and the r12 judge's own out-of-window differential
 # read 18/18 green, so this is cheap certainty that retires the oldest
-# frontier). Then the five never-graded r13 additions (SCD2 retention
+# frontier). Then the seven never-graded r13 additions (SCD2 retention
 # vacuum, the kmeans-quantizer erasure where O(touched cells) binds, the
 # stream-stream FULL OUTER join, the PQ-layout erasure, the
-# frozen-quantizer kmeans append); then every op
+# frozen-quantizer kmeans append + its streaming/compact twins); then every op
 # MODIFIED in r13 (conf-derived embed shuffle width across the ANN/text
 # families — hash-invariant for EXACT ops, retrains the ROWS-only kmeans
 # family; the wedge-width override validation on the link-prediction
 # pair; the guarded session-restore helper in diag_observe_metrics);
-# filler: 12 of the 44 r07-vintage ops — the new stale frontier (the 32
+# filler: 10 of the 44 r07-vintage ops — the new stale frontier (the 34
 # leftovers lead r14's filler block).
 GRADE_FIRST: tuple[str, ...] = (
     # the 18 r06-vintage stale-evidence ops first (VERDICT r12 item 1):
@@ -98,12 +98,14 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_repetition",
     "win_lag_lead",
     "win_topk_per_group",
-    # the five never-graded r13 additions:
+    # the seven never-graded r13 additions:
     "sink_scd2_vacuum",
     "sink_ivf_delete_kmeans",
     "stream_stream_full_outer",
     "sink_pq_delete",
     "sink_ivf_append_kmeans",
+    "stream_ivf_append_kmeans",
+    "sink_ivf_compact_kmeans",
     # re-certification of every op MODIFIED in r13 (embed_partitions
     # conf-derived shuffle width; wedge override validation; the guarded
     # _restore_active_session helper):
@@ -122,8 +124,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "graph_jaccard_link_prediction",
     "graph_link_prediction_capped",
     "diag_observe_metrics",
-    # filler: 12 of the 44 r07-vintage stalest-evidence ops (alphabetical
-    # head; the 32 leftovers lead r14's filler block):
+    # filler: 10 of the 44 r07-vintage stalest-evidence ops (alphabetical
+    # head; the 34 leftovers lead r14's filler block):
     "agg_approx_distinct",
     "agg_having",
     "agg_histogram",
@@ -134,8 +136,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "doc_mixture_weights",
     "doc_ngram_novelty",
     "doc_span_removal",
-    "events_growth_accounting",
-    "events_heatmap_hour_dow",
 )
 
 
