@@ -79,63 +79,65 @@ _LOADED = False
 # filler: 10 of the 44 r07-vintage ops — the new stale frontier (the 34
 # leftovers lead r14's filler block).
 GRADE_FIRST: tuple[str, ...] = (
-    # the 18 r06-vintage stale-evidence ops first (VERDICT r12 item 1):
-    "agg_hll_partitioned_merge",
-    "dedup_edit_distance",
-    "doc_train_split",
-    "events_transition_matrix",
-    "fn_regex",
-    "graph_pagerank",
-    "join_asof_latest",
-    "join_inner_equi",
-    "sim_knn_recall",
-    "tag_activity_trend",
-    "tag_basket_affinity",
-    "tag_refresh_delta",
-    "tag_rfe",
-    "tag_rfm",
-    "text_pii_redact",
-    "text_repetition",
-    "win_lag_lead",
-    "win_topk_per_group",
-    # the seven never-graded r13 additions:
-    "sink_scd2_vacuum",
-    "sink_ivf_delete_kmeans",
-    "stream_stream_full_outer",
-    "sink_pq_delete",
-    "sink_ivf_append_kmeans",
-    "stream_ivf_append_kmeans",
-    "sink_ivf_compact_kmeans",
-    # re-certification of every op MODIFIED in r13 (embed_partitions
-    # conf-derived shuffle width; wedge override validation; the guarded
-    # _restore_active_session helper):
-    "sim_knn_lsh",
-    "dedup_embed_cosine",
-    "sim_knn_ivf",
-    "sim_knn_ivf_kmeans",
-    "sim_knn_ivf_pq",
-    "diag_ann_nprobe_curve",
+    # r14 window. The 34 r07-vintage stale-evidence ops LEAD (VERDICT r13
+    # "Next round" #1 — their evidence is seven rounds old; both the r13
+    # builder differential and the r13 judge's own out-of-window check read
+    # 34/34 green, so this retires the oldest frontier):
+    "events_growth_accounting",
+    "events_heatmap_hour_dow",
+    "events_ltv_cohort",
+    "events_path_topk",
+    "filter_compound",
+    "join_anti",
+    "join_bloom_filtered",
+    "join_broadcast_dim",
+    "join_cross_small",
+    "join_outer_full",
+    "join_outer_left",
+    "join_outer_right",
+    "join_self_graph",
+    "join_semi",
+    "join_sortmerge_big",
+    "proj_select_rename",
+    "scan_corrupt_records",
+    "scan_csv_roundtrip",
+    "scan_custom_datasource",
+    "scan_dpp_join",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_partition_pruning",
+    "scan_schema_evolution",
+    "sim_cosine_knn",
+    "sim_threshold_pairs",
+    "sink_bucketed_join",
+    "sink_incremental_agg",
+    "sink_merge_upsert",
+    "sink_parquet_partitioned",
+    "sort_multikey_nulls",
+    "tag_funnel",
+    "tag_retention",
+    "win_rank_family",
+    # never-graded r14 additions (uncommented as they land):
+    # "sink_ivf_retrain",
+    # "stream_pq_append",
+    # re-certification of every op MODIFIED in r14 (tombstone anti-join in
+    # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
+    # kmeans batch-append fold in the compact verb):
     "scan_ivf_probe_kmeans",
     "scan_ivf_probe_kmeans_filtered",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_contamination",
-    "text_lm_score",
-    "graph_jaccard_link_prediction",
-    "graph_link_prediction_capped",
-    "diag_observe_metrics",
-    # filler: 10 of the 44 r07-vintage stalest-evidence ops (alphabetical
-    # head; the 34 leftovers lead r14's filler block):
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_histogram",
-    "agg_multi_distinct",
-    "agg_pivot",
-    "agg_rollup",
-    "doc_intra_span_removal",
-    "doc_mixture_weights",
-    "doc_ngram_novelty",
-    "doc_span_removal",
+    "sim_knn_ivf_kmeans",
+    "scan_pq_probe",
+    "scan_pq_probe_filtered",
+    "sink_pq_delete",
+    "sink_pq_compact",
+    "sink_pq_append",
+    "sink_ivf_compact_kmeans",
+    "sink_ivf_delete_kmeans",
+    # filler: stalest-evidence r08-vintage greens (alphabetical head):
+    "agg_groupby_basic",
+    "agg_filter_clause",
+    "agg_cms_topk",
+    "dedup_simhash",
 )
 
 
