@@ -2310,12 +2310,16 @@ def test_pq_swap_recover_rolls_forward_and_back(spark):
     _pq_swap_recover(codes_dir)
     assert dir_hash() == pre
 
-    # roll forward: crash after rename(codes -> prev) with a COMPLETE _next
+    # roll forward: crash after rename(codes -> prev) with a COMPLETE _next.
+    # The stale _prev (pre-purge, still holding erased rows) must be GONE
+    # after the roll-forward (ADVICE r13 #2): were it left recoverable, a
+    # later loss of the serving dir would silently roll BACK to pre-purge
+    # data — resurrecting erased rows after the manifest retired.
     shutil.copytree(codes_dir, codes_dir + "_next")
     os.rename(codes_dir, codes_dir + "_prev")
     _pq_swap_recover(codes_dir)
     assert dir_hash() == pre
-    shutil.rmtree(codes_dir + "_prev")
+    assert not os.path.exists(codes_dir + "_prev")
 
     # neither state: loud failure, not silent re-creation
     os.rename(codes_dir, codes_dir + "_gone")
@@ -2409,3 +2413,61 @@ def test_stream_ivf_kmeans_fold_lossless(spark):
     )
     assert post == pre
     assert not os.path.exists(batches_root)
+
+
+def test_serving_masks_live_tombstones(spark):
+    """The serving half of the delete family's tombstone contract
+    (ADVICE r13 #1): while an un-retired erasure manifest sits next to an
+    index, BOTH serve paths (kmeans member scan, PQ code scan) must
+    anti-join it — erased vectors stop appearing as neighbors the moment
+    phase 1 commits, before any purge rewrites a byte. Retiring the
+    manifest (the purge's commit point) lifts the mask."""
+    import os
+    import shutil
+
+    from userportrait.ops.llm_similarity import (
+        _kmeans_serve,
+        _pq_probe_from_root,
+        _write_ivf_kmeans_index,
+        _write_pq_meta_index,
+    )
+
+    # --- kmeans index ---
+    root = _write_ivf_kmeans_index(spark, SF_DIR)
+    served = _kmeans_serve(spark, SF_DIR, None, root=root).collect()
+    erase = sorted({r.neighbor_id for r in served})[:4]
+    assert erase, "unmasked serve returned no neighbors"
+    ts_path = os.path.join(root, "tombstones")
+    (
+        spark.read.parquet(os.path.join(root, "cells"))
+        .where(F.col("vec_id").isin(erase))
+        .select("vec_id", "cell")
+        .write.mode("overwrite")
+        .parquet(ts_path)
+    )
+    masked = _kmeans_serve(spark, SF_DIR, None, root=root).collect()
+    assert not ({r.neighbor_id for r in masked} & set(erase))
+    # every query still gets k answers: the mask shrinks the candidate
+    # pool, it must not starve the top-k
+    assert {r.vec_id for r in masked} == {r.vec_id for r in served}
+    # retire the manifest (purge committed) -> mask lifts
+    applied = os.path.join(root, "tombstones_applied")
+    shutil.rmtree(applied, ignore_errors=True)
+    os.rename(ts_path, applied)
+    unmasked = _kmeans_serve(spark, SF_DIR, None, root=root).collect()
+    assert {r.neighbor_id for r in unmasked} & set(erase)
+
+    # --- PQ index ---
+    proot = _write_pq_meta_index(spark, SF_DIR)
+    pserved = _pq_probe_from_root(spark, SF_DIR, proot).collect()
+    perase = sorted({r.neighbor_id for r in pserved})[:4]
+    (
+        spark.read.parquet(os.path.join(proot, "codes"))
+        .where(F.col("vec_id").isin(perase))
+        .select("vec_id", "code")
+        .write.mode("overwrite")
+        .parquet(os.path.join(proot, "tombstones"))
+    )
+    pmasked = _pq_probe_from_root(spark, SF_DIR, proot).collect()
+    assert not ({r.neighbor_id for r in pmasked} & set(perase))
+    assert {r.vec_id for r in pmasked} == {r.vec_id for r in pserved}

@@ -1713,12 +1713,38 @@ def scan_ivf_probe_kmeans_filtered(spark: SparkSession, sf_dir: str) -> DataFram
     return _kmeans_serve(spark, sf_dir, member_pred=F.col("lang") == _FILTERED_LANG)
 
 
-def _kmeans_serve(spark: SparkSession, sf_dir: str, member_pred) -> DataFrame:
+def _mask_live_tombstones(spark: SparkSession, root: str, df: DataFrame) -> DataFrame:
+    """SERVING-side half of the delete family's tombstone contract: when
+    an un-retired erasure manifest (``<root>/tombstones`` with parquet
+    _SUCCESS) sits next to the index, anti-join it out of the member/code
+    frame — erased ids stop appearing the moment the manifest lands, and
+    every intermediate purge state (crash after the partial rewrite,
+    before the manifest retires to ``tombstones_applied``) still serves
+    correctly. The manifest is one erasure REQUEST (≤ IVF_ERASE_N rows —
+    fixed size by contract, never corpus-sized), so the anti-join is a
+    broadcast no-shuffle prune. A retired manifest means the purge
+    committed — nothing to mask. Closes ADVICE r13 #1: the delete
+    docstrings promised this join; now the serve paths implement it
+    (pinned by tests/test_invariants.py::test_serving_masks_live_tombstones)."""
+    ts = os.path.join(root, "tombstones")
+    if os.path.exists(os.path.join(ts, "_SUCCESS")):
+        live = spark.read.parquet(ts).select("vec_id")
+        return df.join(F.broadcast(live), "vec_id", "left_anti")
+    return df
+
+
+def _kmeans_serve(
+    spark: SparkSession, sf_dir: str, member_pred, root: str | None = None
+) -> DataFrame:
     """Shared kmeans-index serving body: build/read the persisted index,
     score the md5-sampled query workload against the shipped centroids,
-    static-partition-filter the member scan to the probed cells, apply an
-    optional member predicate (below the rescore), cogroup-matmul top-5."""
-    root = _write_ivf_kmeans_index(spark, sf_dir)
+    static-partition-filter the member scan to the probed cells, mask any
+    live tombstone manifest (_mask_live_tombstones), apply an optional
+    member predicate (below the rescore), cogroup-matmul top-5.
+    ``root`` serves an EXISTING index (the mid-delete test path and the
+    deployment shape — build once, probe many); None builds fresh."""
+    if root is None:
+        root = _write_ivf_kmeans_index(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     from .curation import HEX
 
@@ -1747,7 +1773,11 @@ def _kmeans_serve(spark: SparkSession, sf_dir: str, member_pred) -> DataFrame:
     # metadata collect that turns the serving scan into a
     # probed-partitions-only read instead of a full-index shuffle.
     probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    members = spark.read.parquet(os.path.join(root, "cells")).where(F.col("cell").isin(probed))
+    members = _mask_live_tombstones(
+        spark,
+        root,
+        spark.read.parquet(os.path.join(root, "cells")).where(F.col("cell").isin(probed)),
+    )
     if member_pred is not None:
         members = members.where(member_pred)
     members = members.select(
@@ -2020,16 +2050,32 @@ def scan_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-stability, 5 real-cosine neighbors per sampled query, recall@5
     ≥ the sim_knn_pq floor on the same sample, codebook roundtrip
     bit-exactness."""
+    root = _write_pq_index(spark, sf_dir)
+    return _pq_probe_from_root(spark, sf_dir, root)
+
+
+def _pq_probe_from_root(
+    spark: SparkSession, sf_dir: str, root: str, member_pred=None
+) -> DataFrame:
+    """Shared PQ-index serving body (scan_pq_probe / scan_pq_probe_filtered,
+    and the deployment shape — build once, probe many): codebooks read
+    back from the index, live tombstone manifest masked out of the code
+    table (_mask_live_tombstones — erased vectors stop scoring before any
+    purge rewrites), optional attribute predicate pruned at the code-table
+    scan, then the factored ADC scan + exact rescore over the md5-sampled
+    query workload."""
     import numpy as np
 
     from .curation import HEX
 
-    root = _write_pq_index(spark, sf_dir)
     bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
     books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
     for r in bk:
         books[r.sub, r.cent, r.dim] = r.w
     codes = spark.read.parquet(os.path.join(root, "codes"))
+    if member_pred is not None:
+        codes = codes.where(member_pred)
+    codes = _mask_live_tombstones(spark, root, codes).select("vec_id", "code")
     e = load(spark, sf_dir).embeddings
     sample = (
         F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
@@ -3094,26 +3140,10 @@ def scan_pq_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_invariants.py::test_pq_probe_filtered_lang_and_recall —
     lang purity of every answer, run-stability, k-maintenance, and
     recall@5 against the exact FILTERED kNN on the same sample."""
-    import numpy as np
-
-    from .curation import HEX
-
     root = _write_pq_meta_index(spark, sf_dir)
-    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
-    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
-    for r in bk:
-        books[r.sub, r.cent, r.dim] = r.w
-    codes = (
-        spark.read.parquet(os.path.join(root, "codes"))
-        .where(F.col("lang") == _FILTERED_LANG)
-        .select("vec_id", "code")
+    return _pq_probe_from_root(
+        spark, sf_dir, root, member_pred=F.col("lang") == _FILTERED_LANG
     )
-    e = load(spark, sf_dir).embeddings
-    sample = (
-        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
-    )
-    queries = _unit_embeddings(e.where(sample))
-    return _pq_adc_search(spark, e, queries, codes, books)
 
 
 @op(
@@ -3201,13 +3231,23 @@ def _pq_swap_recover(codes_dir: str) -> None:
     staged rewrite finished (``_next`` carries parquet _SUCCESS), ROLL
     BACK to the pre-swap table otherwise. A no-op when the serving path
     is present. Raises when neither state exists — that is data loss from
-    outside this discipline, not a crash window it owns."""
+    outside this discipline, not a crash window it owns.
+
+    Roll-forward REMOVES the stale ``_prev`` immediately (ADVICE r13 #2):
+    ``_prev`` is the pre-purge table — leaving it recoverable would let a
+    LATER loss of the serving dir silently roll back to rows a committed
+    purge already erased (resurrecting personal data after the manifest
+    retired). After the rmtree the only recoverable states are ones
+    consistent with the purge; an outside-the-discipline loss raises."""
+    import shutil as _sh
+
     tmp = codes_dir + "_next"
     prev = codes_dir + "_prev"
     if os.path.exists(codes_dir):
         return
     if os.path.exists(os.path.join(tmp, "_SUCCESS")):
         os.rename(tmp, codes_dir)
+        _sh.rmtree(prev, ignore_errors=True)
     elif os.path.exists(prev):
         os.rename(prev, codes_dir)
     else:
