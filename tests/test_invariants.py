@@ -2647,3 +2647,66 @@ def test_ivf_kmeans_retrain_crash_windows(spark):
     assert not os.path.exists(os.path.join(root, "retrain_next"))
     assert tree_hash(os.path.join(root, "centroids")) == old_cent_hash
     shutil.rmtree(backup)
+
+
+def test_stream_pq_append_frozen_books_and_adc_reachability(spark):
+    """stream_pq_append's model-side claims, which the EXACT rollup cannot
+    see: (a) the ingest fans out into one overwrite dir per micro-batch
+    (>= 2 — the exactly-once replay unit); (b) streamed codes are
+    BIT-identical to encoding the new vectors directly with the frozen
+    persisted codebooks (the batch append's determinism claim, carried to
+    the stream); (c) base codes and codebooks are untouched; (d) streamed
+    vectors are REACHABLE — the ADC search over the base ∪ batches serving
+    view surfaces post-cutoff neighbors."""
+    import glob
+    import os
+
+    from userportrait.catalog import load
+    from userportrait.ops.llm_similarity import (
+        _pq_adc_search,
+        _pq_encode,
+        _read_codebooks,
+        _unit_embeddings,
+    )
+    from userportrait.ops.streaming import _run_stream_pq_ingest
+
+    root, cutoff, batches_root = _run_stream_pq_ingest(spark, SF_DIR)
+
+    batch_dirs = sorted(glob.glob(os.path.join(batches_root, "batch_id=*")))
+    assert len(batch_dirs) >= 2, batch_dirs
+
+    books = _read_codebooks(spark, root)
+    e = load(spark, SF_DIR).embeddings
+    direct = {
+        r.vec_id: r.code
+        for r in _unit_embeddings(e.where(F.col("vec_id") > cutoff))
+        .mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .collect()
+    }
+    streamed = {
+        r.vec_id: r.code for r in spark.read.parquet(batches_root).collect()
+    }
+    assert streamed == direct
+
+    base = {
+        r.vec_id: r.code
+        for r in spark.read.parquet(os.path.join(root, "codes")).collect()
+    }
+    assert all(v <= cutoff for v in base), "base gained post-cutoff rows"
+    assert not (set(base) & set(streamed))
+
+    # ADC reachability over the serving view (base ∪ batch dirs)
+    from userportrait.ops.curation import HEX
+
+    union_codes = (
+        spark.read.parquet(os.path.join(root, "codes"))
+        .select("vec_id", "code")
+        .unionByName(spark.read.parquet(batches_root).select("vec_id", "code"))
+    )
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    res = _pq_adc_search(
+        spark, e, _unit_embeddings(e.where(sample)), union_codes, books
+    ).collect()
+    assert any(r.neighbor_id > cutoff for r in res), "streamed vectors unreachable"

@@ -2059,6 +2059,21 @@ def scan_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_probe_from_root(spark, sf_dir, root)
 
 
+def _read_codebooks(spark: SparkSession, root: str):
+    """The PQ quantizer readback — persisted codebooks into the
+    (PQ_M, PQ_K, PQ_SUBDIM) numpy array every encode/ADC kernel ships
+    (model metadata: PQ_M·PQ_K·PQ_SUBDIM rows, never data volume). One
+    body for every serve/append/compact/stream site, so the readback
+    convention cannot drift."""
+    import numpy as np
+
+    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
+    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        books[r.sub, r.cent, r.dim] = r.w
+    return books
+
+
 def _pq_probe_from_root(
     spark: SparkSession, sf_dir: str, root: str, member_pred=None
 ) -> DataFrame:
@@ -2069,14 +2084,9 @@ def _pq_probe_from_root(
     purge rewrites), optional attribute predicate pruned at the code-table
     scan, then the factored ADC scan + exact rescore over the md5-sampled
     query workload."""
-    import numpy as np
-
     from .curation import HEX
 
-    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
-    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
-    for r in bk:
-        books[r.sub, r.cent, r.dim] = r.w
+    books = _read_codebooks(spark, root)
     codes = spark.read.parquet(os.path.join(root, "codes"))
     if member_pred is not None:
         codes = codes.where(member_pred)
@@ -2159,13 +2169,8 @@ def sink_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical, frozen-book encoding equals direct encoding, new
     vectors reachable by the ADC search — are pinned by
     tests/test_invariants.py::test_pq_append_frozen_books_and_reachability."""
-    import numpy as np
-
     root, cutoff = _pq_append_parts(spark, sf_dir)
-    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
-    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
-    for r in bk:
-        books[r.sub, r.cent, r.dim] = r.w
+    books = _read_codebooks(spark, root)
     e = load(spark, sf_dir).embeddings
     new = e.where(F.col("vec_id") > cutoff)
     (
@@ -3186,12 +3191,7 @@ def sink_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
 
     root, cutoff = _pq_append_parts(spark, sf_dir)
-    bk = spark.read.parquet(os.path.join(root, "codebooks")).collect()  # PQ_M*PQ_K*PQ_SUBDIM rows (model metadata)
-    import numpy as np
-
-    books = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
-    for r in bk:
-        books[r.sub, r.cent, r.dim] = r.w
+    books = _read_codebooks(spark, root)
     e = load(spark, sf_dir).embeddings
     new = e.where(F.col("vec_id") > cutoff)
     codes_dir = os.path.join(root, "codes")

@@ -119,7 +119,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "win_rank_family",
     # never-graded r14 additions (uncommented as they land):
     "sink_ivf_retrain",
-    # "stream_pq_append",
+    "stream_pq_append",
     # re-certification of every op MODIFIED in r14 (tombstone anti-join in
     # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb):
