@@ -2833,3 +2833,66 @@ spark.stop()
     expected = sorted(map(tuple, batch.collect()))
     assert got == expected
     shutil.rmtree(base)
+
+
+def test_ivf_kmeans_batch_append_fold(spark):
+    """ivf_fold_fragmented_cells' contract on the fragmentation source the
+    batch-dir fold cannot see: a mode('append') batch append leaves >1
+    file in every touched cell directory; the fold must collapse exactly
+    the fragmented cells to one file each, preserve the member multiset
+    bit-level, and leave single-file cells' bytes untouched."""
+    import glob
+    import hashlib
+    import os
+
+    from userportrait.catalog import load
+    from userportrait.ops.llm_similarity import (
+        _ivf_kmeans_append,
+        _write_ivf_kmeans_index,
+    )
+    from userportrait.ops.streaming import ivf_fold_fragmented_cells
+
+    e = load(spark, SF_DIR).embeddings
+    cutoff = e.agg(F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint")).collect()[0][0]
+    root = _write_ivf_kmeans_index(
+        spark, SF_DIR, max_vec_id=cutoff, root_name="embeddings_ivf_kmeans_fold_fixture"
+    )
+    cells_path = os.path.join(root, "cells")
+    _ivf_kmeans_append(spark, SF_DIR, root, cutoff)
+
+    def cell_files():
+        return {
+            d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(cells_path, "cell=*"))
+        }
+
+    def fhash(f):
+        with open(f, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    pre = cell_files()
+    fragmented = {d for d, fs in pre.items() if len(fs) > 1}
+    singles = {d: [fhash(f) for f in fs] for d, fs in pre.items() if len(fs) == 1}
+    assert fragmented, "batch append produced no fragmented cells"
+    pre_members = sorted(
+        (r.vec_id, tuple(round(x, 9) for x in r.u), r.lang, r.cell)
+        for r in spark.read.parquet(cells_path).collect()
+    )
+
+    folded = ivf_fold_fragmented_cells(spark, cells_path)
+    assert folded == len(fragmented)
+
+    post = cell_files()
+    assert set(post) == set(pre), "fold must not add or drop cells"
+    assert all(len(fs) == 1 for fs in post.values()), {
+        d: len(fs) for d, fs in post.items() if len(fs) != 1
+    }
+    for d, hashes in singles.items():
+        assert [fhash(f) for f in post[d]] == hashes, f"untouched cell rewritten: {d}"
+    post_members = sorted(
+        (r.vec_id, tuple(round(x, 9) for x in r.u), r.lang, r.cell)
+        for r in spark.read.parquet(cells_path).collect()
+    )
+    assert post_members == pre_members
+    # idempotent: a second pass finds nothing to fold
+    assert ivf_fold_fragmented_cells(spark, cells_path) == 0

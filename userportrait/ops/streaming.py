@@ -1721,10 +1721,18 @@ def sink_ivf_compact_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus split the oracle computes (the sink_ivf_compact
     discipline: reading only the base against the append oracle IS the
     losslessness claim). Member-row preservation through the fold is
-    pinned by tests/test_invariants.py::test_stream_ivf_kmeans_fold_lossless."""
+    pinned by tests/test_invariants.py::test_stream_ivf_kmeans_fold_lossless.
+
+    The verb runs BOTH fold passes a deployment accumulates fragmentation
+    from: the per-batch overwrite dirs of the streaming ingest
+    (ivf_fold_batches) and the in-place mode("append") files of batch
+    appends (ivf_fold_fragmented_cells — a no-op in this op's
+    streaming-only scenario; the batch-append case is pinned by
+    tests/test_invariants.py::test_ivf_kmeans_batch_append_fold)."""
     root, cutoff, batches_root = _run_stream_ivf_kmeans_ingest(spark, sf_dir)
     cells_path = os.path.join(root, "cells")
     ivf_fold_batches(spark, cells_path, batches_root, member_cols=("vec_id", "u", "lang"))
+    ivf_fold_fragmented_cells(spark, cells_path)
     from .llm_similarity import _ivf_kmeans_part_rollup
 
     return _ivf_kmeans_part_rollup(spark.read.parquet(cells_path), cutoff)
@@ -1771,6 +1779,50 @@ def ivf_fold_batches(
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(batches_root, retired)
     shutil.rmtree(retired)
+
+
+def ivf_fold_fragmented_cells(
+    spark: SparkSession, path: str, member_cols: tuple[str, ...] = ("vec_id", "u", "lang")
+) -> int:
+    """The OTHER small-file fold the compact verb owes (VERDICT r13 next
+    #5): batch appends (sink_ivf_append_kmeans, sink_ivf_append) write
+    ``mode("append")`` INSIDE existing cell directories — one new file per
+    append per touched cell, a fragmentation source ivf_fold_batches never
+    sees because it folds per-batch OVERWRITE dirs, not in-place files.
+    This pass lists the cell directories (bounded: ≤ quantizer cell count
+    — metadata, never data volume), picks the FRAGMENTED ones (>1 data
+    file), and rewrites only those via dynamic partition overwrite —
+    O(mass in fragmented cells); single-file cells are never read or
+    rewritten. Returns the number of cells folded."""
+    import glob as _glob
+
+    from ..catalog import pin
+
+    frag = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(os.path.join(path, "cell=*"))
+        if len(_glob.glob(os.path.join(d, "*.parquet"))) > 1
+    ]
+    if not frag:
+        return 0
+    cols = [*member_cols, "cell"]
+    merged = pin(
+        spark.read.parquet(path).where(F.col("cell").isin(frag)).select(*cols)
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            merged.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    return len(frag)
 
 
 @op("sink_ivf_compact", oracle=_IVF_APPEND_ORACLE)
