@@ -2896,3 +2896,141 @@ def test_ivf_kmeans_batch_append_fold(spark):
     assert post_members == pre_members
     # idempotent: a second pass finds nothing to fold
     assert ivf_fold_fragmented_cells(spark, cells_path) == 0
+
+
+def test_pq_retrain_improves_reconstruction_and_preserves_ids(spark):
+    """sink_pq_retrain's contract on a DRIFTED fixture (negated post-cutoff
+    unit vectors appended with the frozen base-trained books): retraining
+    must (a) strictly improve the mean cosine between each held vector and
+    its dequantized reconstruction, (b) preserve the held-id set exactly,
+    and (c) retire the old codebooks bit-equal to the audit dir."""
+    import os
+
+    import numpy as np
+
+    from userportrait.catalog import load
+    from userportrait.ops.llm_similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_append_parts,
+        _pq_encode,
+        _pq_retrain,
+        _read_codebooks,
+        _unit_embeddings,
+    )
+
+    root, cutoff = _pq_append_parts(spark, SF_DIR)
+    e = load(spark, SF_DIR).embeddings
+    base_u = _unit_embeddings(e.where(F.col("vec_id") <= cutoff))
+    drifted = _unit_embeddings(e.where(F.col("vec_id") > cutoff)).select(
+        "vec_id", F.transform("u", lambda x: -x).alias("u")
+    )
+    vectors = base_u.unionByName(drifted)
+
+    books_frozen = _read_codebooks(spark, root)
+    old_book_rows = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "codebooks")).collect())
+    )
+    # frozen-book append of the drifted vectors — the drift source
+    (
+        drifted.mapInPandas(_pq_encode(books_frozen), "vec_id long, code long")
+        .write.mode("append")
+        .parquet(os.path.join(root, "codes"))
+    )
+
+    unit_map = {r.vec_id: np.array(r.u) for r in vectors.collect()}
+
+    def mean_recon_cos(books):
+        codes = {
+            r.vec_id: r.code
+            for r in spark.read.parquet(os.path.join(root, "codes")).collect()
+        }
+        sims = []
+        for vid, code in codes.items():
+            rec = np.concatenate(
+                [books[s, (code >> (4 * s)) & 0xF] for s in range(PQ_M)]
+            )
+            u = unit_map[vid]
+            sims.append(float(u @ rec) / (np.linalg.norm(u) * np.linalg.norm(rec)))
+        return sum(sims) / len(sims), set(codes)
+
+    fit_before, held_before = mean_recon_cos(books_frozen)
+
+    _pq_retrain(spark, SF_DIR, root, vectors=vectors)
+
+    fit_after, held_after = mean_recon_cos(_read_codebooks(spark, root))
+    assert fit_after > fit_before, (fit_before, fit_after)
+    assert held_after == held_before
+
+    retired = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "codebooks_retired")).collect())
+    )
+    assert retired == old_book_rows
+    assert not os.path.exists(os.path.join(root, "retrain_next"))
+    assert PQ_SUBDIM * PQ_M == len(next(iter(unit_map.values())))
+
+
+def test_pq_retrain_crash_windows_and_serve(spark):
+    """The PQ retrain cutover recovers forward from every crash window
+    through the SAME parameterized _retrain_recover body as the kmeans
+    retrain, and the serve path's preamble makes an ADC probe from inside
+    a window answer from the committed generation."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from userportrait.ops.llm_similarity import (
+        _pq_append_parts,
+        _pq_probe_from_root,
+        _pq_retrain_stage,
+        _retrain_recover,
+    )
+
+    root, _cutoff = _pq_append_parts(spark, SF_DIR)
+    _pq_retrain_stage(spark, SF_DIR, root)
+
+    def tree_hash(d):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+            h.update(os.path.relpath(f, d).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    backup = root + "_backup"
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.copytree(root, backup)
+    staged_codes = tree_hash(os.path.join(backup, "retrain_next", "codes"))
+    staged_books = tree_hash(os.path.join(backup, "retrain_next", "codebooks"))
+    old_books = tree_hash(os.path.join(backup, "codebooks"))
+
+    def restore():
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(backup, root)
+
+    steps = [
+        lambda: os.rename(os.path.join(root, "codes"), os.path.join(root, "codes_old")),
+        lambda: os.rename(os.path.join(root, "codebooks"), os.path.join(root, "codebooks_old")),
+        lambda: os.rename(os.path.join(root, "retrain_next", "codebooks"), os.path.join(root, "codebooks")),
+        lambda: os.rename(os.path.join(root, "retrain_next", "codes"), os.path.join(root, "codes")),
+    ]
+    for n in range(5):
+        restore()
+        for s in steps[:n]:
+            s()
+        _retrain_recover(root, "codebooks", "codes", "codebooks_retired")
+        assert tree_hash(os.path.join(root, "codes")) == staged_codes, n
+        assert tree_hash(os.path.join(root, "codebooks")) == staged_books, n
+        assert tree_hash(os.path.join(root, "codebooks_retired")) == old_books, n
+        assert not os.path.exists(os.path.join(root, "retrain_next")), n
+
+    # a probe from inside a crash window recovers and answers
+    restore()
+    steps[0]()
+    steps[1]()
+    res = _pq_probe_from_root(spark, SF_DIR, root).collect()
+    assert res and all(
+        len([x for x in res if x.vec_id == q]) == 5 for q in {r.vec_id for r in res}
+    )
+    shutil.rmtree(backup)

@@ -2019,15 +2019,7 @@ def _write_pq_index(spark: SparkSession, sf_dir: str) -> str:
     unit = _unit_embeddings(e)
     books = _pq_codebooks(unit)
     root = _scratch("embeddings_pq")
-    rows = [
-        (s_, c_, d_, float(books[s_, c_, d_]))
-        for s_ in range(PQ_M)
-        for c_ in range(PQ_K)
-        for d_ in range(PQ_SUBDIM)
-    ]
-    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(root, "codebooks"))
+    _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     (
         unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
         .repartitionByRange(8, "vec_id")
@@ -2083,9 +2075,12 @@ def _pq_probe_from_root(
     table (_mask_live_tombstones — erased vectors stop scoring before any
     purge rewrites), optional attribute predicate pruned at the code-table
     scan, then the factored ADC scan + exact rescore over the md5-sampled
-    query workload."""
+    query workload. The recover preamble first rolls any interrupted
+    codebook-retrain cutover forward (sink_pq_retrain's probe-continuity
+    half, mirroring _kmeans_serve)."""
     from .curation import HEX
 
+    _retrain_recover(root, "codebooks", "codes", "codebooks_retired")
     books = _read_codebooks(spark, root)
     codes = spark.read.parquet(os.path.join(root, "codes"))
     if member_pred is not None:
@@ -2114,15 +2109,7 @@ def _pq_append_parts(spark: SparkSession, sf_dir: str):
     base = e.where(F.col("vec_id") <= cutoff)
     books = _pq_codebooks(_unit_embeddings(base))
     root = _scratch("embeddings_pq_incr")
-    rows = [
-        (s_, c_, d_, float(books[s_, c_, d_]))
-        for s_ in range(PQ_M)
-        for c_ in range(PQ_K)
-        for d_ in range(PQ_SUBDIM)
-    ]
-    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(root, "codebooks"))
+    _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     (
         _unit_embeddings(base)
         .mapInPandas(_pq_encode(books), "vec_id long, code long")
@@ -2132,6 +2119,24 @@ def _pq_append_parts(spark: SparkSession, sf_dir: str):
         .parquet(os.path.join(root, "codes"))
     )
     return root, cutoff
+
+
+def _pq_append_codes(spark: SparkSession, sf_dir: str, root: str, cutoff: int) -> None:
+    """The frozen-book batch append, factored: encode the post-cutoff
+    vectors with the codebooks READ BACK FROM THE INDEX and append the new
+    code files — O(batch), base files untouched. Shared by sink_pq_append
+    and sink_pq_retrain's drift-accumulation phase."""
+    books = _read_codebooks(spark, root)
+    e = load(spark, sf_dir).embeddings
+    new = e.where(F.col("vec_id") > cutoff)
+    (
+        _unit_embeddings(new)
+        .mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .repartitionByRange(2, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .parquet(os.path.join(root, "codes"))
+    )
 
 
 @op(
@@ -2170,17 +2175,7 @@ def sink_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors reachable by the ADC search — are pinned by
     tests/test_invariants.py::test_pq_append_frozen_books_and_reachability."""
     root, cutoff = _pq_append_parts(spark, sf_dir)
-    books = _read_codebooks(spark, root)
-    e = load(spark, sf_dir).embeddings
-    new = e.where(F.col("vec_id") > cutoff)
-    (
-        _unit_embeddings(new)
-        .mapInPandas(_pq_encode(books), "vec_id long, code long")
-        .repartitionByRange(2, "vec_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .parquet(os.path.join(root, "codes"))
-    )
+    _pq_append_codes(spark, sf_dir, root, cutoff)
     codes = spark.read.parquet(os.path.join(root, "codes"))
     return codes.groupBy(
         F.when(F.col("vec_id") <= cutoff, "base").otherwise("appended").alias("part")
@@ -3111,15 +3106,7 @@ def _write_pq_meta_index(spark: SparkSession, sf_dir: str) -> str:
     unit = _unit_embeddings(e)
     books = _pq_codebooks(unit)
     root = _scratch("embeddings_pq_meta")
-    rows = [
-        (s_, c_, d_, float(books[s_, c_, d_]))
-        for s_ in range(PQ_M)
-        for c_ in range(PQ_K)
-        for d_ in range(PQ_SUBDIM)
-    ]
-    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(root, "codebooks"))
+    _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
     (
         _join_doc_meta_1to1(codes, t.documents, ["lang"])
@@ -3454,7 +3441,12 @@ def sink_ivf_append_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_kmeans_append(spark, sf_dir, root, cutoff)
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
 
-def _retrain_recover(root: str) -> None:
+def _retrain_recover(
+    root: str,
+    quant: str = "centroids",
+    members: str = "cells",
+    retired_name: str = "quantizer_retired",
+) -> None:
     """Recovery/commit body of the quantizer-RETRAIN swap (sink_ivf_retrain):
     drive the (centroids, cells) generation swap forward from WHATEVER state
     the directories are in. The commit point is staging completion — both
@@ -3474,13 +3466,20 @@ def _retrain_recover(root: str) -> None:
       C  centroids_old -> quantizer_retired; rmtree cells_old, retrain_next
 
     Raises on states the discipline does not own (e.g. cells missing with no
-    staged replacement) — that is outside data loss, never silently rebuilt."""
+    staged replacement) — that is outside data loss, never silently rebuilt.
+
+    ``quant``/``members``/``retired`` parameterize the pair so the SAME
+    recover body drives both retrains: the kmeans index swaps
+    (centroids, cells) with the old quantizer retiring to
+    quantizer_retired; the PQ index swaps (codebooks, codes) with
+    codebooks_retired (sink_pq_retrain)."""
     import shutil as _sh
 
-    cents, cells = os.path.join(root, "centroids"), os.path.join(root, "cells")
+    cents, cells = os.path.join(root, quant), os.path.join(root, members)
     staged = os.path.join(root, "retrain_next")
-    staged_c, staged_m = os.path.join(staged, "centroids"), os.path.join(staged, "cells")
-    c_old, m_old = os.path.join(root, "centroids_old"), os.path.join(root, "cells_old")
+    staged_c, staged_m = os.path.join(staged, quant), os.path.join(staged, members)
+    c_old = os.path.join(root, quant + "_old")
+    m_old = os.path.join(root, members + "_old")
 
     def complete(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_SUCCESS"))
@@ -3496,7 +3495,7 @@ def _retrain_recover(root: str) -> None:
             # finish any interrupted cleanup (C), and we are done
             _sh.rmtree(staged, ignore_errors=True)
             if os.path.exists(c_old):
-                retired = os.path.join(root, "quantizer_retired")
+                retired = os.path.join(root, retired_name)
                 _sh.rmtree(retired, ignore_errors=True)
                 os.rename(c_old, retired)
             _sh.rmtree(m_old, ignore_errors=True)
@@ -3520,7 +3519,7 @@ def _retrain_recover(root: str) -> None:
         os.rename(staged_m, cells)  # B2
     # C: retire the old quantizer, drop old cells and the staging shell
     if os.path.exists(c_old):
-        retired = os.path.join(root, "quantizer_retired")
+        retired = os.path.join(root, retired_name)
         _sh.rmtree(retired, ignore_errors=True)
         os.rename(c_old, retired)
     _sh.rmtree(m_old, ignore_errors=True)
@@ -3617,3 +3616,102 @@ def sink_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_kmeans_append(spark, sf_dir, root, cutoff)
     _ivf_kmeans_retrain(spark, root)
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
+
+def _write_books_frame(spark: SparkSession, books, path: str) -> None:
+    """Persist a (PQ_M, PQ_K, PQ_SUBDIM) codebook array in the index's
+    (sub, cent, dim, w) parquet layout — the single write body for every
+    codebook persist site (build, meta-build, retrain staging)."""
+    rows = [
+        (s_, c_, d_, float(books[s_, c_, d_]))
+        for s_ in range(PQ_M)
+        for c_ in range(PQ_K)
+        for d_ in range(PQ_SUBDIM)
+    ]
+    spark.createDataFrame(rows, "sub int, cent int, dim int, w double").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _pq_retrain(spark: SparkSession, sf_dir: str, root: str, vectors: DataFrame | None = None) -> None:
+    """Codebook RETRAIN on the compressed index at ``root`` — the PQ half
+    of the quantizer-refresh story (sink_ivf_retrain's sibling): re-train
+    the per-subspace codebooks on the CURRENT corpus (the sample-bounded
+    _pq_codebooks training the build uses), RE-ENCODE every held vector —
+    codes are book-relative, so a codebook refresh is inherently a full
+    re-encode, O(corpus) but producing the 8 B/vector compressed form, the
+    same cheapest-full-pass economics as sink_pq_compact — and cut the
+    (codebooks, codes) generation over via the shared _retrain_recover
+    rename discipline (staging completion = the commit point; old
+    codebooks retire to ``codebooks_retired`` for audit).
+
+    Raw vectors come from the PRIMARY store (the embeddings table) — a PQ
+    index is derived data and cannot be retrained from its own lossy
+    codes; the held-id set still comes from the INDEX, so rows the index
+    never held (or purged) are not resurrected. ``vectors`` overrides the
+    primary store for the drifted-fixture test.
+
+    Single-writer discipline: refuses to run over an un-retired erasure
+    manifest, exactly as the kmeans retrain."""
+    if os.path.exists(os.path.join(root, "tombstones", "_SUCCESS")):
+        raise RuntimeError(
+            "erasure request in flight (un-retired tombstone manifest); "
+            "complete the purge before retraining"
+        )
+    _retrain_recover(root, "codebooks", "codes", "codebooks_retired")
+    _pq_retrain_stage(spark, sf_dir, root, vectors)
+    _retrain_recover(root, "codebooks", "codes", "codebooks_retired")
+
+
+def _pq_retrain_stage(
+    spark: SparkSession, sf_dir: str, root: str, vectors: DataFrame | None = None
+) -> None:
+    """Staging half of the PQ retrain: train new codebooks on the current
+    held corpus, re-encode it, write the new generation under
+    ``retrain_next/`` — no serving path touched until the recover cuts
+    over. Factored for the crash-window test, like _retrain_stage."""
+    import shutil as _sh
+
+    if vectors is None:
+        vectors = _unit_embeddings(load(spark, sf_dir).embeddings)
+    held = spark.read.parquet(os.path.join(root, "codes")).select("vec_id")
+    unit = vectors.join(held, "vec_id")
+    books = _pq_codebooks(unit)
+    staged = os.path.join(root, "retrain_next")
+    _sh.rmtree(staged, ignore_errors=True)
+    _write_books_frame(spark, books, os.path.join(staged, "codebooks"))
+    (
+        unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+        .repartitionByRange(8, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(staged, "codes"))
+    )
+
+
+@op("sink_pq_retrain", oracle=_IVF_KMEANS_PART_ORACLE)
+def sink_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook RETRAIN / refresh on the COMPRESSED index — completes the
+    refresh symmetry sink_ivf_retrain opened: both long-lived quantizers
+    (the kmeans cell topology AND the PQ codebooks) now have the verb that
+    remedies drift, not just the monitoring that detects it. Scenario
+    graded: base codebooks trained on the ≤0.8-cutoff prefix, frozen-book
+    appends accumulate the newest 20% (the drift source — appended codes
+    quantize against books that never saw their distribution), then
+    RETRAIN: re-fit on the current corpus, full re-encode, staged
+    (codebooks, codes) generation, atomic rename cutover through the SAME
+    _retrain_recover body as the kmeans retrain (parameterized pair names
+    — the cutover discipline lives once), old codebooks retired to the
+    audit dir. _pq_probe_from_root runs the recover preamble, so ADC
+    probes answer from a consistent generation inside any crash window.
+
+    Rollup (EXACT, quantizer-independent): the retrain re-encodes but
+    never adds or drops a held id, so the per-part provenance rollup over
+    the post-cutover code table equals the relational split — the shared
+    maintenance-family oracle, fifth member. Reconstruction improvement
+    on a drifted fixture, held-id preservation, crash-window roll-forward
+    and serve continuity are pinned by
+    tests/test_invariants.py::test_pq_retrain_*."""
+    root, cutoff = _pq_append_parts(spark, sf_dir)
+    _pq_append_codes(spark, sf_dir, root, cutoff)
+    _pq_retrain(spark, sf_dir, root)
+    return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "codes")), cutoff)

@@ -120,6 +120,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # never-graded r14 additions (uncommented as they land):
     "sink_ivf_retrain",
     "stream_pq_append",
+    "sink_pq_retrain",
     # re-certification of every op MODIFIED in r14 (tombstone anti-join in
     # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb):
@@ -137,7 +138,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "agg_groupby_basic",
     "agg_filter_clause",
     "agg_cms_topk",
-    "dedup_simhash",
 )
 
 
