@@ -3034,3 +3034,60 @@ def test_pq_retrain_crash_windows_and_serve(spark):
         len([x for x in res if x.vec_id == q]) == 5 for q in {r.vec_id for r in res}
     )
     shutil.rmtree(backup)
+
+
+def test_ivfpq_probe_matches_in_memory_sibling(spark):
+    """scan_ivfpq_probe (ROWS-only: trained quantizer + codebooks)
+    invariants: (a) run-stable, (b) exactly 5 real-cosine neighbors per
+    sampled query, (c) the persisted codebooks roundtrip BIT-EXACTLY vs
+    retraining (serving never retrains), and (d) the gate stronger than
+    any recall floor — BIT-IDENTITY with sim_knn_ivf_pq restricted to
+    the same md5 query sample: per-query computation is independent and
+    both forms train identical models over the same lineage
+    (_write_ivfpq_index's docstring contract), so the persisted serve
+    must reproduce the in-memory composed search exactly (the
+    stream_topic_router discipline)."""
+    import hashlib
+
+    import numpy as np
+
+    from userportrait.ops.llm_similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_codebooks,
+        _unit_embeddings,
+        _write_ivfpq_index,
+    )
+
+    a = sorted(map(tuple, OPS["scan_ivfpq_probe"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, OPS["scan_ivfpq_probe"].fn(spark, SF_DIR).collect()))
+    assert a == b, "persisted composed probe must be run-stable"
+    from collections import Counter
+
+    per_query = Counter(r[0] for r in a)
+    assert per_query and set(per_query.values()) == {5}
+    assert all(-1.0001 <= r[2] <= 1.0001 for r in a)
+
+    root = _write_ivfpq_index(spark, SF_DIR)
+    bk = spark.read.parquet(root + "/codebooks").collect()
+    stored = np.zeros((PQ_M, PQ_K, PQ_SUBDIM))
+    for r in bk:
+        stored[r.sub, r.cent, r.dim] = r.w
+    trained = _pq_codebooks(_unit_embeddings(load(spark, SF_DIR).embeddings))
+    assert (stored == trained).all(), "codebook roundtrip must be bit-exact"
+
+    # restriction equality: the in-memory composed search on the sampled
+    # queries IS the persisted probe's answer, row for row
+    sampled = {
+        q
+        for q in per_query
+        if hashlib.md5(str(q).encode()).hexdigest()[0] == "0"
+    }
+    assert sampled == set(per_query), "sample rule drifted from the serving convention"
+    sib = sorted(
+        t
+        for t in map(tuple, OPS["sim_knn_ivf_pq"].fn(spark, SF_DIR).collect())
+        if t[0] in sampled
+    )
+    assert a == sib, "persisted probe must equal the in-memory sibling on the sample"

@@ -1051,3 +1051,30 @@ def test_embed_partitions_conf_takes_effect(spark):
                 assert embed_partitions(spark) == spark.sparkContext.defaultParallelism
     finally:
         spark.conf.unset(key)
+
+
+def test_ivfpq_probe_prunes_partitions(spark):
+    """The composed IVF+PQ index's pruning proof (the zorder-proof
+    pattern, third application): the probed-cell isin over the
+    cell-partitioned CODE table plans PartitionFilters keeping exactly
+    those partitions — so a probe reads only probed cells AND each read
+    row is an 8 B code, the two prunings sink_ivfpq_layout exists to
+    stack — and the filtered read drops nothing the probe needed."""
+    from pyspark.sql import functions as F
+
+    from userportrait.ops.llm_similarity import _write_ivfpq_index
+
+    root = _write_ivfpq_index(spark, SF_DIR)
+    back = spark.read.parquet(root + "/cells")
+    cells = [r["cell"] for r in back.select("cell").distinct().limit(2).collect()]
+    q = back.where(F.col("cell").isin(cells))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "cell" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # the code table is one 8-byte long per vector — no raw vector column
+    assert set(back.columns) == {"vec_id", "code", "cell"}
+    import glob
+
+    n_cells = back.select("cell").distinct().count()
+    assert len(glob.glob(root + "/cells/cell=*")) == n_cells
+    assert q.select("cell").distinct().count() == len(cells)

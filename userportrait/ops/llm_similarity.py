@@ -1587,15 +1587,16 @@ def _ivf_serve_probe(e: DataFrame, cent: DataFrame, back: DataFrame) -> DataFram
     )
 
 
-def _kmeans_assign(unit: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, u, cell): nearest-centroid assignment of unit vectors
-    against a broadcast kmeans centroid frame — csim desc, cell asc,
-    keep rank 1. THE assignment expression of the kmeans-quantizer
-    family: the index build and the append's frozen-quantizer assignment
-    route through this one body so they cannot drift (the _cell_scores
-    consolidation discipline, applied to the trained quantizer)."""
+def _probe_cells(qn: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """(cell, vec_id, u): each query's ``nprobe`` nearest quantizer cells
+    by centroid cosine (csim desc, cell asc tie-break) against the
+    broadcast centroid frame — THE probe-side scoring expression of the
+    trained-quantizer family. nprobe=1 is the assignment rule
+    (_kmeans_assign delegates here); serving probes use _IVF_NPROBE.
+    One body so build-assignment, raw-vector serving (_kmeans_serve) and
+    compressed serving (_ivfpq_serve) cannot drift."""
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    vc = unit.crossJoin(F.broadcast(cent)).select(
+    qc = qn.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "u",
         "cell",
@@ -1605,10 +1606,20 @@ def _kmeans_assign(unit: DataFrame, cent: DataFrame) -> DataFrame:
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
     return (
-        vc.withColumn("rn", F.row_number().over(w_cell))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "u", "cell")
+        qc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= nprobe)
+        .select("cell", "vec_id", "u")
     )
+
+
+def _kmeans_assign(unit: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, u, cell): nearest-centroid assignment of unit vectors
+    against a broadcast kmeans centroid frame — csim desc, cell asc,
+    keep rank 1. THE assignment expression of the kmeans-quantizer
+    family: the index build and the append's frozen-quantizer assignment
+    route through this one body so they cannot drift (the _cell_scores
+    consolidation discipline, applied to the trained quantizer)."""
+    return _probe_cells(unit, cent, nprobe=1).select("vec_id", "u", "cell")
 
 
 def _write_ivf_kmeans_index(
@@ -1754,25 +1765,11 @@ def _kmeans_serve(
     from .curation import HEX
 
     e = load(spark, sf_dir).embeddings
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     sample = (
         F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
     )
     qn = _unit_embeddings(e.where(sample))
-    qc = qn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "u",
-        "cell",
-        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
-            "csim"
-        ),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    probes = (
-        qc.withColumn("rn", F.row_number().over(w_cell))
-        .where(F.col("rn") <= _IVF_NPROBE)
-        .select("cell", "vec_id", "u")
-    )
+    probes = _probe_cells(qn, cent)
     # Probed-cell set as a STATIC partition filter: <= k cell ids (cell
     # cardinality is the quantizer's k, never data volume) — the bounded
     # metadata collect that turns the serving scan into a
@@ -1920,8 +1917,6 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: quantizer + codebooks train on bounded samples; assignment and
     encoding touch each vector once; the ADC scan shuffles each CODE (not
     vector) once by cell id; per-task transients stay tiled."""
-    import numpy as np
-
     e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     unit = _unit_embeddings(e)
     cent = _kmeans_cells(spark, unit)
@@ -1945,6 +1940,18 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(codes.select(F.col("vec_id").alias("mvec_id"), "code"), "mvec_id")
     )
     probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("cell", "vec_id", "u")
+    return _ivfpq_search(e, probes, members, books)
+
+
+def _adc_cell_kernel(books):
+    """Per-probed-cell cogroup ADC kernel factory: members arrive as 8 B
+    packed codes, each query gathers its PQ_M precomputed table lookups
+    per member code (no decompression), keeps its per-cell top-PQ_CAND.
+    Codebooks travel in the task closure (1024 doubles). Query rows tile
+    to ≤ KNN_TILE_ELEMS sims elements so a hot cell cannot blow a task's
+    memory. Shared by sim_knn_ivf_pq (in-memory) and scan_ivfpq_probe
+    (persisted composed index) so the composed search cannot drift."""
+    import numpy as np
 
     def adc_cell(key, probes_pdf, members_pdf):
         import pandas as pd
@@ -1984,10 +1991,18 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(out, ignore_index=True)
 
+    return adc_cell
+
+
+def _ivfpq_search(e: DataFrame, probes: DataFrame, members: DataFrame, books) -> DataFrame:
+    """The composed IVF+PQ search finishing: cell-cogrouped ADC candidate
+    stage (_adc_cell_kernel), global top-PQ_CAND merge window, EXACT
+    cosine rescore of candidates only (the sim_knn_lsh/ivf/pq rescore
+    discipline, shared _exact_rescore fold), final top-5."""
     per_cell = (
         probes.groupBy("cell")
         .cogroup(members.groupBy("mcell"))
-        .applyInPandas(adc_cell, "vec_id long, neighbor_id long, asim double")
+        .applyInPandas(_adc_cell_kernel(books), "vec_id long, neighbor_id long, asim double")
     )
     w_cand = Window.partitionBy("vec_id").orderBy(F.col("asim").desc(), F.col("neighbor_id").asc())
     cand = (
@@ -3715,3 +3730,130 @@ def sink_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pq_append_codes(spark, sf_dir, root, cutoff)
     _pq_retrain(spark, sf_dir, root)
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "codes")), cutoff)
+
+
+def _write_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the COMPOSED serving index — FAISS ``IVFx,PQy`` persisted
+    (the form a 100 TB vector deployment actually serves from): trained
+    kmeans cells bound WHICH partitions a probe reads (PartitionFilters
+    on ``cell``), product quantization bounds the BYTES each read row
+    costs (8 B packed codes — a 1e9-vector corpus is ~8 GB of probed-cell
+    code files where the raw-vector kmeans layout holds 512 GB). Both
+    models ship WITH the index (an index that does not carry its
+    quantizer and codebooks cannot be probed by a fresh process). Layout:
+
+      <root>/centroids/  (cell, c, cnrm)          — k x dim, one file
+      <root>/codebooks/  (sub, cent, dim, w)      — PQ_M·PQ_K·PQ_SUBDIM rows
+      <root>/cells/      partitionBy(cell) parquet (vec_id, code)
+
+    Training lineage is the sim_knn_ivf_pq lineage exactly
+    (repartition(embed_partitions, vec_id) BEFORE normalization; k-means||
+    samples per partition) so the persisted build and the in-memory
+    composed search train bit-identical models — the invariant test's
+    restriction-equality gate rests on it."""
+    from .scans import _scratch
+
+    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
+    unit = _unit_embeddings(e)
+    cent = _kmeans_cells(spark, unit)
+    books = _pq_codebooks(unit)
+    assign = _kmeans_assign(unit, cent).select("vec_id", "cell")
+    codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+    root = _scratch("embeddings_ivfpq")
+    cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    _write_books_frame(spark, books, os.path.join(root, "codebooks"))
+    (
+        assign.join(codes, "vec_id")
+        .select("vec_id", "code", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+    return root
+
+
+@op("sink_ivfpq_layout", oracle=_IVF_KMEANS_PART_ORACLE)
+def sink_ivfpq_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build verb of the composed IVF+PQ index (_write_ivfpq_index): the
+    two ANN compressions persisted TOGETHER — cell-partitioned 8 B codes
+    plus both shipped models. sink_ivf_layout persists the cell topology
+    with raw vectors; sink_pq_append's family persists codes with no
+    topology; at 100 TB neither alone suffices (raw probed cells still
+    read 512 B/candidate; un-partitioned codes still scan every vector),
+    so THIS is the layout the serving fleet mounts.
+
+    Rollup (EXACT, quantizer-independent — cell assignment and codes are
+    trained, ROWS-only by construction everywhere else in this family):
+    per part (base/appended by the 0.8-of-max vec_id cutoff), count +
+    exact vec_id checksum + id range over the cells readback; the 1:1
+    encode (one code per embedding, enforced by the unit-vector lineage)
+    means the layout holds exactly the embeddings table, so the oracle
+    recomputes the same split relationally — the shared
+    maintenance-family oracle, sixth member. Partition pruning of the
+    probe path is pinned by tests/test_plans.py::
+    test_ivfpq_probe_prunes_partitions."""
+    e = load(spark, sf_dir).embeddings
+    cutoff = e.agg(
+        F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint").alias("c")
+    ).collect()[0]["c"]
+    root = _write_ivfpq_index(spark, sf_dir)
+    return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
+
+
+def _ivfpq_serve(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """Serving body of the composed index: both models read back from the
+    index, the md5-sampled query workload (first nibble = 0, the serving
+    convention) scores the broadcast centroids for its _IVF_NPROBE
+    nearest cells (_probe_cells — the same expression that assigned
+    members), the probed-cell set (≤ k ids, quantizer metadata) becomes a
+    static partition filter on the cell-partitioned code table — the scan
+    READS ONLY PROBED PARTITIONS, and each read row is 8 B of code, both
+    prunings stacked — any live tombstone manifest is masked
+    (_mask_live_tombstones), and the search finishes through the shared
+    composed-search body (_ivfpq_search: per-cell cogroup ADC →
+    top-PQ_CAND merge → exact rescore)."""
+    from .curation import HEX
+
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    books = _read_codebooks(spark, root)
+    e = load(spark, sf_dir).embeddings
+    sample = (
+        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 == 0
+    )
+    qn = _unit_embeddings(e.where(sample))
+    probes = _probe_cells(qn, cent)
+    probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    members = _mask_live_tombstones(
+        spark,
+        root,
+        spark.read.parquet(os.path.join(root, "cells")).where(F.col("cell").isin(probed)),
+    ).select(
+        F.col("cell").alias("mcell"),
+        F.col("vec_id").alias("mvec_id"),
+        "code",
+    )
+    return _ivfpq_search(e, probes, members, books)
+
+
+@op("scan_ivfpq_probe", oracle=None)
+def scan_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the persisted COMPOSED index — the probe the
+    sink_ivfpq_layout build exists for, and the deployment read path at
+    100 TB: candidates/query ≈ nprobe·(n/k) stays bounded as k grows
+    with n (the IVF half), and every candidate costs 8 B of I/O (the PQ
+    half); the only full-precision vectors touched are the ≤ PQ_CAND
+    exact-rescore candidates per query.
+
+    Oracle = ROWS (SURVEY §2.0 rule 5: trained quantizer + codebooks);
+    the gate is stronger than any recall floor —
+    tests/test_invariants.py::test_ivfpq_probe_matches_in_memory_sibling
+    pins BIT-IDENTITY with sim_knn_ivf_pq restricted to the same query
+    sample (per-query computation is independent and both forms train
+    identical models over the same lineage, so the persisted serve must
+    reproduce the in-memory composed search exactly), plus run-stability
+    and codebook roundtrip bit-exactness; partition pruning is pinned by
+    tests/test_plans.py::test_ivfpq_probe_prunes_partitions."""
+    root = _write_ivfpq_index(spark, sf_dir)
+    return _ivfpq_serve(spark, sf_dir, root)

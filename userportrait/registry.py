@@ -121,12 +121,15 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_ivf_retrain",
     "stream_pq_append",
     "sink_pq_retrain",
+    "sink_ivfpq_layout",
+    "scan_ivfpq_probe",
     # re-certification of every op MODIFIED in r14 (tombstone anti-join in
     # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb):
     "scan_ivf_probe_kmeans",
     "scan_ivf_probe_kmeans_filtered",
     "sim_knn_ivf_kmeans",
+    "sim_knn_ivf_pq",
     "scan_pq_probe",
     "scan_pq_probe_filtered",
     "sink_pq_delete",
@@ -134,10 +137,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_pq_append",
     "sink_ivf_compact_kmeans",
     "sink_ivf_delete_kmeans",
-    # filler: stalest-evidence r08-vintage greens (alphabetical head):
-    "agg_groupby_basic",
-    "agg_filter_clause",
-    "agg_cms_topk",
 )
 
 
