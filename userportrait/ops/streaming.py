@@ -632,6 +632,56 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "stream_stream_right_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join — the last join-type sibling
+    (inner / left / full landed r11–r13): every purchase, with NULL click
+    columns where no click preceded it within the horizon — "conversions
+    with no attributable touchpoint", the mirror report of the left
+    outer's "clicks that never converted" (payments ⋈ missing orders,
+    acks ⋈ missing sends). Matches emit as both sides arrive; an
+    unmatched purchase is emitted with NULL click columns by the
+    WATERMARK — once it passes purchase.ts + allowance, no click with
+    c_ts in [p_ts − 1 h, p_ts) can still arrive, so the purchase's state
+    evicts and emits. That is exactly the full outer's purchase-side
+    eviction clock (pinned mid-stream by
+    test_stream_full_outer_dual_nulls_midstream_bounded_state), with the
+    click-side NULL path switched off — the plan routes through the SAME
+    _outer_click_join body, so all three outer variants share one
+    topology and the sentinel-pushdown + data-batch-cleanup mechanics
+    documented on the left outer hold here verbatim.
+
+    Sentinel hazard (inherited from the full outer): unmatched SENTINEL
+    purchases emit with NULL click columns, so the result filter must be
+    NULL-SAFE — a plain ``!= -1`` would evaluate to NULL on every real
+    unmatched-purchase row and silently return the inner join. user_id
+    comes from the purchase side (always present in a right join). State
+    stays bounded by the join horizon; the finite replay's final table
+    equals the batch RIGHT join (the oracle)."""
+    stage_dir, delay_s = _stage(sf_dir, "flush2")
+    joined = _outer_click_join(spark, stage_dir, delay_s, "rightOuter")
+    out = _run_to_table(spark, joined, "stream_right_outer")
+    return out.where(
+        ~F.col("click_id").eqNullSafe(-1) & ~F.col("purchase_id").eqNullSafe(-1)
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+
+
 @op("stream_foreachbatch_sink", oracle=_TUMBLING_ORACLE)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production streaming-sink pattern: ``foreachBatch`` writing each

@@ -123,6 +123,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_pq_retrain",
     "sink_ivfpq_layout",
     "scan_ivfpq_probe",
+    "stream_stream_right_outer",
     # re-certification of every op MODIFIED in r14 (tombstone anti-join in
     # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb):
@@ -131,7 +132,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "sim_knn_ivf_kmeans",
     "sim_knn_ivf_pq",
     "scan_pq_probe",
-    "scan_pq_probe_filtered",
     "sink_pq_delete",
     "sink_pq_compact",
     "sink_pq_append",
