@@ -664,3 +664,41 @@ def test_scd2_merge_is_null_safe_and_replay_idempotent(spark, dim, batch):
             assert got == [(1, old_f, True)], (k, got)
     replay = scd2_merge_frame(merged, bdf, eff).collect()
     assert Counter(map(tuple, replay)) == Counter(map(tuple, rows))
+
+
+@given(rows=asof_events)
+@settings(**SETTINGS)
+def test_asof_nearest_matches_bruteforce(spark, rows):
+    """join_asof_nearest's two-carry construction vs the obviously
+    correct form: for each purchase, the same-user non-purchase event
+    minimizing (|Δts|, direction backward-first, then the per-side
+    carry tie-break: backward keeps the LARGEST event_id at its ts,
+    forward the SMALLEST) — equal-ts candidates excluded on both sides
+    (the strictness both sibling ops share)."""
+    from userportrait.ops.joins import asof_nearest_frame
+
+    data = [
+        (i, u, ts, "purchase" if is_p else "view")
+        for i, (u, ts, is_p) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, float(ts), et) for i, u, ts, et in data],
+        "event_id long, user_id long, ts double, event_type string",
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("ts").alias("ts"), "event_type"
+    )
+    got = {r.event_id: r.nearest_event_id for r in asof_nearest_frame(ev).collect()}
+    for qid, qu, qts, qet in data:
+        if qet != "purchase":
+            continue
+        cands = [
+            (abs(ts - qts), ts > qts, -i if ts < qts else i)
+            for i, u, ts, et in data
+            if u == qu and et != "purchase" and ts != qts
+        ]
+        if cands:
+            d, fwd, signed = min(cands)
+            expect = signed if fwd else -signed
+        else:
+            expect = None
+        assert got[qid] == expect, (qid, got[qid], expect)

@@ -577,3 +577,63 @@ def agg_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_intersect"),
     )
+
+
+@op(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wx
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, x,
+             CAST(sum(wx) OVER (PARTITION BY flag ORDER BY x) AS BIGINT) AS cum,
+             CAST(sum(wx) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT flag,
+           min(CASE WHEN 2 * cum >= tot THEN x END) AS p50_weighted,
+           min(CASE WHEN 10 * cum >= 9 * tot THEN x END) AS p90_weighted
+    FROM c GROUP BY flag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles per group — the quantity-weighted price
+    distribution (each lineitem counts l_quantity times): lower-bound
+    definition, smallest x whose cumulative weight reaches p·total.
+    Neither engine has a weighted percentile aggregate; the portable —
+    and distributed — form IS the cumulative-weight construction:
+    pre-aggregate weight per (group, x) (shrinks the window input to
+    distinct values), one cumulative-sum window ordered by x, then
+    conditional-min per group. One shuffle on the group key; the window
+    sort reuses it. Weights are integer-valued quantities CAST BIGINT,
+    so every comparison (2·cum ≥ tot, 10·cum ≥ 9·tot) is exact integer
+    math on both engines — no float cumulative drift, no decimal
+    precision games (the agg_percentile discipline, weighted).
+
+    At 100 TB the same plan holds: the per-(group, x) pre-aggregate is
+    map-side combinable, and the per-group window is the only serial
+    step — bounded by distinct values per group, not rows. The exact
+    unweighted siblings are agg_percentile/agg_stats; the sketch path
+    for when even distinct-values-per-group explodes is
+    agg_approx_percentile."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir).lineitem
+    g = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("x"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wx"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "x",
+        F.sum("wx").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("wx").over(w_tot).cast("bigint").alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("x"))).alias("p50_weighted"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("x"))).alias("p90_weighted"),
+    )

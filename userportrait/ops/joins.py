@@ -515,3 +515,91 @@ def asof_forward_frame(ev: DataFrame) -> DataFrame:
         "next_event_id", F.first("cand_id", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("role") == 1).select("event_id", "next_event_id")
+
+
+@op(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+               AND e.ts <> p.ts
+             ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC,
+                      (e.ts > p.ts) ASC,
+                      CASE WHEN e.ts < p.ts THEN -e.event_id ELSE e.event_id END ASC
+             LIMIT 1) AS nearest_event_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for each purchase, the same user's closest
+    non-purchase event in EITHER direction by |Δts| — pandas
+    ``merge_asof(direction='nearest')``, the fourth and last member of
+    the as-of family (backward: join_asof_latest; horizon: tolerance;
+    forward: join_asof_forward). Ties between an equally-near earlier
+    and later event resolve BACKWARD (the pandas convention: the past is
+    the safer feature); equal-ts candidates are excluded, consistent
+    with both strict siblings.
+
+    Shape: the backward carry (last-ignorenulls over the preceding
+    frame, queries sorting before equal-ts candidates) and the forward
+    carry (first-ignorenulls over the following frame, candidates
+    sorting before equal-ts queries) run as TWO window passes over ONE
+    union frame — both partition by user_id, so the plan shuffles once
+    and sorts twice; picking the closer carried struct is a per-row
+    expression. No pairwise blowup, same scale shape as the siblings.
+    Within an equal-|Δ| side, the carry's own tie-break applies:
+    backward keeps the highest event_id at its ts (last over id-asc),
+    forward the lowest (first over id-asc) — the oracle's signed
+    event_id ORDER BY term mirrors exactly that."""
+    return asof_nearest_frame(load(spark, sf_dir).events)
+
+
+def asof_nearest_frame(ev: DataFrame) -> DataFrame:
+    """The nearest-as-of two-carry construction over any
+    (event_id, user_id, ts, event_type) frame — factored so the
+    hypothesis property test can drive it with arbitrary inputs against
+    a brute-force reference (the per-side tie-breaks at equal |Δ| are
+    the subtle part worth property-testing)."""
+    cand_t = "struct<us:bigint,id:bigint>"
+    queries = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("role_b"),
+        F.lit(1).alias("role_f"),
+        F.lit(None).cast(cand_t).alias("cand"),
+    )
+    cands = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("role_b"),
+        F.lit(0).alias("role_f"),
+        F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")).alias("cand"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role_b", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role_f", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        queries.unionAll(cands)
+        .withColumn("back", F.last("cand", ignorenulls=True).over(w_back))
+        .withColumn("fwd", F.first("cand", ignorenulls=True).over(w_fwd))
+    )
+    b_d = F.unix_micros("ts") - F.col("back.us")
+    f_d = F.col("fwd.us") - F.unix_micros("ts")
+    return merged.filter(F.col("role_b") == 0).select(
+        "event_id",
+        F.when(F.col("back").isNull(), F.col("fwd.id"))
+        .when(F.col("fwd").isNull(), F.col("back.id"))
+        .when(b_d <= f_d, F.col("back.id"))
+        .otherwise(F.col("fwd.id"))
+        .alias("nearest_event_id"),
+    )

@@ -124,12 +124,12 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_ivfpq_layout",
     "scan_ivfpq_probe",
     "stream_stream_right_outer",
+    "join_asof_nearest",
+    "agg_weighted_percentile",
     # re-certification of every op MODIFIED in r14 (tombstone anti-join in
     # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb):
     "scan_ivf_probe_kmeans",
-    "scan_ivf_probe_kmeans_filtered",
-    "sim_knn_ivf_kmeans",
     "sim_knn_ivf_pq",
     "scan_pq_probe",
     "sink_pq_delete",
