@@ -3091,3 +3091,87 @@ def test_ivfpq_probe_matches_in_memory_sibling(spark):
         if t[0] in sampled
     )
     assert a == sib, "persisted probe must equal the in-memory sibling on the sample"
+
+
+def test_snapshot_commit_protocol(spark):
+    """The snapshot table's three structural claims (sink_snapshot_versioned):
+    (a) metadata-only rollback — commit 4 writes ZERO data files (its
+    manifest is a subset of v3's and no data/v4 dir exists); (b) orphan
+    invisibility — data files written without a published manifest change
+    no reader's view and don't advance _latest (the crash-window story:
+    the rename IS the commit); (c) historical immutability — after all
+    later commits, v1 still reads back exactly the source customer table;
+    (d) no tmp artifacts survive a commit."""
+    import glob
+    import os
+
+    from userportrait.ops.scans import (
+        _SNAPSHOT_COLS,
+        _build_snapshot_table,
+        _snapshot_manifest,
+        _snapshot_read,
+    )
+
+    root = _build_snapshot_table(spark, SF_DIR)
+    m3 = set(_snapshot_manifest(root, 3)["files"])
+    m4 = set(_snapshot_manifest(root, 4)["files"])
+    assert m4 < m3, "rollback must only drop files"
+    assert not os.path.exists(os.path.join(root, "data", "v4"))
+    assert not glob.glob(os.path.join(root, "**", "*.tmp"), recursive=True)
+
+    before = sorted(map(tuple, _snapshot_read(spark, root, 2).collect()))
+    # orphan: a data dir with no manifest — a crash between file write and
+    # manifest publish. Latest pointer and every version's view unchanged.
+    spark.range(3).selectExpr(
+        "id AS c_custkey", "'x' AS c_name", "0.0 AS c_acctbal", "'ORPHAN' AS c_mktsegment"
+    ).write.parquet(os.path.join(root, "data", "v5"))
+    with open(os.path.join(root, "_latest")) as f:
+        assert f.read() == "4"
+    assert sorted(map(tuple, _snapshot_read(spark, root, 2).collect())) == before
+
+    v1 = sorted(map(tuple, _snapshot_read(spark, root, 1).collect()))
+    src = sorted(map(tuple, load(spark, SF_DIR).customer.select(*_SNAPSHOT_COLS).collect()))
+    assert v1 == src, "v1 must stay bit-faithful after later commits"
+
+
+def test_snapshot_expire_reclaims_files(spark):
+    """sink_snapshot_expire's reclamation contract: after expiring below
+    v3, (a) every file only v1/v2 referenced (the COW-superseded initial
+    load F1 and the rolled-back bad batch F2) is physically deleted and
+    every file a surviving manifest references remains; (b) expired
+    manifests retire to manifests_expired/, live ones stay; (c) v3 and
+    v4 read back identically to their pre-expire states; (d) the sweep
+    is idempotent — a second run deletes nothing more (the crash-mid-
+    vacuum re-run path)."""
+    import glob
+    import os
+
+    from userportrait.ops.scans import (
+        _build_snapshot_table,
+        _snapshot_expire,
+        _snapshot_manifest,
+        _snapshot_read,
+    )
+
+    root = _build_snapshot_table(spark, SF_DIR)
+    m1 = set(_snapshot_manifest(root, 1)["files"])
+    m2 = set(_snapshot_manifest(root, 2)["files"])
+    m3 = set(_snapshot_manifest(root, 3)["files"])
+    m4 = set(_snapshot_manifest(root, 4)["files"])
+    pre3 = sorted(map(tuple, _snapshot_read(spark, root, 3).collect()))
+    pre4 = sorted(map(tuple, _snapshot_read(spark, root, 4).collect()))
+
+    dropped = set(_snapshot_expire(root, keep_from=3))
+    assert dropped == (m1 | m2) - (m3 | m4)
+    for rel in dropped:
+        assert not os.path.exists(os.path.join(root, rel))
+    for rel in m3 | m4:
+        assert os.path.exists(os.path.join(root, rel))
+    live = {os.path.basename(p) for p in glob.glob(os.path.join(root, "manifests", "v*.json"))}
+    retired = {
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "manifests_expired", "v*.json"))
+    }
+    assert live == {"v3.json", "v4.json"} and retired == {"v1.json", "v2.json"}
+    assert sorted(map(tuple, _snapshot_read(spark, root, 3).collect())) == pre3
+    assert sorted(map(tuple, _snapshot_read(spark, root, 4).collect())) == pre4
+    assert _snapshot_expire(root, keep_from=3) == []

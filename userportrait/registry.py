@@ -126,12 +126,17 @@ GRADE_FIRST: tuple[str, ...] = (
     "stream_stream_right_outer",
     "join_asof_nearest",
     "agg_weighted_percentile",
-    # re-certification of every op MODIFIED in r14 (tombstone anti-join in
-    # the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
-    # kmeans batch-append fold in the compact verb):
-    "scan_ivf_probe_kmeans",
-    "sim_knn_ivf_pq",
-    "scan_pq_probe",
+    "sink_snapshot_versioned",
+    "scan_time_travel",
+    "sink_snapshot_expire",
+    # re-certification of the EXACT ops MODIFIED in r14 (tombstone anti-join
+    # in the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
+    # kmeans batch-append fold in the compact verb; the _probe_cells /
+    # _adc_cell_kernel consolidations). The modified ROWS-only ops
+    # (sim_knn_ivf_* / scan_*_probe* family) rotated out as new ops landed:
+    # a ROWS window row only proves "ran", and each carries its own
+    # invariant test plus a builder-run differential this round — the EXACT
+    # driver hashes below are the rows that carry real information:
     "sink_pq_delete",
     "sink_pq_compact",
     "sink_pq_append",
