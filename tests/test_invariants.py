@@ -3175,3 +3175,31 @@ def test_snapshot_expire_reclaims_files(spark):
     assert sorted(map(tuple, _snapshot_read(spark, root, 3).collect())) == pre3
     assert sorted(map(tuple, _snapshot_read(spark, root, 4).collect())) == pre4
     assert _snapshot_expire(root, keep_from=3) == []
+
+
+def test_ivfpq_filtered_probe_semantics(spark):
+    """scan_ivfpq_probe_filtered: every neighbor satisfies the lang
+    predicate; en survivors of the unfiltered composed top-5 are
+    retained (the filter only removes rows ranked above them); at least
+    one query back-fills with an en neighbor the unfiltered top-5
+    lacked; every query still answers 5 (k maintained over survivors);
+    and the op is run-stable."""
+    from collections import Counter
+
+    filt = OPS["scan_ivfpq_probe_filtered"].fn(spark, SF_DIR).collect()
+    filt2 = OPS["scan_ivfpq_probe_filtered"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, filt)) == sorted(map(tuple, filt2))
+    assert set(Counter(r.vec_id for r in filt).values()) == {5}
+    unf = OPS["scan_ivfpq_probe"].fn(spark, SF_DIR).collect()
+    en = {
+        r.doc_id
+        for r in load(spark, SF_DIR)
+        .documents.where(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    assert filt and all(r.neighbor_id in en for r in filt)
+    fset = {(r.vec_id, r.neighbor_id) for r in filt}
+    surviving = {(r.vec_id, r.neighbor_id) for r in unf if r.neighbor_id in en}
+    assert surviving <= fset
+    assert fset - {(r.vec_id, r.neighbor_id) for r in unf}

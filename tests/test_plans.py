@@ -1071,8 +1071,9 @@ def test_ivfpq_probe_prunes_partitions(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "cell" in pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    # the code table is one 8-byte long per vector — no raw vector column
-    assert set(back.columns) == {"vec_id", "code", "cell"}
+    # the code table is one 8-byte long per vector (+ the lang attribute
+    # column for predicate pushdown) — no raw vector column
+    assert set(back.columns) == {"vec_id", "code", "lang", "cell"}
     import glob
 
     n_cells = back.select("cell").distinct().count()

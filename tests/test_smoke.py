@@ -41,6 +41,7 @@ def test_registry_contract(spark):
         "text_bpe_apply",
         "sim_knn_ivf_pq",
         "scan_ivfpq_probe",
+        "scan_ivfpq_probe_filtered",
         "doc_topic_assign",
         "stream_topic_router",
         "scan_pq_probe",

@@ -3744,7 +3744,13 @@ def _write_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
 
       <root>/centroids/  (cell, c, cnrm)          — k x dim, one file
       <root>/codebooks/  (sub, cent, dim, w)      — PQ_M·PQ_K·PQ_SUBDIM rows
-      <root>/cells/      partitionBy(cell) parquet (vec_id, code)
+      <root>/cells/      partitionBy(cell) parquet (vec_id, code, lang)
+
+    ``lang`` rides NEXT TO each code (vec_id = doc_id, 1:1 — ENFORCED by
+    _join_doc_meta_1to1's raise_error gate) so attribute-predicated
+    serving (scan_ivfpq_probe_filtered) is a parquet data-column pushdown
+    on only the probed partitions — the _write_ivf_kmeans_index
+    convention, carried to the compressed layout.
 
     Training lineage is the sim_knn_ivf_pq lineage exactly
     (repartition(embed_partitions, vec_id) BEFORE normalization; k-means||
@@ -3763,8 +3769,10 @@ def _write_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
     _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     (
-        assign.join(codes, "vec_id")
-        .select("vec_id", "code", "cell")
+        _join_doc_meta_1to1(
+            assign.join(codes, "vec_id"), load(spark, sf_dir).documents, ["lang"]
+        )
+        .select("vec_id", "code", "lang", "cell")
         .repartition("cell")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
@@ -3802,7 +3810,7 @@ def sink_ivfpq_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)
 
 
-def _ivfpq_serve(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+def _ivfpq_serve(spark: SparkSession, sf_dir: str, root: str, member_pred=None) -> DataFrame:
     """Serving body of the composed index: both models read back from the
     index, the md5-sampled query workload (first nibble = 0, the serving
     convention) scores the broadcast centroids for its _IVF_NPROBE
@@ -3829,7 +3837,10 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
         spark,
         root,
         spark.read.parquet(os.path.join(root, "cells")).where(F.col("cell").isin(probed)),
-    ).select(
+    )
+    if member_pred is not None:
+        members = members.where(member_pred)
+    members = members.select(
         F.col("cell").alias("mcell"),
         F.col("vec_id").alias("mvec_id"),
         "code",
@@ -3857,3 +3868,25 @@ def scan_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py::test_ivfpq_probe_prunes_partitions."""
     root = _write_ivfpq_index(spark, sf_dir)
     return _ivfpq_serve(spark, sf_dir, root)
+
+
+@op("scan_ivfpq_probe_filtered", oracle=None)
+def scan_ivfpq_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED serving on the composed index — the attribute-predicated
+    probe every persisted layout in this repo serves (label IVF:
+    scan_ivf_probe_filtered, EXACT semantics contract; kmeans:
+    scan_ivf_probe_kmeans_filtered; PQ: scan_pq_probe_filtered), now on
+    the layout a 100 TB deployment actually mounts. All three pruning
+    layers stack: PartitionFilters on the probed cells, PushedFilters on
+    the lang column riding next to each code, and 8 B per surviving row.
+    The predicate sits BELOW the ADC scan and the rescore, so k is
+    maintained over survivors — post-filter back-fill semantics, not a
+    thinned top-5.
+
+    Oracle = ROWS (trained models); gated by
+    tests/test_invariants.py::test_ivfpq_filtered_probe_semantics —
+    every neighbor satisfies the predicate, survivors of the unfiltered
+    composed top-5 are retained (monotonicity), and the probe answers 5
+    per query (back-fill)."""
+    root = _write_ivfpq_index(spark, sf_dir)
+    return _ivfpq_serve(spark, sf_dir, root, member_pred=F.col("lang") == _FILTERED_LANG)

@@ -123,6 +123,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_pq_retrain",
     "sink_ivfpq_layout",
     "scan_ivfpq_probe",
+    "scan_ivfpq_probe_filtered",
     "stream_stream_right_outer",
     "join_asof_nearest",
     "agg_weighted_percentile",
@@ -138,7 +139,6 @@ GRADE_FIRST: tuple[str, ...] = (
     # invariant test plus a builder-run differential this round — the EXACT
     # driver hashes below are the rows that carry real information:
     "sink_pq_delete",
-    "sink_pq_compact",
     "sink_pq_append",
     "sink_ivf_compact_kmeans",
     "sink_ivf_delete_kmeans",
