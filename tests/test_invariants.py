@@ -3203,3 +3203,108 @@ def test_ivfpq_filtered_probe_semantics(spark):
     surviving = {(r.vec_id, r.neighbor_id) for r in unf if r.neighbor_id in en}
     assert surviving <= fset
     assert fset - {(r.vec_id, r.neighbor_id) for r in unf}
+
+
+def _markov_bruteforce(paths):
+    """Reference Markov attribution over explicit journeys: transition
+    counts by a plain path walk; absorption probability by fixed-point
+    iteration (a deliberately DIFFERENT solver than the op's linear
+    solve); removal effects/weights from those."""
+    counts = {}
+    for chs, conv in paths:
+        seq = ["START", *chs, "CONV" if conv else "NULL"]
+        for s, d in zip(seq, seq[1:]):
+            counts[(s, d)] = counts.get((s, d), 0) + 1
+    channels = sorted(
+        {s for s, _ in counts} | {d for _, d in counts} - {"START", "CONV", "NULL"}
+    )
+    channels = [c for c in channels if c not in ("START", "CONV", "NULL")]
+
+    def absorption(blocked):
+        states = ["START", *channels]
+        a = {s: 0.0 for s in states}
+        for _ in range(100000):
+            nxt = {}
+            delta = 0.0
+            for s in states:
+                row = {d: n for (src, d), n in counts.items() if src == s}
+                tot = sum(row.values())
+                v = 0.0
+                for d, n in row.items():
+                    if d == blocked or d == "NULL":
+                        continue
+                    v += (n / tot) * (1.0 if d == "CONV" else a[d])
+                nxt[s] = v
+                delta = max(delta, abs(v - a[s]))
+            a = nxt
+            if delta < 1e-14:
+                break
+        return a["START"]
+
+    p = absorption(None)
+    eff = {c: (p - absorption(c)) / p for c in channels}
+    tot = sum(eff.values())
+    n_conv = sum(n for (s, d), n in counts.items() if d == "CONV")
+    return counts, {c: (eff[c], eff[c] / tot, n_conv * eff[c] / tot) for c in channels}
+
+
+def test_markov_attribution_matches_bruteforce(spark):
+    """events_markov_attribution (ROWS-only: the absorbing-chain solve):
+    run-stable; weights sum to 1 and effects lie in [0, 1]; and the whole
+    pipeline — journey construction, transition counting, linear solve —
+    agrees to 1e-9 with a brute-force Python path walk over the raw
+    events plus a fixed-point-iteration solver (a different algorithm on
+    independently-derived inputs). Plus two analytic fixtures: with
+    journeys A→B→CONV and A→NULL, removing EITHER channel kills the only
+    converting path, so both effects are 1.0 (weights ½/½); adding a
+    direct B→CONV journey makes A strictly less critical than B."""
+    rows = OPS["events_markov_attribution"].fn(spark, SF_DIR).collect()
+    rows2 = OPS["events_markov_attribution"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    got = {r.channel: (r.removal_effect, r.weight, r.attributed_conversions) for r in rows}
+    assert abs(sum(w for _, w, _ in got.values()) - 1.0) < 1e-9
+    assert all(-1e-9 <= e <= 1 + 1e-9 for e, _, _ in got.values())
+
+    # brute-force journeys from the raw events
+    ev = sorted(
+        map(
+            tuple,
+            load(spark, SF_DIR)
+            .events.select("user_id", "ts", "event_id", "event_type")
+            .collect(),
+        )
+    )
+    by_user = {}
+    for u, ts, eid, et in ev:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    paths = []
+    for u, evs in by_user.items():
+        evs.sort()
+        chs = []
+        conv = False
+        for _, _, et in evs:
+            if et == "purchase":
+                conv = True
+                break
+            chs.append(et)
+        paths.append((chs, conv))
+    _, want = _markov_bruteforce(paths)
+    assert set(got) == set(want)
+    for c in want:
+        for a, b in zip(got[c], want[c]):
+            assert abs(a - b) < 1e-9, (c, got[c], want[c])
+
+    # analytic fixture 1: A→B→CONV, A→NULL — removing either channel
+    # kills the single converting path: effects 1.0/1.0, weights ½/½
+    _, fx = _markov_bruteforce([(["A", "B"], True), (["A"], False)])
+    assert abs(fx["A"][0] - 1.0) < 1e-12 and abs(fx["B"][0] - 1.0) < 1e-12
+    assert abs(fx["A"][1] - 0.5) < 1e-12 and abs(fx["B"][1] - 0.5) < 1e-12
+    # analytic fixture 2: + a direct B→CONV journey. Baseline p = 3/4
+    # (START→A ¾·(A→B ⅔)·1 + START→B ¼·1). Removing A leaves the direct
+    # START→B quarter → effect ⅔; removing B kills every conversion →
+    # effect 1. A is strictly less critical than B.
+    _, fx2 = _markov_bruteforce(
+        [(["A", "B"], True), (["A"], False), (["B"], True), (["A", "B"], True)]
+    )
+    assert fx2["A"][0] < fx2["B"][0]
+    assert abs(fx2["B"][0] - 1.0) < 1e-12

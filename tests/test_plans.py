@@ -375,6 +375,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: the erasure-request list itself (IVF_ERASE_N ids) — request-sized, never corpus-sized",
         ("llm_similarity.py", 'erase_ids = [r.vec_id for r in spark.read.parquet(ts_path).select("vec_id").collect()]  # bounded: the in-flight erasure request'):
             "bounded: the committed tombstone manifest = one erasure request — request-sized, never corpus-sized",
+        ("curation.py", 'tm = steps.unionAll(direct).groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("n")).collect()  # bounded: <= (#event_types+2)^2 transition-matrix cells (state space, never data volume)'):
+            "bounded: the Markov transition matrix — (#channels+2)^2 state-space cells, the model input, never data volume",
     }
     found = set()
     for py in root.rglob("*.py"):

@@ -44,6 +44,7 @@ def test_registry_contract(spark):
         "scan_ivfpq_probe_filtered",
         "doc_topic_assign",
         "stream_topic_router",
+        "events_markov_attribution",
         "scan_pq_probe",
         "scan_ivf_probe_kmeans_filtered",
         "scan_pq_probe_filtered",
