@@ -3308,3 +3308,56 @@ def test_markov_attribution_matches_bruteforce(spark):
     )
     assert fx2["A"][0] < fx2["B"][0]
     assert abs(fx2["B"][0] - 1.0) < 1e-12
+
+
+def test_ivfpq_append_frozen_models(spark):
+    """The composed append's contract (sink_ivfpq_append): base files are
+    never rewritten (byte-identical), every appended vector is reachable
+    in the merged code table, its cell equals the nearest-centroid
+    assignment under the SHIPPED quantizer, and its code equals the
+    direct _pq_encode under the SHIPPED codebooks — both frozen, never
+    retrained."""
+    import glob
+    import hashlib
+    import os
+
+    from userportrait.ops.llm_similarity import (
+        _ivfpq_append,
+        _kmeans_assign,
+        _pq_encode,
+        _read_codebooks,
+        _unit_embeddings,
+        _write_ivfpq_index,
+    )
+
+    e = load(spark, SF_DIR).embeddings
+    cutoff = int(e.agg(F.floor(F.lit(0.8) * F.max("vec_id"))).first()[0])
+    root = _write_ivfpq_index(spark, SF_DIR, max_vec_id=cutoff)
+    cells_path = os.path.join(root, "cells")
+
+    def file_hashes():
+        out = {}
+        for f in glob.glob(os.path.join(cells_path, "cell=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    base_files = file_hashes()
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    books = _read_codebooks(spark, root)
+    unit = _unit_embeddings(e.where(F.col("vec_id") > cutoff))
+    want_cell = {r.vec_id: r.cell for r in _kmeans_assign(unit, cent).collect()}
+    want_code = {
+        r.vec_id: r.code
+        for r in unit.mapInPandas(_pq_encode(books), "vec_id long, code long").collect()
+    }
+    assert want_cell and set(want_cell) == set(want_code)
+
+    _ivfpq_append(spark, SF_DIR, root, cutoff)
+
+    post = file_hashes()
+    for f, h in base_files.items():
+        assert post.get(f) == h, f
+    back = spark.read.parquet(cells_path).where(F.col("vec_id") > cutoff)
+    got = {r.vec_id: (r.cell, r.code) for r in back.select("vec_id", "cell", "code").collect()}
+    assert got == {v: (want_cell[v], want_code[v]) for v in want_cell}

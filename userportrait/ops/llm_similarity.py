@@ -3732,7 +3732,7 @@ def sink_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "codes")), cutoff)
 
 
-def _write_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+def _write_ivfpq_index(spark: SparkSession, sf_dir: str, max_vec_id: int | None = None) -> str:
     """Write the COMPOSED serving index — FAISS ``IVFx,PQy`` persisted
     (the form a 100 TB vector deployment actually serves from): trained
     kmeans cells bound WHICH partitions a probe reads (PartitionFilters
@@ -3756,10 +3756,15 @@ def _write_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     (repartition(embed_partitions, vec_id) BEFORE normalization; k-means||
     samples per partition) so the persisted build and the in-memory
     composed search train bit-identical models — the invariant test's
-    restriction-equality gate rests on it."""
+    restriction-equality gate rests on it. ``max_vec_id`` restricts the
+    build AND both model trainings to a base-corpus prefix (the
+    sink_ivfpq_append convention: appended vectors must encode and land
+    under frozen models)."""
     from .scans import _scratch
 
     e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
+    if max_vec_id is not None:
+        e = e.where(F.col("vec_id") <= max_vec_id)
     unit = _unit_embeddings(e)
     cent = _kmeans_cells(spark, unit)
     books = _pq_codebooks(unit)
@@ -3890,3 +3895,60 @@ def scan_ivfpq_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query (back-fill)."""
     root = _write_ivfpq_index(spark, sf_dir)
     return _ivfpq_serve(spark, sf_dir, root, member_pred=F.col("lang") == _FILTERED_LANG)
+
+
+def _ivfpq_append(spark: SparkSession, sf_dir: str, root: str, cutoff: int) -> None:
+    """Append the post-cutoff vectors to the composed index at ``root``:
+    BOTH models are read back from the index (frozen — the shipped
+    quantizer and codebooks, never retrained), assignment routes through
+    _kmeans_assign and encoding through _pq_encode exactly as the build
+    does, and the new 8 B codes land mode("append") in existing cell
+    directories — base files never rewritten. Factored so the
+    frozen-models test drives it against its own build."""
+    e = load(spark, sf_dir).embeddings
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    books = _read_codebooks(spark, root)
+    unit = _unit_embeddings(e.where(F.col("vec_id") > cutoff))
+    assign = _kmeans_assign(unit, cent).select("vec_id", "cell")
+    codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
+    (
+        _join_doc_meta_1to1(
+            assign.join(codes, "vec_id"), load(spark, sf_dir).documents, ["lang"]
+        )
+        .select("vec_id", "code", "lang", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+
+
+@op("sink_ivfpq_append", oracle=_IVF_KMEANS_PART_ORACLE)
+def sink_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance on the COMPOSED index — the append verb
+    that lets the layout a deployment actually mounts (sink_ivfpq_layout)
+    absorb the daily crawl without a rebuild: the newest ~20% of vectors
+    (above the 0.8-of-max cutoff, the dedup_incremental split convention)
+    are assigned to the EXISTING cells of a quantizer trained on the BASE
+    corpus only and encoded against the BASE-trained codebooks, then
+    written ``mode("append")`` into the cell-partitioned code layout —
+    O(new × k) assignment against broadcast centroids plus one Arrow
+    encode pass over the new vectors; base files never rewritten. Both
+    frozen-model principles are enforced structurally (models read back
+    from the index, shared assignment/encode bodies); drift is absorbed
+    by the retrain verbs (sink_ivf_retrain / sink_pq_retrain), whose
+    cutover discipline this layout inherits.
+
+    Rollup (EXACT, quantizer-independent): the shared maintenance-family
+    oracle over the merged readback. Frozen-model mechanics (base-file
+    byte-identity, appended vectors reachable in their frozen cells with
+    frozen-book codes) are pinned by
+    tests/test_invariants.py::test_ivfpq_append_frozen_models."""
+    e = load(spark, sf_dir).embeddings
+    cutoff = e.agg(
+        F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint").alias("c")
+    ).collect()[0]["c"]
+    root = _write_ivfpq_index(spark, sf_dir, max_vec_id=cutoff)
+    _ivfpq_append(spark, sf_dir, root, cutoff)
+    return _ivf_kmeans_part_rollup(spark.read.parquet(os.path.join(root, "cells")), cutoff)

@@ -131,6 +131,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "scan_time_travel",
     "sink_snapshot_expire",
     "events_markov_attribution",
+    "sink_ivfpq_append",
     # re-certification of the EXACT ops MODIFIED in r14 (tombstone anti-join
     # in the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
     # kmeans batch-append fold in the compact verb; the _probe_cells /
@@ -140,7 +141,6 @@ GRADE_FIRST: tuple[str, ...] = (
     # invariant test plus a builder-run differential this round — the EXACT
     # driver hashes below are the rows that carry real information:
     "sink_pq_delete",
-    "sink_ivf_compact_kmeans",
     "sink_ivf_delete_kmeans",
 )
 
