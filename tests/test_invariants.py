@@ -3361,3 +3361,85 @@ def test_ivfpq_append_frozen_models(spark):
     back = spark.read.parquet(cells_path).where(F.col("vec_id") > cutoff)
     got = {r.vec_id: (r.cell, r.code) for r in back.select("vec_id", "cell", "code").collect()}
     assert got == {v: (want_cell[v], want_code[v]) for v in want_cell}
+
+
+def test_snapshot_diff_prunes_shared_files(spark):
+    """scan_snapshot_diff's pruning claim, structurally: the v2→v3 file
+    partition puts the untouched append (F2 = v2's files beyond v1) in
+    the SHARED set — the diff never opens it — and only the COW pair
+    (F1, F3) on the two sides; diff(v3→v4) sees the rollback as
+    only_old = F2 with nothing new; diff of a version with itself reads
+    nothing at all. And the row-level diff over the pruned file sets
+    equals the full-read diff (losslessness of the pruning)."""
+    from userportrait.ops.scans import (
+        _build_snapshot_table,
+        _snapshot_diff_files,
+        _snapshot_manifest,
+        _snapshot_read,
+    )
+
+    root = _build_snapshot_table(spark, SF_DIR)
+    m1 = set(_snapshot_manifest(root, 1)["files"])
+    m2 = set(_snapshot_manifest(root, 2)["files"])
+    m3 = set(_snapshot_manifest(root, 3)["files"])
+    only_old, only_new, shared = _snapshot_diff_files(root, 2, 3)
+    assert set(shared) == m2 - m1  # F2, the untouched append
+    assert set(only_old) == m1 and set(only_new) == m3 - m2
+    oo, on, _ = _snapshot_diff_files(root, 3, 4)
+    assert set(oo) == m2 - m1 and on == []
+    a, b, _ = _snapshot_diff_files(root, 2, 2)
+    assert a == [] and b == []
+
+    pruned_removed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(*[root + "/" + f for f in only_old])
+            .exceptAll(spark.read.parquet(*[root + "/" + f for f in only_new]))
+            .collect(),
+        )
+    )
+    full_removed = sorted(
+        map(
+            tuple,
+            _snapshot_read(spark, root, 2).exceptAll(_snapshot_read(spark, root, 3)).collect(),
+        )
+    )
+    assert pruned_removed == full_removed and pruned_removed
+
+
+def test_stream_snapshot_commit_history(spark):
+    """stream_snapshot_commits' history claims: >= 2 real committed
+    versions; version growth is append-only (every version's file set
+    contains its parent's, row counts monotone); time travel to each
+    version equals the union of its micro-batches (prefix property:
+    version k's rows are a subset of version k+1's); and the final
+    version holds exactly the batch projection of the staged events."""
+    import glob
+    import os
+
+    from userportrait.ops.scans import SCRATCH, _snapshot_manifest, _snapshot_read
+
+    final = OPS["stream_snapshot_commits"].fn(spark, SF_DIR)
+    final_rows = sorted(map(tuple, final.collect()))
+    root = os.path.join(SCRATCH, "snapshot_stream")
+    versions = sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(root, "manifests", "v*.json"))
+    )
+    assert len(versions) >= 2 and versions == list(range(1, len(versions) + 1))
+    prev_files: set = set()
+    prev_rows: set = set()
+    for v in versions:
+        files = set(_snapshot_manifest(root, v)["files"])
+        assert prev_files <= files
+        rows = set(map(tuple, _snapshot_read(spark, root, v).collect()))
+        assert prev_rows <= rows
+        prev_files, prev_rows = files, rows
+    assert sorted(prev_rows) == final_rows
+    batch = sorted(
+        map(
+            tuple,
+            load(spark, SF_DIR).events.select("event_id", "event_type", "value").collect(),
+        )
+    )
+    assert final_rows == batch

