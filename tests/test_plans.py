@@ -511,6 +511,8 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "tag_segment_migration": "1-row epoch-midpoint scalar (period split)",
         "sink_ivf_delete_kmeans": "two 1-row provenance rollup aggregates (survivor + applied-manifest scalars) crossJoined",
         "sink_pq_delete": "two 1-row provenance rollup aggregates (survivor + applied-manifest scalars) crossJoined",
+        "sink_snapshot_versioned": "four 1-row per-version rollup aggregates (count+sum scalar per snapshot) unioned",
+        "sink_snapshot_expire": "two 1-row surviving-version rollup aggregates (count+sum scalar per snapshot) unioned",
     }
     offenders = {}
     for name in OPS:
