@@ -3176,6 +3176,29 @@ def test_snapshot_expire_reclaims_files(spark):
     assert sorted(map(tuple, _snapshot_read(spark, root, 4).collect())) == pre4
     assert _snapshot_expire(root, keep_from=3) == []
 
+    # crash window: manifests already retired, sweep never ran. Because the
+    # sweep is DISK − LIVE (not the expired manifests' lists), the re-run
+    # still reclaims every file only the retired manifests referenced —
+    # nothing is stranded. Orphans from crashed commits sweep too.
+    root2 = _build_snapshot_table(spark, SF_DIR)
+    n1 = set(_snapshot_manifest(root2, 1)["files"])
+    n2 = set(_snapshot_manifest(root2, 2)["files"])
+    n3 = set(_snapshot_manifest(root2, 3)["files"])
+    n4 = set(_snapshot_manifest(root2, 4)["files"])
+    for v in (1, 2):
+        os.makedirs(os.path.join(root2, "manifests_expired"), exist_ok=True)
+        os.rename(
+            os.path.join(root2, "manifests", f"v{v}.json"),
+            os.path.join(root2, "manifests_expired", f"v{v}.json"),
+        )
+    orphan = os.path.join(root2, "data", "v9", "part-orphan.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    open(orphan, "w").close()
+    dropped2 = set(_snapshot_expire(root2, keep_from=3))
+    assert dropped2 == ((n1 | n2) - (n3 | n4)) | {os.path.relpath(orphan, root2)}
+    for rel in n3 | n4:
+        assert os.path.exists(os.path.join(root2, rel))
+
 
 def test_ivfpq_filtered_probe_semantics(spark):
     """scan_ivfpq_probe_filtered: every neighbor satisfies the lang

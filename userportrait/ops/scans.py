@@ -1211,25 +1211,34 @@ def sink_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snapshot_expire(root: str, keep_from: int) -> list[str]:
-    """Expire snapshots below ``keep_from``; delete files unreferenced by
-    any surviving manifest. Returns the deleted (root-relative) files."""
+    """Expire snapshots below ``keep_from``; delete every data file not
+    referenced by a surviving manifest. Returns the deleted
+    (root-relative) files.
+
+    The sweep is computed as DISK FILES − LIVE REFERENCES, not from the
+    expired manifests' file lists: after a crash between manifest
+    retirement and the file sweep, a re-run would otherwise miss any
+    file referenced only by an already-retired manifest (the expired set
+    would no longer mention it) and strand it forever. Disk-minus-live
+    also reclaims orphans from commits that crashed before their
+    manifest rename. Single-writer discipline assumed (the table's
+    standing convention): no commit may be staging files while a vacuum
+    runs, else its un-published files would be swept."""
     man_dir = os.path.join(root, "manifests")
     retired_dir = os.path.join(root, "manifests_expired")
     os.makedirs(retired_dir, exist_ok=True)
-    live: set[str] = set()
-    expired: set[str] = set()
-    for path in sorted(_glob.glob(os.path.join(man_dir, "v*.json"))):
-        v = int(os.path.basename(path)[1:-5])
-        with open(path) as f:
-            files = set(_json.load(f)["files"])
-        if v >= keep_from:
-            live |= files
-        else:
-            expired |= files
     for path in sorted(_glob.glob(os.path.join(man_dir, "v*.json"))):
         if int(os.path.basename(path)[1:-5]) < keep_from:
             os.rename(path, os.path.join(retired_dir, os.path.basename(path)))
-    dropped = sorted(expired - live)
+    live: set[str] = set()
+    for path in _glob.glob(os.path.join(man_dir, "v*.json")):
+        with open(path) as f:
+            live |= set(_json.load(f)["files"])
+    on_disk = {
+        os.path.relpath(p, root)
+        for p in _glob.glob(os.path.join(root, "data", "*", "part-*.parquet"))
+    }
+    dropped = sorted(on_disk - live)
     for rel in dropped:
         os.remove(os.path.join(root, rel))
     return dropped
