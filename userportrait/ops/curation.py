@@ -3209,14 +3209,19 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(np.linalg.solve(np.eye(len(trans)) - Q, r)[idx["START"]])
 
     p_conv = absorption(None)
-    effects = {c: (p_conv - absorption(c)) / p_conv for c in channels}
+    # degenerate histories guard: no conversions at all, or every
+    # conversion direct from START (all removal effects 0) — credit
+    # nothing rather than divide by zero
+    effects = (
+        {c: (p_conv - absorption(c)) / p_conv for c in channels} if p_conv else {c: 0.0 for c in channels}
+    )
     tot_eff = sum(effects.values())
     rows = [
         (
             c,
             float(effects[c]),
-            float(effects[c] / tot_eff),
-            float(n_conv * effects[c] / tot_eff),
+            float(effects[c] / tot_eff) if tot_eff else 0.0,
+            float(n_conv * effects[c] / tot_eff) if tot_eff else 0.0,
         )
         for c in channels
     ]
