@@ -3466,3 +3466,124 @@ def test_stream_snapshot_commit_history(spark):
         )
     )
     assert final_rows == batch
+
+
+def test_stream_snapshot_restart_across_sessions(spark):
+    """Cross-session exactly-once for the snapshot streaming SINK: phase 1
+    commits the first two staged files as snapshot versions in its OWN
+    Spark process and exits; phase 2 is a NEW process resuming the same
+    checkpoint, committing the rest. Batch ids — and therefore version
+    numbers — must CONTINUE across the restart (offset log asserted), the
+    committed history must stay contiguous and append-only, and the final
+    version's read-back must equal the batch projection of the whole feed
+    — a dropped batch loses rows, a replayed-but-not-idempotent commit
+    duplicates them. This is the manifest protocol's exactly-once claim
+    (overwrite-own-dir + re-rename) surviving process death."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from userportrait.catalog import SCHEMAS
+    from userportrait.ops.scans import _snapshot_manifest, _snapshot_read
+    from userportrait.ops.streaming import _SENTINEL_TYPE, _stage
+
+    staged, delay_s = _stage(SF_DIR, "shuffled")
+    files = sorted(glob.glob(os.path.join(staged, "chunk_*.parquet")))
+    assert len(files) == 5  # 4 shuffled chunks + the sentinel
+
+    base = "/tmp/up_snapshot_restart"
+    shutil.rmtree(base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    root = os.path.join(base, "table")
+    os.makedirs(feed)
+
+    script = os.path.join(base, "phase.py")
+    with open(script, "w") as f:
+        f.write(
+            """
+import os, sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from userportrait.ops.scans import _snapshot_commit, _snapshot_manifest
+from userportrait.ops.streaming import _stream_events
+
+feed, root, delay = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.sql.warehouse.dir", root + "_wh")
+    .getOrCreate()
+)
+src = _stream_events(spark, feed, delay)
+
+def commit_batch(batch_df, batch_id):
+    version = batch_id + 1
+    carry = _snapshot_manifest(root, version - 1)["files"] if version > 1 else []
+    _snapshot_commit(
+        spark, root, version,
+        batch_df.where(F.col("event_id") != -1).select("event_id", "event_type", "value"),
+        carry, "stream-append", write_mode="overwrite",
+    )
+
+q = (
+    src.writeStream.outputMode("append")
+    .foreachBatch(commit_batch)
+    .option("checkpointLocation", os.path.join(root, "_chk"))
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+spark.stop()
+"""
+        )
+
+    def add_files(batch, t0):
+        for i, src_f in enumerate(batch):
+            dst = os.path.join(feed, os.path.basename(src_f))
+            shutil.copy(src_f, dst)
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def run_phase():
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        subprocess.run(
+            [sys.executable, script, feed, root, str(delay_s)],
+            check=True,
+            cwd="/root/repo",
+            env=env,
+            timeout=540,
+        )
+
+    def versions():
+        return sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(root, "manifests", "v*.json"))
+        )
+
+    add_files(files[:2], 1000)
+    run_phase()
+    v1 = versions()
+    assert v1 == [1, 2], v1
+
+    add_files(files[2:], 2000)
+    run_phase()
+    v2 = versions()
+    assert v2 == [1, 2, 3, 4, 5], v2  # versions CONTINUED across the restart
+    prev: set = set()
+    for v in v2:
+        cur = set(_snapshot_manifest(root, v)["files"])
+        assert prev <= cur  # append-only across the session boundary
+        prev = cur
+
+    got = sorted(map(tuple, _snapshot_read(spark, root, 5).collect()))
+    schema = SCHEMAS["events"].replace("ts bigint", "ts timestamp")
+    batch = (
+        spark.read.schema(schema)
+        .parquet(feed)
+        .where(F.col("event_type") != _SENTINEL_TYPE)
+        .select("event_id", "event_type", "value")
+    )
+    assert got == sorted(map(tuple, batch.collect()))
+    shutil.rmtree(base)

@@ -702,3 +702,41 @@ def test_asof_nearest_matches_bruteforce(spark, rows):
         else:
             expect = None
         assert got[qid] == expect, (qid, got[qid], expect)
+
+
+wpct_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                 # group
+        st.integers(min_value=-5, max_value=5),      # x (ties likely)
+        st.integers(min_value=1, max_value=4),       # weight
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=wpct_rows)
+@settings(**SETTINGS)
+def test_weighted_percentile_matches_bruteforce(spark, rows):
+    """agg_weighted_percentile's cumulative-weight construction vs the
+    obviously correct form: expand each row into `w` copies of x, sort,
+    and take the element where the running count first reaches p·total
+    (lower-bound definition). Exercises duplicate x values (the
+    per-(group,x) pre-aggregate), threshold ties (2·cum == tot exactly),
+    and single-row groups."""
+    from userportrait.ops.aggregates import weighted_percentile_frame
+
+    df = spark.createDataFrame(
+        [(g, float(x), w) for g, x, w in rows], "flag string, x double, w long"
+    )
+    got = {r.flag: (r.p50_weighted, r.p90_weighted) for r in weighted_percentile_frame(df).collect()}
+    by_group = {}
+    for g, x, w in rows:
+        by_group.setdefault(g, []).extend([float(x)] * w)
+    for g, xs in by_group.items():
+        xs.sort()
+        n = len(xs)
+        # smallest x with cum >= p*tot: index ceil(p*n) - 1, exact in ints
+        p50 = xs[-(-n // 2) - 1]        # ceil(n/2)
+        p90 = xs[-(-9 * n // 10) - 1]   # ceil(9n/10)
+        assert got[g] == (p50, p90), (g, got[g], (p50, p90), xs)

@@ -618,13 +618,24 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted siblings are agg_percentile/agg_stats; the sketch path
     for when even distinct-values-per-group explodes is
     agg_approx_percentile."""
+    li = load(spark, sf_dir).lineitem
+    return weighted_percentile_frame(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+
+
+def weighted_percentile_frame(df: DataFrame) -> DataFrame:
+    """The cumulative-weight construction over any (flag, x, w) frame —
+    factored so the hypothesis property test can drive it with arbitrary
+    inputs against a brute-force reference (the lower-bound threshold
+    crossings under integer weights are the part worth property-testing)."""
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir).lineitem
-    g = (
-        li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("x"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wx"))
-    )
+    g = df.groupBy("flag", "x").agg(F.sum("w").cast("bigint").alias("wx"))
     w_cum = Window.partitionBy("flag").orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_tot = Window.partitionBy("flag")
     c = g.select(
