@@ -740,3 +740,99 @@ def test_weighted_percentile_matches_bruteforce(spark, rows):
         p50 = xs[-(-n // 2) - 1]        # ceil(n/2)
         p90 = xs[-(-9 * n // 10) - 1]   # ceil(9n/10)
         assert got[g] == (p50, p90), (g, got[g], (p50, p90), xs)
+
+
+snap_cmds = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=5)),
+        st.tuples(st.just("cow_drop"), st.integers(0, 9)),
+        st.tuples(st.just("rollback"), st.none()),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(cmds=snap_cmds, keep_cut=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_snapshot_protocol_matches_model(spark, cmds, keep_cut):
+    """Model-based check of the snapshot commit protocol: an arbitrary
+    command sequence (append / full-COW value-drop / file-level rollback
+    of the newest commit) runs both against the real manifest machinery
+    and a pure-Python per-version row-multiset model; EVERY historical
+    version must read back exactly its model state (immutability under
+    all later commits), and an expire at a random horizon must leave
+    disk == live references exactly (no stranded files, no over-delete)
+    with every surviving version still bit-faithful."""
+    import os
+    from collections import Counter
+
+    from userportrait.ops.scans import (
+        _scratch,
+        _snapshot_commit,
+        _snapshot_expire,
+        _snapshot_manifest,
+        _snapshot_read,
+    )
+
+    root = _scratch("snapshot_prop")
+    all_files = {0: []}
+    own_files: dict[int, list] = {}
+    own_rows: dict[int, Counter] = {}
+    model = {0: Counter()}
+    ver = 0
+    for cmd, arg in cmds:
+        prev_files, prev_rows = all_files[ver], model[ver]
+        ver += 1
+        if cmd == "append":
+            df = spark.createDataFrame([(v,) for v in arg], "val long").coalesce(1)
+            fl = _snapshot_commit(spark, root, ver, df, prev_files, "append")
+            all_files[ver] = fl
+            own_files[ver] = [f for f in fl if f not in prev_files]
+            own_rows[ver] = Counter(arg)
+            model[ver] = prev_rows + Counter(arg)
+        elif cmd == "cow_drop":
+            surviving = prev_rows.copy()
+            surviving.pop(arg, None)
+            df = spark.createDataFrame(
+                [(v,) for v in surviving.elements()], "val long"
+            ).coalesce(1)
+            fl = _snapshot_commit(spark, root, ver, df, [], "cow")
+            all_files[ver] = fl
+            own_files[ver] = fl
+            own_rows[ver] = surviving
+            model[ver] = surviving
+        else:  # rollback: drop the parent's OWN files from the manifest
+            drop_f = set(own_files.get(ver - 1, []))
+            fl = _snapshot_commit(
+                spark, root, ver, None, [f for f in prev_files if f not in drop_f], "rollback"
+            )
+            all_files[ver] = fl
+            own_files[ver] = []
+            own_rows[ver] = Counter()
+            model[ver] = prev_rows - own_rows.get(ver - 1, Counter())
+
+    def check(v):
+        files = _snapshot_manifest(root, v)["files"]
+        if not files:
+            assert not model[v], (v, model[v])
+            return
+        got = sorted(r.val for r in _snapshot_read(spark, root, v).collect())
+        assert got == sorted(model[v].elements()), v
+
+    for v in range(1, ver + 1):
+        check(v)
+
+    keep_from = min(keep_cut, ver)
+    _snapshot_expire(root, keep_from=keep_from)
+    live: set = set()
+    for v in range(keep_from, ver + 1):
+        live |= set(_snapshot_manifest(root, v)["files"])
+        check(v)
+    import glob as _g
+
+    on_disk = {
+        os.path.relpath(p, root)
+        for p in _g.glob(os.path.join(root, "data", "*", "part-*.parquet"))
+    }
+    assert on_disk == live
