@@ -355,8 +355,16 @@ def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     replica's 2M pairs — with one bounded array column per pair side; the
     r9 kernel then removed the two set-building shuffles as well. No
     broadcast hint anywhere: the array table is one row per DOCUMENT —
-    corpus-sized, not a dim; AQE picks the join strategy."""
-    sh = distinct_shingle_arrays(d)
+    corpus-sized, not a dim; AQE picks the join strategy.
+
+    The array table is pin()-ed: it feeds BOTH sides of the pair join, and
+    without the barrier each side re-runs the Arrow shingle kernel over the
+    whole corpus (the minhash_candidates signature-table argument — r14
+    measurement: two identical 0.39 s kernel stages at sf0.1, and at 100 TB
+    two full corpus re-tokenizations where one suffices)."""
+    from ..catalog import pin
+
+    sh = pin(distinct_shingle_arrays(d))
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
     )

@@ -65,10 +65,16 @@ _ORACLE_SIMS_CTE = """
 #     that torrent-broadcasts cleanly; a 1e9-vector corpus then runs 2000
 #     bounded chunks — more jobs, never more memory. Raise via env on
 #     clusters with headroom);
-#   - MIN keeps tiny test SFs from degenerating into per-row jobs, and makes
-#     sf0.1 (2000 vecs) exercise the 2-chunk merge path at bench SF.
-# tests/test_invariants.py forces MIN=CAP low to stress many chunks.
-INDEX_CHUNK_MIN = int(os.environ.get("UP_KNN_CHUNK_MIN", "1024"))
+#   - MIN keeps tiny test SFs from degenerating into per-row jobs. A chunk
+#     below 4096 rows (~2 MB of f64 at dim 64) is pure per-chunk overhead at
+#     ANY scale — each chunk costs a quantile cut, a collect job, a broadcast
+#     and a materialize barrier — so the floor is set where the broadcast
+#     payload starts to matter, not lower. (r14 measurement: sf0.1's 2000
+#     vectors ran 2 chunks under the old 1024 floor; the second chunk bought
+#     nothing but a repeated driver round-trip, ~0.6 s of the query's 2.2 s.)
+# tests/test_invariants.py forces MIN=CAP low to stress many chunks, so the
+# multi-chunk merge path stays exercised regardless of this floor.
+INDEX_CHUNK_MIN = int(os.environ.get("UP_KNN_CHUNK_MIN", "4096"))
 INDEX_CHUNK_CAP = int(os.environ.get("UP_KNN_CHUNK_CAP", "500000"))
 TARGET_CHUNKS = 8
 # Per-task transient bound: the kernel's sims matrix is (query rows ×

@@ -594,7 +594,15 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines despite last-ulp ln() differences."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir).documents
+    from ..catalog import embed_partitions
+
+    # repartition: the tokenize+explode+partial-agg runs inside the SCAN
+    # stage, and a single-split documents scan (the one-row-group fixture
+    # files, or any small-file corner of a real layout) serializes the
+    # whole corpus tokenization into one task — in BOTH branches that
+    # derive tf (r14 measurement: ~1 s single-task stages). Same
+    # convention as text_entropy / text_lang_id / text_contamination.
+    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
     tf = _tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     n = (
         d.agg(F.count("*").alias("n"))

@@ -814,6 +814,8 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .scans import _scratch
 
+    from ..catalog import pin
+
     d = load(spark, sf_dir).documents
     keep_exact = (
         d.select("doc_id", F.sha2("text", 256).alias("h"))
@@ -821,7 +823,11 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .drop("h")
     )
-    survivors = (
+    # pin: survivors feeds BOTH the drop-list semi-join and the final
+    # anti-join; without the barrier each consumer re-runs the sha256
+    # groupBy + join over the full corpus (r14: two evaluations of the
+    # exact-dedup shuffle per run, and at 100 TB two corpus scans).
+    survivors = pin(
         d.join(keep_exact, "doc_id")
         .withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
         .where(F.col("n_tokens") >= 20)
@@ -833,11 +839,19 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     edge_path = _scratch(f"clean_neardup_edges_{os.path.basename(os.path.normpath(sf_dir))}")
+    # REBALANCE before the write (guide-standard output sizing): the edge
+    # list is bounded (near-dup pairs, not the corpus) but arrives in the
+    # verify join's full shuffle width — without the hint that is one
+    # near-empty file per shuffle partition (32 files of a few KB at
+    # sf0.1; thousands of tiny files at cluster width), paying commit and
+    # read-back listing overhead for nothing. AQE coalesces the rebalance
+    # exchange to advisory-sized output files at any scale.
     (
         minhash_candidates(d)
         .withColumn("n_shared", n_shared)
         .where(F.col("n_shared") >= N_SHARED_MIN)
         .select("doc_a", "doc_b")
+        .hint("rebalance")
         .write.mode("overwrite")
         .parquet(edge_path)
     )
