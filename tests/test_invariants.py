@@ -2101,8 +2101,13 @@ def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
     root = _write_ivf_kmeans_index(spark, SF_DIR)
     cells_path = os.path.join(root, "cells")
     back = spark.read.parquet(cells_path)
-    erase = {r.vec_id for r in _ivf_kmeans_erasure(back).collect()}
-    assert len(erase) == 8
+    # The request is an INPUT in deployment (_ivf_kmeans_delete docstring);
+    # this test passes an explicit 4-id request so the fixture leaves some
+    # cells untouched whatever the trained quantizer does — the default
+    # 8-id fixture list can land one id per cell (it did under the r14
+    # driver-side trainer), which makes assertion (3) vacuous.
+    erase = {r.vec_id for r in _ivf_kmeans_erasure(back, 4).collect()}
+    assert len(erase) == 4
     touched = {
         r.cell for r in back.where(F.col("vec_id").isin(list(erase))).select("cell").distinct().collect()
     }
@@ -2122,7 +2127,7 @@ def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
         map(tuple, back.where(~F.col("vec_id").isin(list(erase))).select("vec_id", "cell").collect())
     )
 
-    _ivf_kmeans_delete(spark, root)
+    _ivf_kmeans_delete(spark, root, erase_ids=sorted(erase))
 
     post = spark.read.parquet(cells_path)
     # (1) purged index == tombstone view, row for row

@@ -783,30 +783,59 @@ def _unit_embeddings(e: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
-    """(cell, c, cnrm): the TRAINED coarse quantizer — seeded k-means|| fit
-    on a deterministic md5 half-sample of the unit vectors, centers
-    relabeled by (first coordinate, norm) sort so cell ids are run-stable
-    (the ml_kmeans_rfm convention). k x dim driver literals → broadcast.
-    Shared by sim_knn_ivf_kmeans (in-memory) and the persisted serving pair
-    sink/scan_ivf_probe_kmeans."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+# Coarse-quantizer training sample bound: ~256 rows per centroid (the FAISS
+# guideline for IVF coarse training). 0 → derive 256·k at call time. At the
+# ladder's k=448 that is ~115k rows × 512 B ≈ 59 MB collected — bounded by
+# k (√n), never by the corpus.
+IVF_TRAIN_CAP = int(os.environ.get("UP_IVF_TRAIN_CAP", "0"))
 
-    from ..ops.curation import HEX
+
+def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
+    """(cell, c, cnrm): the TRAINED coarse quantizer — Lloyd's fit
+    DRIVER-SIDE on a bounded deterministic sample of the unit vectors
+    (first min(256·k, n) rows by md5(vec_id) order — the _pq_codebooks
+    convention: one TakeOrdered job, first-k-in-sample init, no RNG),
+    centers relabeled by (first coordinate, norm) sort so cell ids are
+    run-stable. k x dim driver literals → broadcast. Shared by
+    sim_knn_ivf_kmeans (in-memory) and the persisted serving/lifecycle
+    family (sink/scan_ivf_probe_kmeans, append/compact/delete/retrain,
+    ivfpq).
+
+    Why driver-side (guide §1.2 step 1, §5): the previous MLlib k-means||
+    fit launched ~25 driver-blocking Spark jobs (init passes + 20 Lloyd's
+    sweeps, each a 32-task stage over a ~1000-row sample) — r14
+    measurement: ~2.5 s of q_ivf's 4.8 s at sf0.1, pure scheduling
+    overhead. Training on a bounded sample is model METADATA work, like
+    the PQ codebooks: one job to collect ≤256·k rows, then numpy Lloyd's
+    (matmul assignment step) in milliseconds. The corpus-sized work —
+    assignment — still runs distributed, exactly once."""
+    import numpy as np
 
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    samp = unit.where(
-        F.instr(F.lit(HEX), F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) - 1 < 8
+    cap = IVF_TRAIN_CAP or 256 * IVF_KMEANS_K
+    sample = (
+        unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(cap)
+        .select("u")
+        .toPandas()
     )
-    feats = samp.select("vec_id", array_to_vector("u").alias("features")).coalesce(
-        spark.sparkContext.defaultParallelism
-    )
-    model = KMeans(
-        k=IVF_KMEANS_K, seed=IVF_KMEANS_SEED, initMode="k-means||", maxIter=20
-    ).fit(feats)
+    X = np.array(sample["u"].tolist(), dtype=np.float64)
+    k = max(1, min(IVF_KMEANS_K, len(X)))
+    cents = X[:k].copy()
+    prev_assign = None
+    for _ in range(20):
+        # unit-norm rows: argmin ||x-c||² == argmin (||c||² - 2·x·c)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = d.argmin(axis=1)
+        if prev_assign is not None and (assign == prev_assign).all():
+            break
+        prev_assign = assign
+        for c in range(k):
+            m = assign == c
+            if m.any():  # empty cluster: carry the previous center over
+                cents[c] = X[m].mean(axis=0)
     centers = sorted(
-        ([float(x) for x in c] for c in model.clusterCenters()),
+        ([float(x) for x in c] for c in cents),
         key=lambda c: (c[0], sum(x * x for x in c)),
     )
     return spark.createDataFrame(
