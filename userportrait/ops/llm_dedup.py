@@ -362,9 +362,18 @@ def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     whole corpus (the minhash_candidates signature-table argument — r14
     measurement: two identical 0.39 s kernel stages at sf0.1, and at 100 TB
     two full corpus re-tokenizations where one suffices)."""
-    from ..catalog import pin
+    from ..catalog import embed_partitions, pin
 
+    # Explicit-width repartition of the pair list before the verify joins:
+    # the capped/distinct candidate exchange is a few KB of (doc_a, doc_b)
+    # ids, so AQE's byte-based coalescing folds it to ONE partition — and
+    # the per-pair array_intersect downstream is ~5 orders of magnitude
+    # more work per byte than the ids suggest (r14 measurement: a 1.1 s
+    # single-task verify stage at sf0.1, the query's largest stage).
+    # A user-specified width is exempt from AQE coalescing; doc_b keeps
+    # the verify co-partitioned with the b-side shingle join at scale.
     sh = pin(distinct_shingle_arrays(d))
+    cand = cand.repartition(embed_partitions(d.sparkSession), "doc_b")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
     )
@@ -466,9 +475,20 @@ def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Explicit-width repartition feeding the per-doc cap window: the window
+    # needs a doc_b exchange anyway, but an ENSURE_REQUIREMENTS exchange is
+    # AQE-coalesced by BYTES — and the id-only pair list is a few KB, so the
+    # whole window + verify-join + array_intersect chain above it collapsed
+    # to ONE task (r14: a 1.1 s serial stage, the query's largest). A
+    # user-specified width is exempt from coalescing and the window reuses
+    # it, so this adds no exchange — it only pins the verify stage's
+    # parallelism to match its per-row cost instead of its input bytes.
+    from ..catalog import embed_partitions
+
     w_doc = Window.partitionBy("doc_b").orderBy(F.col("doc_a").asc())
     capped = (
-        cand.withColumn("rn", F.row_number().over(w_doc))
+        cand.repartition(embed_partitions(spark), "doc_b")
+        .withColumn("rn", F.row_number().over(w_doc))
         .where(F.col("rn") <= JACCARD_CAP_K)
         .select("doc_a", "doc_b")
     )

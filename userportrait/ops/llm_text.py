@@ -619,8 +619,17 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfc = (tf_d * F.lit(2.2)) / (
         tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
     )
+    # The two window exchanges (token, then doc_id) are ENSURE_REQUIREMENTS
+    # exchanges over the compact (doc, token, tf) table — small in BYTES, so
+    # AQE coalesces each to one partition and the full-table sorts under the
+    # windows run serially (r14: two ~0.2 s single-task stages at sf0.1).
+    # User-specified widths are exempt; the windows reuse these exchanges
+    # (same key), so no shuffle is added — the doc_id one also carries the
+    # final rank window.
     scored = (
-        tf.withColumn("df", F.count("*").over(w_tok))
+        tf.repartition(embed_partitions(spark), "token")
+        .withColumn("df", F.count("*").over(w_tok))
+        .repartition(embed_partitions(spark), "doc_id")
         .withColumn("dl", F.sum("tf").over(w_doc))
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.round(idf * tfc, 4))
