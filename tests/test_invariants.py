@@ -3606,3 +3606,24 @@ spark.stop()
     )
     assert got == sorted(map(tuple, batch.collect()))
     shutil.rmtree(base)
+
+
+def test_unit_embeddings_bitwise(spark):
+    """The r14 Arrow-vectorized _unit_embeddings must reproduce the r13
+    interpreted transform/aggregate expression BIT FOR BIT: cumsum is the
+    same left-to-right 0.0-seeded fold, square/divide/sqrt are the same
+    elementwise IEEE ops. The persisted-index u columns and every EXACT
+    oracle reproducing the normalize in SQL hang off this equality."""
+    from userportrait.ops.llm_similarity import _unit_embeddings
+
+    e = load(spark, SF_DIR).embeddings
+    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    spec = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+    )
+    want = {r["vec_id"]: [x.hex() for x in r["u"]] for r in spec.collect()}
+    got = {r["vec_id"]: [x.hex() for x in r["u"]] for r in _unit_embeddings(e).collect()}
+    assert got == want

@@ -773,14 +773,34 @@ IVF_KMEANS_SEED = 20260814
 
 def _unit_embeddings(e: DataFrame) -> DataFrame:
     """(vec_id, u): L2-normalized double vectors — cosine-nearest on these
-    is Euclidean-nearest, the precondition for the kmeans quantizer."""
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return (
-        e.select("vec_id", v.alias("v"))
-        .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
-        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
-    )
+    is Euclidean-nearest, the precondition for the kmeans quantizer.
+
+    r14: Arrow-vectorized (guide §4.2). The r13 form was a nested
+    interpreted ``transform``/``aggregate`` lambda chain — ~130 boxed
+    evaluations per row, measured ~0.25 ms/row at sf0.1 (0.5 s per corpus
+    pass on 2 000 rows; CPU-hours at 10⁸ rows). The kernel is
+    BIT-IDENTICAL to that expression: ``v*v`` and ``v/nrm`` are the same
+    elementwise IEEE-754 ops, ``np.cumsum(sq)[:, -1]`` IS the left-to-right
+    0.0-seeded fold the old ``aggregate`` ran (0.0 + x == x bitwise, and
+    cumsum accumulates strictly sequentially — numpy's pairwise-sum
+    shortcut applies to ``np.sum``, not ``cumsum``), and ``np.sqrt`` is
+    IEEE sqrt like Spark's. The persisted-index u columns and every EXACT
+    oracle that reproduces the normalize in SQL are therefore unchanged —
+    pinned by tests/test_invariants.py::test_unit_embeddings_bitwise."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            u = v / nrm[:, None]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "u": list(u)})
+
+    return e.select("vec_id", "embedding").mapInPandas(gen, "vec_id long, u array<double>")
 
 
 # Coarse-quantizer training sample bound: ~256 rows per centroid (the FAISS
@@ -811,7 +831,6 @@ def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
     assignment — still runs distributed, exactly once."""
     import numpy as np
 
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     cap = IVF_TRAIN_CAP or 256 * IVF_KMEANS_K
     sample = (
         unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -838,9 +857,25 @@ def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
         ([float(x) for x in c] for c in cents),
         key=lambda c: (c[0], sum(x * x for x in c)),
     )
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cell int, c array<double>"
-    ).withColumn("cnrm", F.sqrt(agg_sum(F.transform(F.col("c"), lambda x: x * x))))
+    import math
+
+    # cnrm driver-side, same left-to-right 0.0-seeded fold as the old
+    # interpreted agg_sum expression — bit-identical IEEE sequence, so the
+    # parquet-persisted centroids are unchanged. The rows are memoized on
+    # the returned frame (_up_centroids): they were BORN on the driver, so
+    # _probe_cells_ranked must not launch a collect job to get them back
+    # (r14 profile: 0.32 s to round-trip 8 rows through a 32-partition
+    # createDataFrame). coalesce(1): k ≈ √n rows is one slice of model
+    # metadata, not a 32-slice parallelize.
+    rows = []
+    for i, c in enumerate(centers):
+        s = 0.0
+        for x in c:
+            s += x * x
+        rows.append((i, c, math.sqrt(s)))
+    df = spark.createDataFrame(rows, "cell int, c array<double>, cnrm double").coalesce(1)
+    df._up_centroids = rows
+    return df
 
 
 def _cell_matmul_rescore(key, probes_pdf, members_pdf):
@@ -881,6 +916,38 @@ def _cell_matmul_rescore(key, probes_pdf, members_pdf):
             )
         )
     return pd.concat(out, ignore_index=True)
+
+
+def _ranked_cell_rescore(key, pdf):
+    """Single-input per-cell kernel over _probe_cells_ranked rows: the
+    members of a cell are exactly its rank-1 rows and its probing queries
+    are all its rows (rank-1 rows probe their own cell too), so one
+    grouped frame carries both rescore sides — delegates to
+    _cell_matmul_rescore unchanged."""
+    import pandas as pd
+
+    own = pdf[pdf["rn"] == 1]
+    members_pdf = pd.DataFrame({"mvec_id": own["vec_id"], "mu": own["u"]})
+    return _cell_matmul_rescore(key, pdf, members_pdf)
+
+
+def _selfgroup_topk(ranked: DataFrame) -> DataFrame:
+    """Self-kNN rescore when probes and members come from the SAME ranked
+    assignment frame (sim_knn_ivf_kmeans): ONE groupBy("cell") apply
+    instead of a two-sided cogroup whose sides each re-evaluated the whole
+    scan → normalize → assign subtree (r14 profile: two ~0.7 s duplicate
+    stages per run at sf0.1; at corpus scale, two full corpus passes where
+    one suffices — guide §7.2 "duplicated subtrees"). Merge window
+    identical to _cogroup_topk."""
+    per_cell = ranked.groupBy("cell").applyInPandas(
+        _ranked_cell_rescore, "vec_id long, neighbor_id long, sim double"
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        per_cell.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
 
 
 def _cogroup_topk(probes: DataFrame, members: DataFrame) -> DataFrame:
@@ -943,33 +1010,24 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — candidates/query ≈ nprobe·(n/k), so fixed k at 100× data
     means 100×-wider cells. Centroids stay k × dim driver literals →
     broadcast."""
-    e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    unit = _unit_embeddings(e)
-    cent = _kmeans_cells(spark, unit)
+    # No explicit repartition (r14): the r13 repartition(embed_partitions,
+    # vec_id) existed so the MLlib k-means|| init saw a stable partitioning
+    # and the interpreted fold stage had width; the trainer now samples by
+    # a TOTAL (md5, vec_id) order — partition-independent — and the assign
+    # kernel is a cheap map-side matmul, so the scan's own byte-sized
+    # splits are the right parallelism at every scale (guide §2.4: that
+    # exchange moved every row once for nothing).
+    e = load(spark, sf_dir).embeddings
+    cent = _kmeans_cells(spark, _unit_embeddings(e))
 
-    # assign + probes: same broadcast-centroid scoring as the sibling
-    vc = unit.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "u",
-        "cell",
-        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
-            "csim"
-        ),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
-    # members' columns are re-aliased: both cogroup sides descend from the
-    # same `ranked` plan, and identical attribute ids trip the analyzer's
-    # ambiguous-self-join check.
-    members = ranked.where(F.col("rn") == 1).select(
-        F.col("cell").alias("mcell"),
-        F.col("vec_id").alias("mvec_id"),
-        F.col("u").alias("mu"),
-    )
-    probes = ranked.where(F.col("rn") <= _IVF_NPROBE).select("cell", "vec_id", "u")
-
-    return _cogroup_topk(probes, members)
+    # assign + probes in ONE map-side kernel pass (r14, guide §2.4/§4.2):
+    # _probe_cells_ranked replaces the r13 crossJoin + interpreted fold +
+    # n·k-row vec_id window; normalize=True fuses _unit_embeddings into
+    # the same kernel (one Python hop); members are the rank-1 rows of
+    # the same frame, so the rescore is a single groupBy("cell") apply
+    # (_selfgroup_topk) — one corpus pass end to end.
+    ranked = _probe_cells_ranked(e, cent, _IVF_NPROBE, normalize=True)
+    return _selfgroup_topk(ranked)
 
 
 # Product quantization (sim_knn_pq). 64 dims -> PQ_M=8 subspaces x 8 dims,
@@ -1622,29 +1680,86 @@ def _ivf_serve_probe(e: DataFrame, cent: DataFrame, back: DataFrame) -> DataFram
     )
 
 
+def _probe_cells_ranked(
+    qn: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE, normalize: bool = False
+) -> DataFrame:
+    """(cell, vec_id, u, rn): each query's ``nprobe`` nearest quantizer
+    cells by centroid cosine (csim desc, cell asc tie-break), rn = 1-based
+    probe rank — THE probe-side scoring of the trained-quantizer family.
+
+    r14 optimization (guide §2.4 + §4.2): the r13 form exploded every
+    query into k crossJoin rows, evaluated an INTERPRETED zip_with/
+    aggregate fold per (query, cell), then shuffled all n·k rows — each
+    carrying the 64-double ``u`` array — by vec_id for a row_number window
+    that kept nprobe of them (r14 profile: two ~0.8 s 32-task fold stages
+    plus a window stage per bench run of q_ivf at sf0.1). Top-nprobe of a
+    per-ROW score needs no window and no exchange at all: the centroids
+    are k ≈ √n rows of model metadata (the same boundedness argument as
+    the PQ codebooks), so they collect to the driver once and every Arrow
+    batch scores against them as ONE numpy matmul, emitting the nprobe
+    winners map-side. Zero shuffles where there were one exchange + one
+    n·k-row sort; the fold lambdas are gone.
+
+    csim itself is never an output column — only the resulting cell
+    choices — so the matmul's last-ulp summation-order difference from
+    the old fold can only matter on exact centroid-score ties, which the
+    (csim desc, cell asc) lexsort breaks identically. ``u`` passes
+    through byte-identical (normalization stays in _unit_embeddings,
+    whose fold order the EXACT oracles reproduce).
+
+    One body so build-assignment (nprobe=1 via _kmeans_assign),
+    raw-vector serving (_kmeans_serve) and compressed serving
+    (_ivfpq_serve) cannot drift."""
+    import numpy as np
+
+    # the centroid rows are model metadata (k ≈ √n): reuse the driver-side
+    # copy _kmeans_cells memoized when it built the frame, else (centroids
+    # read back from a persisted index) one bounded collect.
+    crows = getattr(cent, "_up_centroids", None)
+    if crows is None:
+        crows = [(r["cell"], r["c"], r["cnrm"]) for r in cent.select("cell", "c", "cnrm").collect()]
+    crows = sorted(crows, key=lambda r: r[0])
+    cells = np.array([r[0] for r in crows], dtype=np.int32)
+    cmat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cnrm = np.array([r[2] for r in crows], dtype=np.float64)
+    take = min(nprobe, len(crows))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if normalize:
+                # fused _unit_embeddings (bit-identical: cumsum is the
+                # sequential fold) — one Python hop instead of two
+                v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                u_mat = v / np.sqrt(np.cumsum(v * v, axis=1)[:, -1])[:, None]
+                u_col = list(u_mat)
+            else:
+                u_col = pdf["u"]
+                u_mat = np.array(u_col.tolist(), dtype=np.float64)
+            csim = (u_mat @ cmat.T) / cnrm[None, :]
+            order = np.lexsort((np.broadcast_to(cells, csim.shape), -csim), axis=1)[:, :take]
+            rep = np.repeat(np.arange(n), take)
+            yield pd.DataFrame(
+                {
+                    "cell": cells[order].ravel(),
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64)[rep],
+                    "u": [u_col[i] for i in rep] if normalize else list(u_col.iloc[rep]),
+                    "rn": np.tile(np.arange(1, take + 1, dtype=np.int32), n),
+                }
+            )
+
+    src = qn.select("vec_id", "embedding") if normalize else qn.select("vec_id", "u")
+    return src.mapInPandas(gen, "cell int, vec_id long, u array<double>, rn int")
+
+
 def _probe_cells(qn: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
-    """(cell, vec_id, u): each query's ``nprobe`` nearest quantizer cells
-    by centroid cosine (csim desc, cell asc tie-break) against the
-    broadcast centroid frame — THE probe-side scoring expression of the
-    trained-quantizer family. nprobe=1 is the assignment rule
-    (_kmeans_assign delegates here); serving probes use _IVF_NPROBE.
-    One body so build-assignment, raw-vector serving (_kmeans_serve) and
-    compressed serving (_ivfpq_serve) cannot drift."""
-    agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    qc = qn.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "u",
-        "cell",
-        (agg_sum(F.zip_with(F.col("u"), F.col("c"), lambda x, y: x * y)) / F.col("cnrm")).alias(
-            "csim"
-        ),
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return (
-        qc.withColumn("rn", F.row_number().over(w_cell))
-        .where(F.col("rn") <= nprobe)
-        .select("cell", "vec_id", "u")
-    )
+    """(cell, vec_id, u): _probe_cells_ranked without the rank column —
+    the serving-probe shape (_kmeans_serve / _ivfpq_serve)."""
+    return _probe_cells_ranked(qn, cent, nprobe).select("cell", "vec_id", "u")
 
 
 def _kmeans_assign(unit: DataFrame, cent: DataFrame) -> DataFrame:

@@ -28,6 +28,15 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # r14 (guide §6 "Arrow for driver transfers"): every bounded
+    # model-metadata collect (quantizer/codebook training samples, the
+    # blocked-kNN index chunks) goes through toPandas; the default row-
+    # pickle path cost ~0.5 s per 1 MB sample at sf0.1 where Arrow moves
+    # it in milliseconds. Runtime-settable SQLConf, so the driver's own
+    # session picks it up via apply_session_confs. All toPandas consumers
+    # in this repo read numeric/array columns via .tolist()/.to_numpy(),
+    # which are representation-agnostic across the two paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
