@@ -69,41 +69,70 @@ _CAND_CTE_DUCK = f"""
 """
 
 
-def _minhash_sigs_batch(texts: pd.Series) -> pd.Series:
-    """Arrow batch kernel: pandas Series[str] -> Series[list[str] of 16 md5
-    mins]. Bit-identical to the declarative form (see
-    minhash_sig_wide_expr): per doc the 5-char shingles are deduped
-    (array_min is duplicate-insensitive), each unique shingle is hashed
-    once per seed with hashlib (C md5 over the same UTF-8 bytes Spark's
-    ``md5(concat('{s}|', x))`` hashes), and the lexicographic min per seed
-    is the signature — md5 hex is pure ASCII, so Python ``<`` on str and
-    UTF8String binary comparison agree. A per-batch shingle->digests cache
-    collapses the work on repetitive corpora (the dup-heavy 100× replicas
-    re-hash almost nothing)."""
+_MINHASH_PREFIXES = [f"{s}|".encode() for s in range(N_HASHES)]
+
+
+def _minhash_doc(t: str | None, cache: dict, want_shingles: bool):
+    """Per-document MinHash core: -> (16 hex mins | None, shingle list |
+    None). Bit-identical to the declarative form (minhash_sig_wide_expr):
+    the 5-char shingles are deduped (array_min is duplicate-insensitive),
+    each unique shingle is hashed once per seed with hashlib (C md5 over
+    the same UTF-8 bytes Spark's ``md5(concat('{s}|', x))`` hashes), and
+    the lexicographic min per seed is the signature. r14 (guide §4.2):
+    mins compare in the DIGEST-BYTES domain — hex encoding is a monotone
+    byte map, so byte order and hex order agree — and only the 16 winners
+    pay a hexdigest conversion, not all 16·|shingles| candidates. The
+    shingle->digests ``cache`` is owned by the CALLER's task loop (guide
+    §4.5 iterator form), so a reused worker amortizes hashing across every
+    batch of the partition — on dup-heavy corpora (the 100× replicas, any
+    real crawl) most shingles re-hash nothing."""
     import hashlib
 
-    prefixes = [f"{s}|".encode() for s in range(N_HASHES)]
-    cache: dict[str, list[str]] = {}
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-            continue
-        mins: list[str | None] = [None] * N_HASHES
-        n = max(len(t) - 4, 1)
-        for x in {t[i : i + 5] for i in range(n)}:
-            hs = cache.get(x)
-            if hs is None:
-                xb = x.encode("utf-8")
-                hs = [hashlib.md5(p + xb).hexdigest() for p in prefixes]
-                cache[x] = hs
+    if t is None:
+        return None, None
+    n = max(len(t) - 4, 1)
+    sh = {t[i : i + 5] for i in range(n)}
+    mins: list[bytes | None] = [None] * N_HASHES
+    for x in sh:
+        hs = cache.get(x)
+        if hs is None:
+            xb = x.encode("utf-8")
+            hs = [hashlib.md5(p + xb).digest() for p in _MINHASH_PREFIXES]
+            cache[x] = hs
+        for s in range(N_HASHES):
+            h = hs[s]
+            m = mins[s]
+            if m is None or h < m:
+                mins[s] = h
+    return [m.hex() for m in mins], (list(sh) if want_shingles else None)
+
+
+_SIG_WIDE_SCHEMA = "doc_id bigint, " + ", ".join(f"s{s} string" for s in range(N_HASHES))
+
+
+def _sig_wide_gen(want_shingles: bool):
+    """mapInPandas generator over (doc_id, text): the 16 signature columns,
+    plus the distinct-shingle array when ``want_shingles`` — ONE text pass
+    for both artifacts (the jaccard-verify ops previously tokenized the
+    corpus twice: once for signatures, once for shingle arrays)."""
+
+    def gen(batches):
+        cache: dict = {}  # per TASK, shared across Arrow batches (§4.5)
+        for pdf in batches:
+            sigs = []
+            arrs = []
+            for t in pdf["text"]:
+                m, a = _minhash_doc(t, cache, want_shingles)
+                sigs.append(m)
+                arrs.append(a)
+            out = {"doc_id": pdf["doc_id"]}
             for s in range(N_HASHES):
-                h = hs[s]
-                m = mins[s]
-                if m is None or h < m:
-                    mins[s] = h
-        out.append(mins)
-    return pd.Series(out)
+                out[f"s{s}"] = [None if m is None else m[s] for m in sigs]
+            if want_shingles:
+                out["arr"] = arrs
+            yield pd.DataFrame(out)
+
+    return gen
 
 
 def minhash_sig_wide_expr(doc_df: DataFrame) -> DataFrame:
@@ -125,24 +154,35 @@ def minhash_sig_wide_expr(doc_df: DataFrame) -> DataFrame:
 def minhash_sig_wide(doc_df: DataFrame) -> DataFrame:
     """(doc_id, s0..s15): the 16 MinHash signatures, Arrow-vectorized.
 
-    One ArrowEvalPython node computes all 16 mins per doc in a single
-    hashlib pass (ExtractPythonUDFs hoists the udf so the 16 element_at
-    projections read one attribute — the kernel runs once per row, not 16
-    times); the input is hash-repartitioned to defaultParallelism first so
-    Python workers get even slices even when the documents scan arrives as
-    one split at test scale (sized to the session, not a constant — the
-    old hardcoded 64 doubled per-stage task overhead under local[32]).
-    Replaces the interpreted md5-fold chain (minhash_sig_wide_expr) with
-    bit-identical output — VERDICT r8 "Next round" #1."""
-    sigs = F.pandas_udf(_minhash_sigs_batch, "array<string>")(F.col("text"))
+    One mapInPandas pass computes all 16 mins per doc in a single hashlib
+    sweep with a per-TASK shingle cache (_minhash_doc); the input is
+    hash-repartitioned to defaultParallelism first so Python workers get
+    even slices even when the documents scan arrives as one split at test
+    scale — the md5 work is CPU-bound per ROW, so its width must track
+    cores, not bytes (the be5e307 width argument). Replaces the
+    interpreted md5-fold chain (minhash_sig_wide_expr) with bit-identical
+    output — pinned by test_minhash_vectorized_kernel_bit_identical."""
     n = doc_df.sparkSession.sparkContext.defaultParallelism
     return (
         doc_df.repartition(n, "doc_id")
-        .withColumn("_sigs", sigs)
-        .select(
-            "doc_id",
-            *[F.element_at("_sigs", s + 1).alias(f"s{s}") for s in range(N_HASHES)],
-        )
+        .select("doc_id", "text")
+        .mapInPandas(_sig_wide_gen(False), _SIG_WIDE_SCHEMA)
+    )
+
+
+def minhash_sig_shingle_wide(doc_df: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15, arr): signatures AND the distinct-shingle array
+    from ONE text pass — the shared input of the jaccard-verify ops, whose
+    r13 form ran two full-corpus Arrow kernels (signatures for banding,
+    shingle arrays for exact verification) over the same text (r14
+    profile: 0.59 s + 0.39 s pinned stages per run at sf0.1; two corpus
+    tokenizations at any scale). The shingle set is a byproduct of the
+    signature sweep, so emitting it costs only the extra column bytes."""
+    n = doc_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        doc_df.repartition(n, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(_sig_wide_gen(True), _SIG_WIDE_SCHEMA + ", arr array<string>")
     )
 
 
@@ -175,7 +215,9 @@ def minhash_band_keys(doc_df: DataFrame) -> DataFrame:
     return _band_keys_of(pin(minhash_sig_wide(doc_df)))
 
 
-def minhash_candidates(doc_df: DataFrame, with_sigs: bool = True) -> DataFrame:
+def minhash_candidates(
+    doc_df: DataFrame, with_sigs: bool = True, wide: DataFrame | None = None
+) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing ≥1 of 4 band keys (each key =
     md5 of 4 consecutive sigs); with_sigs=True appends both rows' signature
     columns (a_s*/b_s*) for verification. Bucket join on the band key;
@@ -192,7 +234,8 @@ def minhash_candidates(doc_df: DataFrame, with_sigs: bool = True) -> DataFrame:
     broadcast locally, sort-merge at corpus scale)."""
     from ..catalog import pin
 
-    wide = pin(minhash_sig_wide(doc_df))
+    if wide is None:
+        wide = pin(minhash_sig_wide(doc_df))
     banded = _band_keys_of(wide)
     x = banded.alias("x")
     y = banded.alias("y")
@@ -304,8 +347,16 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits ~10¹² pairs no engine should materialize. When only min-id
     survivorship is needed downstream, use ``dedup_jaccard_verify_capped``
     (bounded per-doc verification fan-out) instead."""
+    from ..catalog import pin
+
     d = load(spark, sf_dir).documents
-    return _jaccard_on_candidates(d, minhash_candidates(d, with_sigs=False))
+    # ONE combined sig+shingle pass/pin (r14): candidates band off the
+    # s* columns, verification reads the arr column of the same frame.
+    wide = pin(minhash_sig_shingle_wide(d))
+    sh = wide.select("doc_id", "arr", F.size("arr").cast("bigint").alias("n_sh"))
+    return _jaccard_on_candidates(
+        d, minhash_candidates(d, with_sigs=False, wide=wide), sh=sh
+    )
 
 
 def _distinct_shingles_batch(texts: pd.Series) -> pd.Series:
@@ -342,7 +393,7 @@ def distinct_shingle_arrays(d: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
+def _jaccard_on_candidates(d: DataFrame, cand: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Exact 5-gram-shingle Jaccard for each candidate (doc_a, doc_b) pair,
     keeping pairs ≥ JACCARD_MIN.
 
@@ -372,7 +423,11 @@ def _jaccard_on_candidates(d: DataFrame, cand: DataFrame) -> DataFrame:
     # single-task verify stage at sf0.1, the query's largest stage).
     # A user-specified width is exempt from AQE coalescing; doc_b keeps
     # the verify co-partitioned with the b-side shingle join at scale.
-    sh = pin(distinct_shingle_arrays(d))
+    # ``sh``: callers that already hold the combined sig+shingle frame
+    # (minhash_sig_shingle_wide) pass its (doc_id, arr, n_sh) view so the
+    # corpus is tokenized once, not twice.
+    if sh is None:
+        sh = pin(distinct_shingle_arrays(d))
     cand = cand.repartition(embed_partitions(d.sparkSession), "doc_b")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
@@ -455,8 +510,15 @@ def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         intersection only ever sees ≤ K·n pairs."""
     from pyspark.sql import Window
 
+    from ..catalog import pin
+
     d = load(spark, sf_dir).documents
-    banded = minhash_band_keys(d)
+    # ONE combined sig+shingle pass/pin (r14): the banding reads the s*
+    # columns, the exact verification reads the arr column of the same
+    # pinned frame — the r13 form ran the two Arrow kernels (and two
+    # checkpoints) over the same corpus text.
+    wide = pin(minhash_sig_shingle_wide(d))
+    banded = _band_keys_of(wide)
     w_bucket = Window.partitionBy("b", "band_key").orderBy(F.col("doc_id").asc())
     reps = (
         banded.withColumn("rn", F.row_number().over(w_bucket))
@@ -492,7 +554,8 @@ def dedup_jaccard_verify_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= JACCARD_CAP_K)
         .select("doc_a", "doc_b")
     )
-    return _jaccard_on_candidates(d, capped)
+    sh = wide.select("doc_id", "arr", F.size("arr").cast("bigint").alias("n_sh"))
+    return _jaccard_on_candidates(d, capped, sh=sh)
 
 
 # ---------------------------------------------------------------------------
