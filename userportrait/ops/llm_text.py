@@ -604,9 +604,18 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convention as text_entropy / text_lang_id / text_contamination.
     d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
     tf = _tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    n = (
-        d.agg(F.count("*").alias("n"))
-        .crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot")))
+    # Both global scalars from ONE documents pass (r14, guide §7.2
+    # "duplicated subtrees"): the r13 `tot` re-derived the whole
+    # tokenize → explode → groupBy tf table just to sum it (profile: a
+    # second ~0.3 s 32-task tokenize stage per run at sf0.1; a second
+    # full-corpus tokenization at scale). Σ tf == Σ per-doc non-empty
+    # token counts, and the per-doc count is a map-side array expression
+    # on the same scan that counts n — integer-exact, null text counts 0
+    # tokens exactly as explode drops it.
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    n = d.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("text").isNull(), 0).otherwise(ntok)).cast("bigint").alias("tot"),
     )
     w_tok = Window.partitionBy("token")
     w_doc = Window.partitionBy("doc_id")
