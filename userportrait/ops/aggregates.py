@@ -525,9 +525,6 @@ def agg_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn2") <= KMV_K)
         .select("event_type", "h", "val")
     )
-    st = sk.groupBy("event_type").agg(
-        F.count("*").alias("cnt"), F.max("val").alias("vk")
-    )
     pairs = spark.createDataFrame(
         [("click", "purchase"), ("view", "click"), ("view", "purchase")], "ta string, tb string"
     )
@@ -539,20 +536,32 @@ def agg_kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
         )
     )
+    # Per-SIDE sketch stats fold into the SAME aggregation as the union
+    # stats (r14, guide §7.2 "duplicated subtrees"): the r13 `st` branch
+    # joined twice into the output, so the whole distinct → hash →
+    # two-window sketch chain under `sk` was planned and evaluated three
+    # times (three events scans in the physical plan). Every sk row of
+    # type ta appears in its pair's union group with in_a = 1 — the
+    # per-pair union is LOSSLESS below the rn cap — so cnt_a ≡ st.cnt and
+    # vk_a ≡ st.vk hold exactly, computed over the UNCAPPED group while
+    # the union estimators keep the rn ≤ K cap. One subtree, one scan.
     w3 = Window.partitionBy("ta", "tb").orderBy("h")
-    us = (
+    capped = F.col("rn") <= KMV_K
+    out = (
         uh.withColumn("rn", F.row_number().over(w3))
-        .where(F.col("rn") <= KMV_K)
         .groupBy("ta", "tb")
         .agg(
-            F.count("*").alias("cnt_u"),
-            F.max("val").alias("vk_u"),
-            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)).alias("n_both"),
+            F.sum(F.when(capped, 1).otherwise(0)).alias("cnt_u"),
+            F.max(F.when(capped, F.col("val"))).alias("vk_u"),
+            F.sum(
+                F.when(capped & (F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_both"),
+            F.sum("in_a").alias("cnt_a"),
+            F.max(F.when(F.col("in_a") == 1, F.col("val"))).alias("vk_a"),
+            F.sum("in_b").alias("cnt_b"),
+            F.max(F.when(F.col("in_b") == 1, F.col("val"))).alias("vk_b"),
         )
     )
-    a = st.select(F.col("event_type").alias("ta"), F.col("cnt").alias("cnt_a"), F.col("vk").alias("vk_a"))
-    b = st.select(F.col("event_type").alias("tb"), F.col("cnt").alias("cnt_b"), F.col("vk").alias("vk_b"))
-    out = us.join(a, "ta").join(b, "tb")
     est_union = F.when(F.col("cnt_u") < KMV_K, F.col("cnt_u")).otherwise(
         F.expr(f"CAST(({KMV_K} - 1) * {_KMV_SCALE} AS BIGINT) div vk_u")
     )
