@@ -809,11 +809,9 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a required one here: feeding the 32-signature comparison
     expression straight into further joins sends Catalyst's constraint
     propagation exponential) and anti-joins survivors against that small
-    edge file. Nothing is collected, nothing iterates — at 100 TB the
+    edge list. Nothing is collected, nothing iterates — at 100 TB the
     whole pipeline is three shuffles over progressively smaller data.
     """
-    from .scans import _scratch
-
     from ..catalog import pin
 
     d = load(spark, sf_dir).documents
@@ -823,39 +821,49 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .drop("h")
     )
+    n_shared = sum(
+        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
+
     # pin: survivors feeds BOTH the drop-list semi-join and the final
     # anti-join; without the barrier each consumer re-runs the sha256
     # groupBy + join over the full corpus (r14: two evaluations of the
     # exact-dedup shuffle per run, and at 100 TB two corpus scans).
-    survivors = pin(
-        d.join(keep_exact, "doc_id")
-        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
-        .where(F.col("n_tokens") >= 20)
-        .select("doc_id", "lang", "n_tokens")
-    )
-    n_shared = sum(
-        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
-    )
-    import os
+    def _pin_survivors():
+        return pin(
+            d.join(keep_exact, "doc_id")
+            .withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+            .where(F.col("n_tokens") >= 20)
+            .select("doc_id", "lang", "n_tokens")
+        )
 
-    edge_path = _scratch(f"clean_neardup_edges_{os.path.basename(os.path.normpath(sf_dir))}")
-    # REBALANCE before the write (guide-standard output sizing): the edge
-    # list is bounded (near-dup pairs, not the corpus) but arrives in the
-    # verify join's full shuffle width — without the hint that is one
-    # near-empty file per shuffle partition (32 files of a few KB at
-    # sf0.1; thousands of tiny files at cluster width), paying commit and
-    # read-back listing overhead for nothing. AQE coalesces the rebalance
-    # exchange to advisory-sized output files at any scale.
-    (
-        minhash_candidates(d)
-        .withColumn("n_shared", n_shared)
-        .where(F.col("n_shared") >= N_SHARED_MIN)
-        .select("doc_a", "doc_b")
-        .hint("rebalance")
-        .write.mode("overwrite")
-        .parquet(edge_path)
-    )
-    neardup = spark.read.schema("doc_a bigint, doc_b bigint").parquet(edge_path)
+    # pin() instead of the r13 parquet write + read-back (r14): the stage
+    # boundary exists to stop Catalyst's constraint propagation going
+    # exponential on the 32-signature comparison expression (measured this
+    # round: the unbarriered form spends 14 s in the OPTIMIZER at sf0.1),
+    # and a checkpoint truncates lineage exactly as a parquet round-trip
+    # does — without the write job, the output-commit protocol, or the
+    # re-listing read. On a cluster pin() is a RELIABLE checkpoint into
+    # the configured checkpoint dir, so the bounded edge list is still
+    # persisted once and fault-tolerant.
+    def _pin_edges():
+        return pin(
+            minhash_candidates(d)
+            .withColumn("n_shared", n_shared)
+            .where(F.col("n_shared") >= N_SHARED_MIN)
+            .select("doc_a", "doc_b")
+        )
+
+    # The two pins are INDEPENDENT eager jobs — overlap them from a tiny
+    # driver pool (guide §2.6) so the exact-dedup shuffle back-fills the
+    # signature kernel's tail instead of waiting serially behind it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_surv = pool.submit(_pin_survivors)
+        f_edges = pool.submit(_pin_edges)
+        survivors = f_surv.result()
+        neardup = f_edges.result()
     drop_ids = neardup.join(
         survivors.select(F.col("doc_id").alias("doc_a")), "doc_a"
     ).select(F.col("doc_b").alias("doc_id")).distinct()
