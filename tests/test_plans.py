@@ -377,6 +377,8 @@ def test_no_unaudited_driver_side_pulls():
             "bounded: the committed tombstone manifest = one erasure request — request-sized, never corpus-sized",
         ("curation.py", 'tm = steps.unionAll(direct).groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("n")).collect()  # bounded: <= (#event_types+2)^2 transition-matrix cells (state space, never data volume)'):
             "bounded: the Markov transition matrix — (#channels+2)^2 state-space cells, the model input, never data volume",
+        ("llm_similarity.py", 'crows = [(r["cell"], r["c"], r["cnrm"]) for r in cent.select("cell", "c", "cnrm").collect()]  # bounded: <= quantizer-cell-count centroid rows (model metadata)'):
+            "bounded: k ≈ √n centroid rows (quantizer model metadata, never corpus volume) — the map-side probe scorer's broadcastable copy",
     }
     found = set()
     for py in root.rglob("*.py"):

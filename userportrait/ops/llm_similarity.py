@@ -1731,7 +1731,7 @@ def _probe_cells_ranked(
     # read back from a persisted index) one bounded collect.
     crows = getattr(cent, "_up_centroids", None)
     if crows is None:
-        crows = [(r["cell"], r["c"], r["cnrm"]) for r in cent.select("cell", "c", "cnrm").collect()]
+        crows = [(r["cell"], r["c"], r["cnrm"]) for r in cent.select("cell", "c", "cnrm").collect()]  # bounded: <= quantizer-cell-count centroid rows (model metadata)
     crows = sorted(crows, key=lambda r: r[0])
     cells = np.array([r[0] for r in crows], dtype=np.int32)
     cmat = np.array([list(r[1]) for r in crows], dtype=np.float64)
