@@ -59,6 +59,16 @@ SCHEMAS: dict[str, str] = {
 }
 
 
+# Physical layout of events.ts per path ("bigint" | "timestamp"), sniffed
+# from one parquet footer the first time a path's events table is read.
+# The ten driver tables are immutable inputs for the life of a session
+# (sink ops write to their own output dirs, never back into sf_dir), so
+# the sniff cannot go stale; caching it avoids re-reading the footer —
+# a driver-side file-listing + footer RPC (guide §7.3) — on every
+# read_table("events") call.
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table with its explicit schema; fix events.ts ns->us.
 
@@ -70,8 +80,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema.fields}
-        if inferred.get("ts") == "bigint":
+        kind = _EVENTS_TS_KIND.get(path)
+        if kind is None:
+            inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema.fields}
+            kind = "bigint" if inferred.get("ts") == "bigint" else "timestamp"
+            _EVENTS_TS_KIND[path] = kind
+        if kind == "bigint":
             df = spark.read.schema(SCHEMAS[name]).parquet(path)
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         schema = SCHEMAS[name].replace("ts bigint", "ts timestamp")
@@ -79,9 +93,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
+class _LazyTables(SimpleNamespace):
+    """Namespace over the ten driver tables that builds each DataFrame on
+    FIRST attribute access instead of all ten up front. Constructing a
+    table costs a driver-side file listing + schema resolution round-trip
+    (~25 ms each locally; object-store listing RPCs on a cluster), and a
+    typical op touches one or two tables — the eager form charged every
+    op (and every timed re-declaration of the eager bench queries) for
+    all ten (r14 measurement: load() was 0.25 s of each eager query's
+    per-run declare time at sf0.1). Resolved frames are memoized into the
+    namespace, so repeated access stays attribute-cheap."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        object.__setattr__(self, "_spark", spark)
+        object.__setattr__(self, "_sf_dir", sf_dir)
+
+    def __getattr__(self, name: str) -> DataFrame:  # only fires on a miss
+        if name in TABLES:
+            df = read_table(self._spark, self._sf_dir, name)
+            setattr(self, name, df)
+            return df
+        raise AttributeError(name)
+
+
 def load(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """All ten tables as attributes: ``t = load(...); t.orders.join(...)``."""
-    return SimpleNamespace(**{name: read_table(spark, sf_dir, name) for name in TABLES})
+    """All ten tables as attributes: ``t = load(...); t.orders.join(...)``.
+    Tables resolve lazily on first access (see _LazyTables)."""
+    return _LazyTables(spark, sf_dir)
 
 
 def positive_int_conf(spark: SparkSession, key: str) -> int | None:

@@ -40,13 +40,30 @@ RUNTIME_CONFS = {
 }
 
 
+# Sessions already carrying the conventions (weakly referenced so a stopped
+# session's entry dies with it). apply_session_confs is called from every
+# read_table(), i.e. many times per query declaration; each conf.set is a
+# py4j round trip, so the idempotent re-application was pure driver chatter
+# (4 round trips x 10 tables per eager load() before r14's lazy catalog).
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def apply_session_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable conventions to an externally created session."""
+    """Apply runtime-settable conventions to an externally created session
+    (idempotent; memoized per session object)."""
+    global _CONFS_APPLIED
+    if _CONFS_APPLIED is None:
+        import weakref
+
+        _CONFS_APPLIED = weakref.WeakSet()
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this build — session.py builder already set it
+    _CONFS_APPLIED.add(spark)
     return spark
 
 
