@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, pin
 from ..registry import op
-from .llm_dedup import N_HASHES, N_SHARED_MIN, _CAND_CTE_DUCK, _N_SHARED_DUCK, minhash_candidates
+from .llm_dedup import N_SHARED_MIN, N_SHARED_SQL, _CAND_CTE_DUCK, _N_SHARED_DUCK, minhash_candidates
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
@@ -255,13 +255,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-safe; eager localCheckpoint otherwise); the convergence probe
     is a scalar agg, not a collect of data rows."""
     d = load(spark, sf_dir).documents
-    n_shared = sum(
-        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
-    )
     pairs = (
         minhash_candidates(d)
-        .withColumn("n_shared", n_shared)
-        .where(F.col("n_shared") >= N_SHARED_MIN)
+        .where(F.expr(N_SHARED_SQL) >= N_SHARED_MIN)
         .select("doc_a", "doc_b")
     )
     # Materialize the (small) edge list once so the per-round plans below
@@ -821,10 +817,6 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .drop("h")
     )
-    n_shared = sum(
-        F.when(F.col(f"a_s{s}") == F.col(f"b_s{s}"), 1).otherwise(0) for s in range(N_HASHES)
-    )
-
     # pin: survivors feeds BOTH the drop-list semi-join and the final
     # anti-join; without the barrier each consumer re-runs the sha256
     # groupBy + join over the full corpus (r14: two evaluations of the
@@ -849,8 +841,7 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pin_edges():
         return pin(
             minhash_candidates(d)
-            .withColumn("n_shared", n_shared)
-            .where(F.col("n_shared") >= N_SHARED_MIN)
+            .where(F.expr(N_SHARED_SQL) >= N_SHARED_MIN)
             .select("doc_a", "doc_b")
         )
 
