@@ -26,6 +26,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,6 +111,31 @@ def _minhash_doc(t: str | None, cache: dict, want_shingles: bool):
 
 _SIG_WIDE_SCHEMA = "doc_id bigint, " + ", ".join(f"s{s} string" for s in range(N_HASHES))
 
+# Worker-lifetime shingle→digests cache (guide §4.5's documented pattern:
+# module-level global guarded by a PID check, kept alive by
+# spark.python.worker.reuse so repeated tasks skip re-hashing shingles
+# they have already seen — a dup-heavy corpus re-hashes almost nothing).
+# The md5 digests of a shingle are a pure function of its bytes, so the
+# cache can never go stale; the size cap bounds worker RSS (each entry is
+# ~0.8 KB: a 5-char key + 16 digests), and clearing on overflow only
+# costs re-hashing. llm_dedup is an importable module shipped by
+# reference, which is what makes the module-global visible to reused
+# workers (functions pickled from __main__ would see fresh globals).
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_PID: int | None = None
+_SHINGLE_CACHE_CAP = int(os.environ.get("UP_SHINGLE_CACHE_CAP", "250000"))
+
+
+def _worker_shingle_cache() -> dict:
+    global _SHINGLE_CACHE_PID
+    pid = os.getpid()
+    if _SHINGLE_CACHE_PID != pid:  # fresh fork / different worker
+        _SHINGLE_CACHE.clear()
+        _SHINGLE_CACHE_PID = pid
+    elif len(_SHINGLE_CACHE) > _SHINGLE_CACHE_CAP:
+        _SHINGLE_CACHE.clear()
+    return _SHINGLE_CACHE
+
 
 def _sig_wide_gen(want_shingles: bool):
     """mapInPandas generator over (doc_id, text): the 16 signature columns,
@@ -117,7 +144,7 @@ def _sig_wide_gen(want_shingles: bool):
     corpus twice: once for signatures, once for shingle arrays)."""
 
     def gen(batches):
-        cache: dict = {}  # per TASK, shared across Arrow batches (§4.5)
+        cache = _worker_shingle_cache()  # worker-lifetime, PID-guarded (§4.5)
         for pdf in batches:
             sigs = []
             arrs = []
