@@ -74,6 +74,9 @@ _CAND_CTE_DUCK = f"""
 _MINHASH_PREFIXES = [f"{s}|".encode() for s in range(N_HASHES)]
 
 
+_U64_MAX = None  # initialized lazily with numpy in _minhash_doc
+
+
 def _minhash_doc(t: str | None, cache: dict, want_shingles: bool):
     """Per-document MinHash core: -> (16 hex mins | None, shingle list |
     None). Bit-identical to the declarative form (minhash_sig_wide_expr):
@@ -81,32 +84,42 @@ def _minhash_doc(t: str | None, cache: dict, want_shingles: bool):
     each unique shingle is hashed once per seed with hashlib (C md5 over
     the same UTF-8 bytes Spark's ``md5(concat('{s}|', x))`` hashes), and
     the lexicographic min per seed is the signature. r14 (guide §4.2):
-    mins compare in the DIGEST-BYTES domain — hex encoding is a monotone
-    byte map, so byte order and hex order agree — and only the 16 winners
-    pay a hexdigest conversion, not all 16·|shingles| candidates. The
-    shingle->digests ``cache`` is owned by the CALLER's task loop (guide
-    §4.5 iterator form), so a reused worker amortizes hashing across every
-    batch of the partition — on dup-heavy corpora (the 100× replicas, any
-    real crawl) most shingles re-hash nothing."""
+    a 16-byte md5 digest is cached as a (hi, lo) pair of BIG-ENDIAN-read
+    uint64s, on which (hi, then lo among hi-ties) numeric order IS the
+    digest's byte-lexicographic order — so the per-seed min over all
+    shingles is two vectorized numpy column-min passes instead of the
+    16·|shingles| interpreted compare loop, and only the 16 winners pay a
+    hex rendering (hex is a monotone byte map, so hex order agrees too).
+    The shingle->u64-pairs ``cache`` is worker-lifetime (guide §4.5), so
+    dup-heavy corpora re-hash almost nothing."""
     import hashlib
 
+    import numpy as np
+
+    global _U64_MAX
+    if _U64_MAX is None:
+        _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
     if t is None:
         return None, None
     n = max(len(t) - 4, 1)
     sh = {t[i : i + 5] for i in range(n)}
-    mins: list[bytes | None] = [None] * N_HASHES
+    rows = []
     for x in sh:
         hs = cache.get(x)
         if hs is None:
             xb = x.encode("utf-8")
-            hs = [hashlib.md5(p + xb).digest() for p in _MINHASH_PREFIXES]
+            ds = b"".join(hashlib.md5(p + xb).digest() for p in _MINHASH_PREFIXES)
+            hs = np.frombuffer(ds, dtype=">u8").astype(np.uint64).reshape(N_HASHES, 2)
             cache[x] = hs
-        for s in range(N_HASHES):
-            h = hs[s]
-            m = mins[s]
-            if m is None or h < m:
-                mins[s] = h
-    return [m.hex() for m in mins], (list(sh) if want_shingles else None)
+        rows.append(hs)
+    a = np.stack(rows)  # (|shingles|, N_HASHES, 2)
+    hi, lo = a[:, :, 0], a[:, :, 1]
+    mh = hi.min(axis=0)
+    # among rows tying on hi, the min lo; the fill value can only coincide
+    # with a real candidate's lo, never undercut it
+    ml = np.where(hi == mh[None, :], lo, _U64_MAX).min(axis=0)
+    mins = [f"{int(mh[s]):016x}{int(ml[s]):016x}" for s in range(N_HASHES)]
+    return mins, (list(sh) if want_shingles else None)
 
 
 _SIG_WIDE_SCHEMA = "doc_id bigint, " + ", ".join(f"s{s} string" for s in range(N_HASHES))
