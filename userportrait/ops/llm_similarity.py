@@ -824,7 +824,7 @@ def _unit_embeddings(e: DataFrame) -> DataFrame:
 IVF_TRAIN_CAP = int(os.environ.get("UP_IVF_TRAIN_CAP", "0"))
 
 
-def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
+def _kmeans_cells(spark: SparkSession, unit: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     """(cell, c, cnrm): the TRAINED coarse quantizer — Lloyd's fit
     DRIVER-SIDE on a bounded deterministic sample of the unit vectors
     (first min(256·k, n) rows by md5(vec_id) order — the _pq_codebooks
@@ -846,13 +846,33 @@ def _kmeans_cells(spark: SparkSession, unit: DataFrame) -> DataFrame:
     import numpy as np
 
     cap = IVF_TRAIN_CAP or 256 * IVF_KMEANS_K
-    sample = (
-        unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(cap)
-        .select("u")
-        .toPandas()
-    )
-    X = np.array(sample["u"].tolist(), dtype=np.float64)
+    # When the caller holds the RAW embeddings frame, sample THAT and
+    # normalize the ≤cap rows driver-side (identical IEEE sequence to the
+    # _unit_embeddings kernel: float32→float64 upcast, v/sqrt(cumsum(v²)
+    # last) — so the trained centers are bit-unchanged). Sampling the unit
+    # frame forces the TakeOrdered job to run the Arrow normalize kernel
+    # over the ENTIRE corpus just to keep cap rows — a full corpus-wide
+    # Python pass per training (r14 profile: a 0.28 s 1-task Python stage
+    # per q_ivf run at sf0.1) that the raw path replaces with a JVM-only
+    # scan + TakeOrdered (guide §4: don't cross the Python boundary for
+    # work an expression-free scan can do).
+    if raw is not None:
+        sample = (
+            raw.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(cap)
+            .select("embedding")
+            .toPandas()
+        )
+        v = np.array(sample["embedding"].tolist(), dtype=np.float64)
+        X = v / np.sqrt(np.cumsum(v * v, axis=1)[:, -1])[:, None] if len(v) else v
+    else:
+        sample = (
+            unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(cap)
+            .select("u")
+            .toPandas()
+        )
+        X = np.array(sample["u"].tolist(), dtype=np.float64)
     k = max(1, min(IVF_KMEANS_K, len(X)))
     cents = X[:k].copy()
     prev_assign = None
@@ -1032,7 +1052,7 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits are the right parallelism at every scale (guide §2.4: that
     # exchange moved every row once for nothing).
     e = load(spark, sf_dir).embeddings
-    cent = _kmeans_cells(spark, _unit_embeddings(e))
+    cent = _kmeans_cells(spark, _unit_embeddings(e), raw=e)
 
     # assign + probes in ONE map-side kernel pass (r14, guide §2.4/§4.2):
     # _probe_cells_ranked replaces the r13 crossJoin + interpreted fold +
@@ -1060,22 +1080,38 @@ PQ_CAND = 64
 PQ_ITERS = 15
 
 
-def _pq_codebooks(unit: DataFrame):
+def _pq_codebooks(unit: DataFrame, raw: DataFrame | None = None):
     """Train per-subspace codebooks driver-side on a BOUNDED sample:
     PQ_TRAIN_CAP rows chosen by md5(vec_id) order (deterministic,
     corpus-size-independent — the FAISS convention of training the
     quantizer on a small sample, done as one TakeOrdered job; ~1 MB
     collected at the cap). Lloyd's with first-k-in-sample init and
     empty-cluster carry-over, fixed PQ_ITERS sweeps — bit-reproducible
-    across runs and partitionings. Returns (PQ_M, PQ_K, PQ_SUBDIM) f64."""
+    across runs and partitionings. Returns (PQ_M, PQ_K, PQ_SUBDIM) f64.
+
+    ``raw``: when the caller holds the raw embeddings frame, the sample
+    job is a JVM-only scan + TakeOrdered and the ≤cap rows normalize
+    driver-side (bit-identical IEEE sequence to _unit_embeddings) —
+    sampling the unit frame instead runs the Arrow normalize kernel over
+    the whole corpus just to keep cap rows (the _kmeans_cells argument)."""
     import numpy as np
 
-    sample = (
-        unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_TRAIN_CAP)
-        .toPandas()
-    )
-    X = np.array(sample["u"].tolist(), dtype=np.float64)
+    if raw is not None:
+        sample = (
+            raw.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(PQ_TRAIN_CAP)
+            .select("embedding")
+            .toPandas()
+        )
+        v = np.array(sample["embedding"].tolist(), dtype=np.float64)
+        X = v / np.sqrt(np.cumsum(v * v, axis=1)[:, -1])[:, None] if len(v) else v
+    else:
+        sample = (
+            unit.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(PQ_TRAIN_CAP)
+            .toPandas()
+        )
+        X = np.array(sample["u"].tolist(), dtype=np.float64)
     books = np.empty((PQ_M, PQ_K, PQ_SUBDIM))
     for s in range(PQ_M):
         sub = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
@@ -1150,7 +1186,7 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(agg_sum(F.transform(F.col("v"), lambda x: x * x))))
         .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
     )
-    books = _pq_codebooks(unit)
+    books = _pq_codebooks(unit, raw=e)
     codes = pin(unit.mapInPandas(_pq_encode(books), "vec_id long, code long"))
     return _pq_adc_search(spark, e, unit, codes, books)
 
@@ -1812,7 +1848,7 @@ def _write_ivf_kmeans_index(
     if max_vec_id is not None:
         e = e.where(F.col("vec_id") <= max_vec_id)
     unit = _unit_embeddings(e)
-    cent = _kmeans_cells(spark, unit)
+    cent = _kmeans_cells(spark, unit, raw=e)
     assign = _kmeans_assign(unit, cent)
     root = _scratch(root_name)
     cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
@@ -2083,8 +2119,8 @@ def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) once by cell id; per-task transients stay tiled."""
     e = load(spark, sf_dir).embeddings.repartition(embed_partitions(spark), "vec_id")
     unit = _unit_embeddings(e)
-    cent = _kmeans_cells(spark, unit)
-    books = _pq_codebooks(unit)
+    cent = _kmeans_cells(spark, unit, raw=e)
+    books = _pq_codebooks(unit, raw=e)
     codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
 
     agg_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -2196,7 +2232,7 @@ def _write_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
     e = load(spark, sf_dir).embeddings
     unit = _unit_embeddings(e)
-    books = _pq_codebooks(unit)
+    books = _pq_codebooks(unit, raw=e)
     root = _scratch("embeddings_pq")
     _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     (
@@ -2286,7 +2322,7 @@ def _pq_append_parts(spark: SparkSession, sf_dir: str):
         F.floor(F.lit(0.8) * F.max("vec_id")).cast("bigint").alias("c")
     ).collect()[0]["c"]
     base = e.where(F.col("vec_id") <= cutoff)
-    books = _pq_codebooks(_unit_embeddings(base))
+    books = _pq_codebooks(_unit_embeddings(base), raw=base)
     root = _scratch("embeddings_pq_incr")
     _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     (
@@ -3283,7 +3319,7 @@ def _write_pq_meta_index(spark: SparkSession, sf_dir: str) -> str:
     t = load(spark, sf_dir)
     e = t.embeddings
     unit = _unit_embeddings(e)
-    books = _pq_codebooks(unit)
+    books = _pq_codebooks(unit, raw=e)
     root = _scratch("embeddings_pq_meta")
     _write_books_frame(spark, books, os.path.join(root, "codebooks"))
     codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
@@ -3930,8 +3966,8 @@ def _write_ivfpq_index(spark: SparkSession, sf_dir: str, max_vec_id: int | None 
     if max_vec_id is not None:
         e = e.where(F.col("vec_id") <= max_vec_id)
     unit = _unit_embeddings(e)
-    cent = _kmeans_cells(spark, unit)
-    books = _pq_codebooks(unit)
+    cent = _kmeans_cells(spark, unit, raw=e)
+    books = _pq_codebooks(unit, raw=e)
     assign = _kmeans_assign(unit, cent).select("vec_id", "cell")
     codes = unit.mapInPandas(_pq_encode(books), "vec_id long, code long")
     root = _scratch("embeddings_ivfpq")
