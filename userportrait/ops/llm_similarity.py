@@ -205,7 +205,14 @@ def _blocked_result(spark: SparkSession, sf_dir: str, emit, schema: str) -> Data
         # Multi-chunk corpora (any real deployment) keep the sequential
         # O(one chunk) discipline below.
         bc = spark.sparkContext.broadcast(first)
-        return base.repartition(width, "vec_id").mapInPandas(_query_batches(bc, emit), schema)
+        out = base.repartition(width, "vec_id").mapInPandas(_query_batches(bc, emit), schema)
+        # flag for per-query-top-k consumers: ONE chunk means each query's
+        # per-chunk winners ARE the global winners, so the cross-chunk
+        # merge window (an exchange + sort over the result) is an identity
+        # they can skip (r14, guide §2.4 — an orderBy used only to re-rank
+        # rows already exactly ranked).
+        out._up_single_chunk = True
+        return out
     q = base.repartition(width, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     partials: list[DataFrame] = []
     try:
@@ -266,6 +273,11 @@ def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     union = _blocked_result(spark, sf_dir, emit, "vec_id bigint, neighbor_id bigint, sim double")
+    if getattr(union, "_up_single_chunk", False):
+        # one chunk: emit's per-query top-5 is already the exact global
+        # top-5 — the merge window would re-rank identical rows through an
+        # exchange + sort for nothing
+        return union.select("vec_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1422,12 +1434,17 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     union = _blocked_result(spark, sf_dir, emit, "vec_id bigint, neighbor_id bigint, sim double")
-    w10 = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    cand = pin(
-        union.withColumn("rn", F.row_number().over(w10))
-        .where(F.col("rn") <= MMR_POOL)
-        .select("vec_id", "neighbor_id", F.round("sim", 4).alias("rsim"))
-    )
+    if getattr(union, "_up_single_chunk", False):
+        # one chunk: per-query top-MMR_POOL is already global (the
+        # sim_cosine_knn argument) — skip the merge window's exchange+sort
+        cand = pin(union.select("vec_id", "neighbor_id", F.round("sim", 4).alias("rsim")))
+    else:
+        w10 = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+        cand = pin(
+            union.withColumn("rn", F.row_number().over(w10))
+            .where(F.col("rn") <= MMR_POOL)
+            .select("vec_id", "neighbor_id", F.round("sim", 4).alias("rsim"))
+        )
     a, b = cand.alias("a"), cand.alias("b")
     dpairs = a.join(
         b,
