@@ -3627,3 +3627,47 @@ def test_unit_embeddings_bitwise(spark):
     want = {r["vec_id"]: [x.hex() for x in r["u"]] for r in spec.collect()}
     got = {r["vec_id"]: [x.hex() for x in r["u"]] for r in _unit_embeddings(e).collect()}
     assert got == want
+
+
+def test_lazy_catalog_resolves_on_first_access(spark):
+    """r14 optimization guard: load() must not construct DataFrames for
+    tables the caller never touches (each construction is a driver-side
+    file listing + schema round trip), must memoize on first access, and
+    must stay attribute-transparent for every declared table."""
+    from userportrait.catalog import TABLES, load
+
+    t = load(spark, SF_DIR)
+    resolved = set(t.__dict__) & set(TABLES)
+    assert resolved == set(), f"tables resolved eagerly: {resolved}"
+    df1 = t.documents
+    assert set(t.__dict__) & set(TABLES) == {"documents"}
+    assert t.documents is df1  # memoized, not rebuilt
+    for name in TABLES:  # every table still resolves
+        assert getattr(t, name).columns
+
+
+def test_shingle_cache_pid_guard_and_overflow():
+    """r14 optimization guard for the worker-lifetime shingle cache: same
+    pid reuses the dict, a different pid clears it (a forked worker must
+    never inherit another's view of warmth), and exceeding the cap clears
+    rather than growing without bound."""
+    from userportrait.ops import llm_dedup as ld
+
+    ld._SHINGLE_CACHE.clear()
+    ld._SHINGLE_CACHE_PID = None
+    c1 = ld._worker_shingle_cache()
+    c1["abcde"] = object()
+    assert ld._worker_shingle_cache() is c1 and "abcde" in c1  # same pid: kept
+    ld._SHINGLE_CACHE_PID = -1  # simulate a fork into a new worker pid
+    c2 = ld._worker_shingle_cache()
+    assert c2 is ld._SHINGLE_CACHE and "abcde" not in c2  # cleared on pid change
+    old_cap = ld._SHINGLE_CACHE_CAP
+    try:
+        ld._SHINGLE_CACHE_CAP = 1
+        c2["k1"] = 1
+        c2["k2"] = 2
+        assert len(ld._worker_shingle_cache()) == 0  # overflow clears
+    finally:
+        ld._SHINGLE_CACHE_CAP = old_cap
+        ld._SHINGLE_CACHE.clear()
+        ld._SHINGLE_CACHE_PID = None
