@@ -534,7 +534,7 @@ def test_knn_tiled_matches_untiled(spark, monkeypatch):
 
 def test_knn_chunking_is_row_based_not_id_range_based(spark, tmp_path, monkeypatch):
     """Sparse id spaces (snowflake/hash ids) must not multiply chunk
-    count: boundaries are vec_id quantiles, so ~TARGET_CHUNKS chunks come
+    count: boundaries are vec_id quantiles, so ~ceil(rows/CAP) chunks come
     back regardless of id magnitude — fixed-width id ranges would need
     ~1e12 scan jobs on this fixture. Every vector must appear in exactly
     one chunk, in id order."""
@@ -558,9 +558,11 @@ def test_knn_chunking_is_row_based_not_id_range_based(spark, tmp_path, monkeypat
     )
     pq.write_table(t, fix / "embeddings.parquet")
 
-    monkeypatch.setattr(sim, "INDEX_CHUNK_MIN", 1)  # let TARGET_CHUNKS rule
+    monkeypatch.setattr(sim, "INDEX_CHUNK_MIN", 1)  # let CAP rule
+    monkeypatch.setattr(sim, "INDEX_CHUNK_CAP", 500)  # force multi-chunk
     chunks = list(sim._index_chunks(spark, str(fix)))
-    assert 1 <= len(chunks) <= sim.TARGET_CHUNKS + 1
+    want = -(-len(ids) // 500)  # ceil(rows / CAP), never id-width-driven
+    assert want <= len(chunks) <= want + 1
     seen = [i for ids_arr, _ in chunks for i in ids_arr.tolist()]
     assert seen == sorted(i * 1_000_000_007 + 13 for i in ids)
 
@@ -3671,3 +3673,32 @@ def test_shingle_cache_pid_guard_and_overflow():
         ld._SHINGLE_CACHE_CAP = old_cap
         ld._SHINGLE_CACHE.clear()
         ld._SHINGLE_CACHE_PID = None
+
+
+def test_topk_cols_exact_matches_full_stable_argsort():
+    """r14 optimization guard: the bounded-candidate argpartition top-k
+    must reproduce np.argsort(-sims, kind='stable')[:, :k] bit for bit on
+    adversarial inputs — heavy duplicate ties (the replica workload),
+    all-equal rows (ties past the candidate horizon -> fallback), widths
+    below the candidate window, and -inf self-masked cells."""
+    import numpy as np
+
+    from userportrait.ops.llm_similarity import _topk_cols_exact
+
+    rng = np.random.default_rng(7)
+    cases = []
+    base = rng.standard_normal((40, 500))
+    cases.append(np.repeat(base, 3, axis=1))        # duplicate-heavy, w=1500
+    cases.append(np.zeros((17, 300)))               # all ties everywhere
+    q = rng.integers(0, 4, size=(60, 900)).astype(np.float64)
+    cases.append(q)                                 # 4 distinct values: boundary ties
+    small = rng.standard_normal((9, 30))            # width < cand_width
+    cases.append(small)
+    inf_case = rng.standard_normal((25, 400))
+    inf_case[np.arange(25), rng.integers(0, 400, 25)] = -np.inf
+    cases.append(inf_case)
+    for sims in cases:
+        for k in (1, 5, 10):
+            want = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            got = _topk_cols_exact(np, sims.copy(), k)
+            assert (got == want).all(), (sims.shape, k)

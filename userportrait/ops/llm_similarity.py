@@ -56,27 +56,26 @@ _ORACLE_SIMS_CTE = """
 
 # Blocked-index sizing. Exact kNN is inherently O(n²) compute, but MEMORY
 # must stay O(chunk): the index is never collected or broadcast whole. Rows
-# per chunk = clamp(ceil(total_rows / TARGET_CHUNKS), MIN, CAP):
-#   - TARGET_CHUNKS bounds driver round-trips (each chunk fetch is one Spark
-#     job, ~0.5 s of scheduling overhead at test scale) while the corpus is
-#     small enough that ceil(rows/8) < CAP;
-#   - CAP is the hard per-broadcast memory bound that wins at real scale
-#     (500k rows × dim 64 f64 ≈ 256 MB per broadcast — a deploy-safe default
-#     that torrent-broadcasts cleanly; a 1e9-vector corpus then runs 2000
-#     bounded chunks — more jobs, never more memory. Raise via env on
-#     clusters with headroom);
-#   - MIN keeps tiny test SFs from degenerating into per-row jobs. A chunk
-#     below 4096 rows (~2 MB of f64 at dim 64) is pure per-chunk overhead at
-#     ANY scale — each chunk costs a quantile cut, a collect job, a broadcast
-#     and a materialize barrier — so the floor is set where the broadcast
-#     payload starts to matter, not lower. (r14 measurement: sf0.1's 2000
-#     vectors ran 2 chunks under the old 1024 floor; the second chunk bought
-#     nothing but a repeated driver round-trip, ~0.6 s of the query's 2.2 s.)
+# per chunk = min(CAP, total_rows) — the chunk COUNT is purely what the
+# memory bound forces, never more:
+#   - CAP is the per-broadcast memory bound (500k rows × dim 64 f64 ≈
+#     256 MB per broadcast — a deploy-safe default that torrent-broadcasts
+#     cleanly; a 1e9-vector corpus then runs 2000 bounded chunks — more
+#     jobs, never more memory. Raise via env on clusters with headroom);
+#   - below CAP the whole index is ONE chunk. The r13 form aimed for ~8
+#     chunks (a TARGET_CHUNKS divisor) regardless of size, which bought
+#     nothing — every chunk under CAP already satisfies the memory bound,
+#     and each extra chunk costs a quantile cut, a collect job, a
+#     broadcast, a full query-side pass and a checkpoint barrier (r14
+#     measurement: the 10× replica's 20k-vector/10 MB index ran FIVE
+#     chunk rounds, q_vector_knn 11.5 s → 4.6 s as one chunk);
+#   - MIN guards the forced-low test configurations from degenerating
+#     into per-row jobs (in the default config it is inert: min(CAP, n)
+#     is either n — one chunk — or CAP ≫ MIN).
 # tests/test_invariants.py forces MIN=CAP low to stress many chunks, so the
-# multi-chunk merge path stays exercised regardless of this floor.
+# multi-chunk merge path stays exercised regardless of these defaults.
 INDEX_CHUNK_MIN = int(os.environ.get("UP_KNN_CHUNK_MIN", "4096"))
 INDEX_CHUNK_CAP = int(os.environ.get("UP_KNN_CHUNK_CAP", "500000"))
-TARGET_CHUNKS = 8
 # Per-task transient bound: the kernel's sims matrix is (query rows ×
 # chunk rows) f64 — batch × 500k-chunk would be ~40 GB/task if computed
 # whole (observed: python workers OOM-killed at the 100× replica). Query
@@ -107,7 +106,7 @@ def _index_chunks(spark: SparkSession, sf_dir: str):
     total, lo, hi = emb.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()
     if lo is None:
         return
-    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, -(-total // TARGET_CHUNKS)))
+    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, total))
     n_chunks = max(1, -(-total // target))
     if n_chunks == 1:
         cuts: list[int] = []
@@ -138,6 +137,49 @@ def _index_chunks(spark: SparkSession, sf_dir: str):
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         yield ids, mat
+
+
+def _topk_cols_exact(np, sims, k, cand_width=64):
+    """Per-row column indices of the k largest sims with ties broken by
+    LOWER column index — exactly ``np.argsort(-sims, axis=1,
+    kind="stable")[:, :k]`` — computed via an O(width) argpartition over
+    a bounded candidate set instead of the full-width O(w log w) stable
+    sort (r14, guide §1.2 per-task work: the full sort plus its ``-sims``
+    negation copy were ~3.1 s of each 10×-replica kNN task where the
+    partition path is ~0.7 s). The partition keeps the LARGEST ``c``
+    columns directly on ``sims`` (no negated copy); sorting the candidate
+    indices ascending before the small stable sort reproduces the
+    lower-column tie-break. Exactness guard: a row whose candidate-set
+    minimum ties its k-th value may have further ties beyond the
+    candidate horizon and falls back to the full stable sort — so the
+    result is bit-identical on every input, duplicates included."""
+    n, w = sims.shape
+    k = min(k, w)
+    c = min(max(cand_width, k), w)
+    if c >= w:
+        return np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    part = np.argpartition(sims, w - c, axis=1)[:, w - c :]
+    part.sort(axis=1)
+    vals = np.take_along_axis(sims, part, axis=1)
+    order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+    top = np.take_along_axis(part, order, axis=1)
+    kthv = np.take_along_axis(vals, order[:, k - 1 : k], axis=1)[:, 0]
+    unsafe = vals.min(axis=1) >= kthv
+    if unsafe.any():
+        top[unsafe] = np.argsort(-sims[unsafe], axis=1, kind="stable")[:, :k]
+    return top
+
+
+def _mask_self_inplace(np, qids, aids, sims):
+    """Set sims[r, j] = -inf where qids[r] == aids[j], in place. aids is
+    ascending (chunks are vec_id-sorted), so the self column is ONE
+    searchsorted lookup per row — the r13 form materialized an
+    O(rows × chunk) boolean outer-equality and an equally sized
+    ``np.where`` copy per tile (~0.55 s of each 10×-replica task)."""
+    pos = np.searchsorted(aids, qids)
+    inb = pos < len(aids)
+    hit = np.nonzero(inb & (aids[np.minimum(pos, len(aids) - 1)] == qids))[0]
+    sims[hit, pos[hit]] = -np.inf
 
 
 def _query_batches(bc, fn):
@@ -258,10 +300,9 @@ def sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_invariants.py::test_knn_chunked_matches_single_chunk)."""
 
     def emit(np, pd, qids, aids, sims):
-        self_mask = qids[:, None] == aids[None, :]
-        sims = np.where(self_mask, -np.inf, sims)
-        # stable argsort on -sim over an id-ascending index == tie-break id asc
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :K_NEIGHBORS]
+        _mask_self_inplace(np, qids, aids, sims)
+        # == stable argsort on -sim over the id-ascending index (tie: id asc)
+        top = _topk_cols_exact(np, sims, K_NEIGHBORS)
         rows = np.arange(len(qids))[:, None]
         keep = np.isfinite(sims[rows, top])  # drop self rows (chunk may be tiny)
         return pd.DataFrame(
@@ -1218,7 +1259,7 @@ def _pq_adc_search(spark: SparkSession, e: DataFrame, unit: DataFrame, codes: Da
     # _index_chunks argument: chunk count tracks row count, never id-space
     # width; each fetch is a pushed-down vec_id range over the codes frame)
     total, lo, hi = codes.agg(F.count("*"), F.min("vec_id"), F.max("vec_id")).first()
-    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, -(-total // TARGET_CHUNKS)))
+    target = max(INDEX_CHUNK_MIN, min(INDEX_CHUNK_CAP, total))
     n_chunks = max(1, -(-total // target))
     if n_chunks == 1:
         cuts: list[int] = []
@@ -1420,9 +1461,8 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir).embeddings
 
     def emit(np, pd, qids, aids, sims):
-        self_mask = qids[:, None] == aids[None, :]
-        sims = np.where(self_mask, -np.inf, sims)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :MMR_POOL]
+        _mask_self_inplace(np, qids, aids, sims)
+        top = _topk_cols_exact(np, sims, MMR_POOL)
         rows = np.arange(len(qids))[:, None]
         keep = np.isfinite(sims[rows, top])
         return pd.DataFrame(
