@@ -982,14 +982,22 @@ def _cell_matmul_rescore(key, probes_pdf, members_pdf):
     mids = members_pdf["mvec_id"].to_numpy(np.int64)
     Q = np.array(probes_pdf["u"].tolist(), dtype=np.float64)
     M = np.array(members_pdf["mu"].tolist(), dtype=np.float64)
+    # sort members by id ONCE per cell so column order == id order: the
+    # (sim desc, neighbor asc) rank is then the bounded exact top-k
+    # (_topk_cols_exact) instead of a full-member-width lexsort per row,
+    # and the self-mask is one searchsorted lookup per row instead of an
+    # O(rows × members) boolean outer-equality (r14, guide §1.2 per-task
+    # work — identical output, mids are unique within a cell).
+    morder = np.argsort(mids, kind="stable")
+    mids = mids[morder]
+    M = M[morder]
     rows_per_tile = max(1, KNN_TILE_ELEMS // max(1, len(mids)))
     out = []
     for lo in range(0, len(qids), rows_per_tile):
         sims = Q[lo : lo + rows_per_tile] @ M.T
-        # self-exclusion, then per-row top-5 by (sim desc, neighbor asc)
-        sims[qids[lo : lo + rows_per_tile, None] == mids[None, :]] = -np.inf
+        _mask_self_inplace(np, qids[lo : lo + rows_per_tile], mids, sims)
         k = min(5, sims.shape[1])
-        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims), axis=1)[:, :k]
+        order = _topk_cols_exact(np, sims, k)
         tq = qids[lo : lo + rows_per_tile]
         sel = np.take_along_axis(sims, order, axis=1)
         keep = np.isfinite(sel)
@@ -1848,7 +1856,9 @@ def _probe_cells_ranked(
                 u_col = pdf["u"]
                 u_mat = np.array(u_col.tolist(), dtype=np.float64)
             csim = (u_mat @ cmat.T) / cnrm[None, :]
-            order = np.lexsort((np.broadcast_to(cells, csim.shape), -csim), axis=1)[:, :take]
+            # cells are ascending (sorted crows), so (csim desc, cell asc)
+            # == the bounded exact top-k's lower-column tie-break
+            order = _topk_cols_exact(np, csim, take)
             rep = np.repeat(np.arange(n), take)
             yield pd.DataFrame(
                 {
