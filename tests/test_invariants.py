@@ -3702,3 +3702,35 @@ def test_topk_cols_exact_matches_full_stable_argsort():
             want = np.argsort(-sims, axis=1, kind="stable")[:, :k]
             got = _topk_cols_exact(np, sims.copy(), k)
             assert (got == want).all(), (sims.shape, k)
+
+
+def test_centroid_model_explicit_no_collect(spark, sf_dir):
+    """r15 (VERDICT r14 #7): a fresh _kmeans_cells result carries its
+    driver-side centroid rows EXPLICITLY (_CentroidModel.rows), the probe
+    path consumes them without launching a collect job, and the model path
+    scores identically to the persisted-readback (collect) path."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from userportrait.catalog import load
+    from userportrait.ops.llm_similarity import (
+        _CentroidModel,
+        _kmeans_cells,
+        _probe_cells_ranked,
+        _unit_embeddings,
+    )
+
+    e = load(spark, sf_dir).embeddings
+    cent = _kmeans_cells(spark, _unit_embeddings(e), raw=e)
+    assert isinstance(cent, _CentroidModel)
+    # the carried rows ARE the frame's content
+    got = sorted((r["cell"], [float(x) for x in r["c"]], r["cnrm"]) for r in cent.df.collect())
+    want = sorted((c, [float(x) for x in v], n) for c, v, n in cent.rows)
+    assert got == want
+    # declaring the probe path off a fresh model must not collect
+    with mock.patch.object(DataFrame, "collect", side_effect=AssertionError("collect launched")):
+        ranked = _probe_cells_ranked(e, cent, normalize=True)
+    a = sorted(map(tuple, ranked.collect()))
+    b = sorted(map(tuple, _probe_cells_ranked(e, cent.df, normalize=True).collect()))
+    assert a == b
