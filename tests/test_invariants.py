@@ -3734,3 +3734,18 @@ def test_centroid_model_explicit_no_collect(spark, sf_dir):
     a = sorted(map(tuple, ranked.collect()))
     b = sorted(map(tuple, _probe_cells_ranked(e, cent.df, normalize=True).collect()))
     assert a == b
+
+
+def test_rerank_mmr_chunked_matches_single_chunk(spark, monkeypatch):
+    """ADVICE r14: sim_rerank_mmr's single-chunk merge-window skip had no
+    parity pin (unlike sim_cosine_knn's). Same invariant: many tiny index
+    chunks must produce byte-identical rows to one whole-index chunk."""
+    from userportrait.ops import llm_similarity as sim
+
+    monkeypatch.setattr(sim, "INDEX_CHUNK_MIN", 1)
+    monkeypatch.setattr(sim, "INDEX_CHUNK_CAP", 128)
+    many = sorted(map(tuple, sim.sim_rerank_mmr(spark, SF_DIR).collect()))
+    monkeypatch.setattr(sim, "INDEX_CHUNK_MIN", 1 << 30)
+    monkeypatch.setattr(sim, "INDEX_CHUNK_CAP", 1 << 30)
+    one = sorted(map(tuple, sim.sim_rerank_mmr(spark, SF_DIR).collect()))
+    assert many == one and len(one) > 0

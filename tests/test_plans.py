@@ -616,7 +616,7 @@ def test_no_unaudited_broadcast_hints():
             "constant nproj x 64 hyperplane table (built from literals)",
         ("llm_similarity.py", "vc = vn.crossJoin(F.broadcast(cent)).select("):
             "k x dim centroid frame (cells are a fixed small k)",
-        ("llm_similarity.py", "vc = unit.crossJoin(F.broadcast(cent)).select("):
+        ("llm_similarity.py", "vc = unit.crossJoin(F.broadcast(cent.df)).select("):
             "k x dim trained-centroid literals (kmeans IVF; k grows sqrt(n), stays a broadcast)",
         ("llm_similarity.py", "qc = qn.crossJoin(F.broadcast(cent)).select("):
             "k x dim centroid frame (scan_ivf_probe query-side scoring; same bound as vc above)",
@@ -1085,3 +1085,44 @@ def test_ivfpq_probe_prunes_partitions(spark):
     n_cells = back.select("cell").distinct().count()
     assert len(glob.glob(root + "/cells/cell=*")) == n_cells
     assert q.select("cell").distinct().count() == len(cells)
+
+
+def test_text_partitions_scales_with_input_volume(spark):
+    """r15 (VERDICT r14 #3): the text-family fan-out width derives from
+    input volume — ceil(table_bytes/target) capped at the fleet width —
+    so toy inputs stop paying one task round-trip per core, while an
+    explicit embed.partitions conf still pins the width exactly and an
+    unstatable path falls back to the cap."""
+    import warnings
+
+    from userportrait.catalog import _table_bytes, text_partitions
+
+    cap = spark.sparkContext.defaultParallelism
+    b = _table_bytes(SF_DIR, "documents")
+    assert b is not None and b > 0
+    w = text_partitions(spark, SF_DIR)
+    assert w == max(1, min(cap, -(-b // 65536)))
+    # the width reaches the physical plan (width 1 plans as SinglePartition)
+    plan = _plan(spark, "text_fingerprint")
+    if w == 1:
+        assert "Exchange SinglePartition" in plan, plan
+    else:
+        assert "hashpartitioning(doc_id" in plan and f", {w})" in plan, plan
+    # explicit deployment knob pins it exactly (bypasses the derivation)
+    try:
+        spark.conf.set("spark.userportrait.embed.partitions", "17")
+        assert text_partitions(spark, SF_DIR) == 17
+    finally:
+        spark.conf.unset("spark.userportrait.embed.partitions")
+    # target conf rescales the derivation; floor stays 1
+    try:
+        spark.conf.set("spark.userportrait.text.targetTaskBytes", str(b + 1))
+        assert text_partitions(spark, SF_DIR) == 1
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            spark.conf.set("spark.userportrait.text.targetTaskBytes", "bogus")
+            assert text_partitions(spark, SF_DIR) == w  # invalid -> default target
+    finally:
+        spark.conf.unset("spark.userportrait.text.targetTaskBytes")
+    # unstatable input path -> fleet width
+    assert text_partitions(spark, "/nonexistent/sfX") == cap

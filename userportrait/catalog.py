@@ -59,14 +59,39 @@ SCHEMAS: dict[str, str] = {
 }
 
 
-# Physical layout of events.ts per path ("bigint" | "timestamp"), sniffed
-# from one parquet footer the first time a path's events table is read.
-# The ten driver tables are immutable inputs for the life of a session
-# (sink ops write to their own output dirs, never back into sf_dir), so
-# the sniff cannot go stale; caching it avoids re-reading the footer —
-# a driver-side file-listing + footer RPC (guide §7.3) — on every
-# read_table("events") call.
-_EVENTS_TS_KIND: dict[str, str] = {}
+# Physical layout of events.ts ("bigint" | "timestamp"), sniffed from one
+# parquet footer the first time a path's events table is read. Caching it
+# avoids re-reading the footer — a driver-side file-listing + footer RPC
+# (guide §7.3) — on every read_table("events") call. Keyed on
+# (path, mtime, size) of the path's newest entry (ADVICE r14): the ten
+# driver tables are immutable inputs in this deployment, but a path-only
+# key would silently keep the WRONG schema branch for the rest of the
+# process if events.parquet were ever regenerated in place with the other
+# physical ts type; the stat probe is microseconds and enforces what was
+# previously only a documented assumption.
+_EVENTS_TS_KIND: dict[tuple, str] = {}
+
+
+def _path_stamp(path: str) -> tuple:
+    """(mtime_ns, size) of ``path`` — for a directory, of its newest direct
+    entry (a parquet dir rewrite replaces part-files and touches the dir).
+    (0, 0) when not statable (object-store URI): behaves like the old
+    path-only key."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        if _os.path.isdir(path):
+            newest = st.st_mtime_ns
+            total = 0
+            for entry in _os.scandir(path):
+                est = entry.stat()
+                newest = max(newest, est.st_mtime_ns)
+                total += est.st_size
+            return (newest, total)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -80,11 +105,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        kind = _EVENTS_TS_KIND.get(path)
+        key = (path, *_path_stamp(path))
+        kind = _EVENTS_TS_KIND.get(key)
         if kind is None:
             inferred = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema.fields}
             kind = "bigint" if inferred.get("ts") == "bigint" else "timestamp"
-            _EVENTS_TS_KIND[path] = kind
+            _EVENTS_TS_KIND[key] = kind
         if kind == "bigint":
             df = spark.read.schema(SCHEMAS[name]).parquet(path)
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -166,6 +192,70 @@ def embed_partitions(spark: SparkSession) -> int:
     if explicit is not None:
         return explicit
     return spark.sparkContext.defaultParallelism
+
+
+# Driver-side on-disk size per table path, memoized: the ten driver tables
+# are immutable inputs for the life of a session (the _EVENTS_TS_KIND
+# argument), and a local stat walk is microseconds. Returns None for paths
+# the driver cannot stat (an object-store URI on a real cluster) — callers
+# must fall back to the fleet-derived width.
+_TABLE_BYTES: dict[str, int | None] = {}
+
+
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    path = f"{sf_dir}/{name}.parquet"
+    if path not in _TABLE_BYTES:
+        import os
+
+        total: int | None
+        try:
+            if os.path.isfile(path):
+                total = os.path.getsize(path)
+            else:
+                total = 0
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        total += os.path.getsize(os.path.join(root, f))
+                if total == 0:
+                    total = None
+        except OSError:
+            total = None
+        _TABLE_BYTES[path] = total
+    return _TABLE_BYTES[path]
+
+
+def text_partitions(spark: SparkSession, sf_dir: str, table: str = "documents") -> int:
+    """Fan-out width for the CPU-heavy per-row text stages (tokenize/
+    explode/fold over documents, and frames row-proportional to them):
+    ``min(embed_partitions, ceil(table_bytes / target))``, floor 1.
+
+    The r14 sites used ``embed_partitions`` (defaultParallelism) outright,
+    which is the scale-correct CAP but over-fans toy inputs: a 0.6 MB
+    corpus split 32 ways pays 32 task round-trips for ~20 KB of work each
+    (driver measurement: q_bm25 at 8 cores ran in 0.39x of its 32-core
+    time — pure per-task overhead). Deriving the width from input volume
+    (guide §2.6 / the kNN CAP-driven chunking pattern) keeps small inputs
+    cheap while the cap preserves the full fleet width at corpus scale:
+    bytes/target >> parallelism long before 100 TB. The per-task target is
+    ``spark.userportrait.text.targetTaskBytes`` of PARQUET bytes (default
+    64 KiB ≈ 0.25-0.5 MB of raw text after compression — roughly 0.5-2 s
+    of interpreted fold/tokenize work per task); when the input is not
+    driver-statable (object-store URI), fall back to the fleet width.
+
+    An explicit ``spark.userportrait.embed.partitions`` still pins the
+    width exactly (the deployment knob's contract — an operator who set
+    it has already done this sizing); only the derived default scales
+    with volume."""
+    explicit = positive_int_conf(spark, "spark.userportrait.embed.partitions")
+    if explicit is not None:
+        return explicit
+    cap = spark.sparkContext.defaultParallelism
+    t = positive_int_conf(spark, "spark.userportrait.text.targetTaskBytes")
+    target = t if t is not None else 65536
+    b = _table_bytes(sf_dir, table)
+    if b is None:
+        return cap
+    return max(1, min(cap, -(-b // target)))
 
 
 def pin(df: DataFrame) -> DataFrame:

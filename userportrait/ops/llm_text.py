@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import embed_partitions, load
+from ..catalog import load, text_partitions
 from ..registry import op
 
 
@@ -320,7 +320,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition: trigram explode is generated single-core off a one-split
     # scan at test scale (see minhash_sig_wide note)
-    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
+    d = load(spark, sf_dir).documents.repartition(text_partitions(spark, sf_dir), "doc_id")
     tri = d.select(
         "doc_id",
         "lang",
@@ -372,7 +372,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup; one narrow map stage, no shuffle at all."""
     # repartition: the per-char fold is interpreted (CodegenFallback) and the
     # scan is one split at test scale — spread it across cores
-    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
+    d = load(spark, sf_dir).documents.repartition(text_partitions(spark, sf_dir), "doc_id")
     chars = F.expr("transform(sequence(1, length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))")
     rolling = F.aggregate(chars, F.lit(0).cast("bigint"), lambda a, c: (a * 31 + c) % 1000000007)
     shingle_md5s = F.expr(
@@ -466,7 +466,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at its measured size, and the corpus side streams its
     n-grams through that join in one narrow pass either way."""
     d = load(spark, sf_dir).documents
-    grams = d.repartition(embed_partitions(spark), "doc_id").select(
+    grams = d.repartition(text_partitions(spark, sf_dir), "doc_id").select(
         "doc_id",
         F.explode(
             F.expr(
@@ -518,7 +518,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines is absorbed by round-4 on the per-doc mean."""
     d = load(spark, sf_dir).documents
     bg = (
-        d.repartition(embed_partitions(spark), "doc_id")
+        d.repartition(text_partitions(spark, sf_dir), "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 2)
         .select(
@@ -594,7 +594,6 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines despite last-ulp ln() differences."""
     from pyspark.sql import Window
 
-    from ..catalog import embed_partitions
 
     # repartition: the tokenize+explode+partial-agg runs inside the SCAN
     # stage, and a single-split documents scan (the one-row-group fixture
@@ -602,7 +601,7 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus tokenization into one task — in BOTH branches that
     # derive tf (r14 measurement: ~1 s single-task stages). Same
     # convention as text_entropy / text_lang_id / text_contamination.
-    d = load(spark, sf_dir).documents.repartition(embed_partitions(spark), "doc_id")
+    d = load(spark, sf_dir).documents.repartition(text_partitions(spark, sf_dir), "doc_id")
     tf = _tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # Both global scalars from ONE documents pass (r14, guide §7.2
     # "duplicated subtrees"): the r13 `tot` re-derived the whole
@@ -636,9 +635,9 @@ def text_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same key), so no shuffle is added — the doc_id one also carries the
     # final rank window.
     scored = (
-        tf.repartition(embed_partitions(spark), "token")
+        tf.repartition(text_partitions(spark, sf_dir), "token")
         .withColumn("df", F.count("*").over(w_tok))
-        .repartition(embed_partitions(spark), "doc_id")
+        .repartition(text_partitions(spark, sf_dir), "doc_id")
         .withColumn("dl", F.sum("tf").over(w_doc))
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.round(idf * tfc, 4))

@@ -45,7 +45,22 @@ RUNTIME_CONFS = {
 # read_table(), i.e. many times per query declaration; each conf.set is a
 # py4j round trip, so the idempotent re-application was pure driver chatter
 # (4 round trips x 10 tables per eager load() before r14's lazy catalog).
+#
+# Documented memo tradeoff (ADVICE r14): before the memo, every read_table
+# re-asserted RUNTIME_CONFS, so an external mutation (e.g. a hosting app
+# flipping the session timezone) self-healed on the next call; with the
+# memo it does not. A long-lived session that intentionally re-tunes confs
+# and wants them re-asserted calls reset_session_confs() (below).
 _CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
+def reset_session_confs() -> None:
+    """Forget which sessions already got RUNTIME_CONFS: the next
+    apply_session_confs (i.e. the next read_table) re-asserts them. The
+    escape hatch for long-lived sessions whose confs are mutated outside
+    this package after first application."""
+    if _CONFS_APPLIED is not None:
+        _CONFS_APPLIED.clear()
 
 
 def apply_session_confs(spark: SparkSession) -> SparkSession:
