@@ -4,6 +4,8 @@ algebraic identities between op families on the real tables."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from userportrait.catalog import load
@@ -340,6 +342,7 @@ def test_knn_chunked_matches_single_chunk(spark, monkeypatch):
     assert pairs_many == pairs_one
 
 
+@pytest.mark.slow
 def test_pinned_ops_green_with_reliable_checkpoint(spark, duck, tmp_path):
     """catalog.pin() switches from localCheckpoint to reliable .checkpoint()
     when a checkpoint dir is configured (the cluster deployment mode —
@@ -613,6 +616,7 @@ def test_ivf_kmeans_recall_and_determinism(spark):
     assert recall >= 0.45, f"kmeans-IVF recall@5 regressed: {recall:.4f}"
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_probe_recall_and_determinism(spark):
     """scan_ivf_probe_kmeans (ROWS-only: trained quantizer) invariants —
     the deployment serving probe must carry the same gates as its
@@ -734,6 +738,7 @@ def test_bucket_level_cap_equals_plain_docb_cap(spark):
     assert bucket_capped == plain
 
 
+@pytest.mark.slow
 def test_pq_recall_and_determinism(spark):
     """sim_knn_pq (ROWS-only: trained product-quantization codebooks)
     invariants, the ANN-ladder gate pattern: (a) run-stable — the Lloyd
@@ -863,6 +868,7 @@ def test_pca_projection_invariants(spark):
     assert var.sum() <= np.trace(np.cov(X.T)) + 1e-9
 
 
+@pytest.mark.slow
 def test_als_recs_invariants(spark):
     """ml_als_recs (ROWS-only) invariants: run-stable with the fixed seed,
     exactly 5 recs per customer with ranks 1..5 and non-increasing scores,
@@ -1178,6 +1184,7 @@ def test_kmv_estimates_within_bounds(spark):
                 assert abs(est - exact) <= 4 * exact / (KMV_K ** 0.5), (key, est, exact)
 
 
+@pytest.mark.slow
 def test_lda_topics_stable_and_valid(spark):
     """ml_lda_topics (ROWS-only: LDA internals) invariants: run-stable
     under the pinned seed + top-term relabeling, exactly k=8 topics × 5
@@ -1318,6 +1325,7 @@ def test_bpe_apply_counts_consistent(spark):
         assert rows[d.doc_id].n_bpe_tokens == want, d.doc_id
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_and_determinism(spark):
     """sim_knn_ivf_pq (ROWS-only: trained quantizer + codebooks)
     invariants: run-stable, exactly 5 real-cosine neighbors per query,
@@ -1344,6 +1352,7 @@ def test_ivf_pq_recall_and_determinism(spark):
     assert recall >= 0.4, f"IVF+PQ recall@5 regressed: {recall:.4f}"
 
 
+@pytest.mark.slow
 def test_doc_topic_assign_conserves_docs(spark):
     """doc_topic_assign (ROWS-only) invariants: run-stable (exact
     integer affinity sums — the posterior transform is NOT stable, which
@@ -1380,6 +1389,7 @@ def test_stream_topic_router_matches_batch(spark):
     assert s == batch_streamed
 
 
+@pytest.mark.slow
 def test_pq_probe_recall_and_roundtrip(spark):
     """scan_pq_probe (ROWS-only: trained codebooks) invariants:
     (a) codebook parquet roundtrip is BIT-EXACT vs retraining (so serving
@@ -1454,6 +1464,7 @@ def test_filtered_probe_maintains_k_and_respects_predicate(spark):
     )
 
 
+@pytest.mark.slow
 def test_ivf_append_probe_agreement(spark):
     """sink_ivf_append's serving contract (VERDICT r10 missing #2 'done'
     bar): appending a crawl batch into existing cells must not change
@@ -1486,6 +1497,7 @@ def test_ivf_append_probe_agreement(spark):
     )
 
 
+@pytest.mark.slow
 def test_funnel_rocksdb_matches_default_provider(spark):
     """stream_funnel_rocksdb is the SAME kernel on a different state-store
     provider: its final table must equal stream_funnel_stages row for row,
@@ -1526,6 +1538,7 @@ def test_ivf_rebalance_splits_are_lossless_and_shrinking(spark):
             assert [r.sub for r in rs] == [0]
 
 
+@pytest.mark.slow
 def test_kmeans_filtered_probe_semantics(spark):
     """scan_ivf_probe_kmeans_filtered: every neighbor satisfies the lang
     predicate; en survivors of the unfiltered kmeans top-5 are retained
@@ -1612,6 +1625,7 @@ def test_index_meta_join_enforces_doc_contract(spark):
         _join_doc_meta_1to1(members, docs_dup, ["lang"]).collect()
 
 
+@pytest.mark.slow
 def test_ivf_compact_collapses_files_and_preserves_probes(spark):
     """sink_ivf_compact's two non-oracle claims (r11 VERDICT missing #1):
     (a) FILE COLLAPSE — after the fold every base cell directory holds
@@ -1653,6 +1667,7 @@ def test_ivf_compact_collapses_files_and_preserves_probes(spark):
     assert after == before
 
 
+@pytest.mark.slow
 def test_pq_append_frozen_books_and_reachability(spark):
     """sink_pq_append's model-side claims, which the EXACT count rollup
     cannot see: (a) the append leaves the BASE code rows and the
@@ -1720,6 +1735,7 @@ def test_pq_append_frozen_books_and_reachability(spark):
     assert any(r.neighbor_id > cutoff for r in res), "appended vectors unreachable"
 
 
+@pytest.mark.slow
 def test_stream_left_outer_nulls_emitted_by_watermark(spark):
     """stream_stream_left_outer's defining mechanic: the unmatched-click
     NULL row is emitted by WATERMARK PASSAGE, not by data arrival. On a
@@ -1798,6 +1814,7 @@ def test_stream_left_outer_nulls_emitted_by_watermark(spark):
     assert nulls[0][1][0] == 1  # the unmatched click
 
 
+@pytest.mark.slow
 def test_ivf_delete_tombstone_purge_agree(spark):
     """sink_ivf_delete's serving claims: (a) the TOMBSTONE view (members
     anti-join manifest) and the PURGED index answer the serving probe
@@ -1849,6 +1866,7 @@ def test_ivf_delete_tombstone_purge_agree(spark):
     assert not (ids_in_answers & deleted_ids)
 
 
+@pytest.mark.slow
 def test_pq_probe_filtered_lang_and_recall(spark):
     """scan_pq_probe_filtered (ROWS-only: trained codebooks) invariants:
     (a) every answered neighbor satisfies the lang predicate (the filter
@@ -1954,6 +1972,7 @@ def test_pq_compact_restores_range_layout(spark):
     assert n_appended > 0 and len(rows) == len(set(rows))
 
 
+@pytest.mark.slow
 def test_stream_left_outer_evicts_midstream_with_bounded_state(spark):
     """stream_stream_left_outer's bounded-state claim, exercised where it
     actually binds: over the ordered2 staging (32 ts-SORTED chunks, so the
@@ -2082,6 +2101,7 @@ def test_scd2_vacuum_retention_contract(spark):
     assert asof_rows(instants[-1]) == pre[instants[-1]]
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
     """The deployment delete's O(touched cells) claim, made physical:
     purging a fixed-size erasure list from the kmeans-quantized index
@@ -2144,6 +2164,7 @@ def test_ivf_kmeans_delete_touches_only_erased_cells(spark):
     assert {r.vec_id for r in applied.collect()} == erase
 
 
+@pytest.mark.slow
 def test_stream_full_outer_dual_nulls_midstream_bounded_state(spark):
     """stream_stream_full_outer's dual eviction clocks, exercised where
     they bind: over the ordered2 staging (watermark advances ~22 h per
@@ -2259,6 +2280,7 @@ def test_pq_delete_survivors_bit_identical(spark):
     }
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_delete_rerun_resumes_manifest(spark):
     """The crash-recovery contract of the deployment delete: a re-run
     that finds a COMMITTED un-retired tombstone manifest must resume THAT
@@ -2353,6 +2375,7 @@ def test_pq_swap_recover_rolls_forward_and_back(spark):
         os.rename(codes_dir + "_gone", codes_dir)
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_append_frozen_quantizer(spark):
     """The kmeans append's contract: base files are never rewritten
     (byte-identical), every appended vector is reachable in the merged
@@ -2403,6 +2426,7 @@ def test_ivf_kmeans_append_frozen_quantizer(spark):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stream_ivf_kmeans_fold_lossless(spark):
     """The kmeans compact's claims, physically: after the streaming
     ingest (per-batch overwrite dirs), the fold must preserve EVERY
@@ -2436,6 +2460,7 @@ def test_stream_ivf_kmeans_fold_lossless(spark):
     assert not os.path.exists(batches_root)
 
 
+@pytest.mark.slow
 def test_serving_masks_live_tombstones(spark):
     """The serving half of the delete family's tombstone contract
     (ADVICE r13 #1): while an un-retired erasure manifest sits next to an
@@ -2515,6 +2540,7 @@ def _kmeans_index_fit(spark, root):
     )
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_retrain_improves_fit_and_preserves_members(spark):
     """The retrain contract on a DRIFTED fixture: appends whose
     distribution the frozen base-trained quantizer fits poorly (negated
@@ -2592,6 +2618,7 @@ def test_ivf_kmeans_retrain_improves_fit_and_preserves_members(spark):
     assert not os.path.exists(os.path.join(root, "cells_old"))
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_retrain_crash_windows(spark):
     """Every crash window of the retrain cutover rolls FORWARD to the same
     committed generation (staging completion is the commit point), an
@@ -2733,6 +2760,7 @@ def test_stream_pq_append_frozen_books_and_adc_reachability(spark):
     assert any(r.neighbor_id > cutoff for r in res), "streamed vectors unreachable"
 
 
+@pytest.mark.slow
 def test_streaming_restart_across_sessions(spark):
     """Cross-session checkpoint recovery — the path a real cluster
     exercises weekly and every in-repo streaming test so far only proved
@@ -2856,6 +2884,7 @@ spark.stop()
     shutil.rmtree(base)
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_batch_append_fold(spark):
     """ivf_fold_fragmented_cells' contract on the fragmentation source the
     batch-dir fold cannot see: a mode('append') batch append leaves >1
@@ -3057,6 +3086,7 @@ def test_pq_retrain_crash_windows_and_serve(spark):
     shutil.rmtree(backup)
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_matches_in_memory_sibling(spark):
     """scan_ivfpq_probe (ROWS-only: trained quantizer + codebooks)
     invariants: (a) run-stable, (b) exactly 5 real-cosine neighbors per
@@ -3221,6 +3251,7 @@ def test_snapshot_expire_reclaims_files(spark):
         assert os.path.exists(os.path.join(root2, rel))
 
 
+@pytest.mark.slow
 def test_ivfpq_filtered_probe_semantics(spark):
     """scan_ivfpq_probe_filtered: every neighbor satisfies the lang
     predicate; en survivors of the unfiltered composed top-5 are
@@ -3354,6 +3385,7 @@ def test_markov_attribution_matches_bruteforce(spark):
     assert abs(fx2["B"][0] - 1.0) < 1e-12
 
 
+@pytest.mark.slow
 def test_ivfpq_append_frozen_models(spark):
     """The composed append's contract (sink_ivfpq_append): base files are
     never rewritten (byte-identical), every appended vector is reachable
@@ -3489,6 +3521,7 @@ def test_stream_snapshot_commit_history(spark):
     assert final_rows == batch
 
 
+@pytest.mark.slow
 def test_stream_snapshot_restart_across_sessions(spark):
     """Cross-session exactly-once for the snapshot streaming SINK: phase 1
     commits the first two staged files as snapshot versions in its OWN
@@ -3736,6 +3769,7 @@ def test_centroid_model_explicit_no_collect(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.slow
 def test_rerank_mmr_chunked_matches_single_chunk(spark, monkeypatch):
     """ADVICE r14: sim_rerank_mmr's single-chunk merge-window skip had no
     parity pin (unlike sim_cosine_knn's). Same invariant: many tiny index

@@ -100,6 +100,32 @@ _PLAN_AUDIT_SKIP_PREFIXES = ("stream_", "sink_", "scan_csv", "scan_json", "scan_
                              "scan_schema", "scan_corrupt", "scan_partition",
                              "dedup_cc", "ml_", "udf_", "udtf_", "mm_decode")
 
+# Tier split for the three whole-registry plan audits (r15): DECLARING a
+# sink_/stream_ op's frame runs its side effects (index builds, full
+# streaming queries) — most of the former ~9 min audit wall. The default
+# tier audits every side-effect-free op; UP_SLOW_TESTS=1 audits the full
+# registry exactly as before. One shared declaration pass feeds all three
+# audits (the plans are deterministic within a session), so the registry
+# is declared once, not three times.
+from .conftest import SLOW_TIER  # noqa: E402
+
+_AUDIT_SIDE_EFFECT_PREFIXES = ("sink_", "stream_", "dedup_cc", "ml_")
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan_cached(spark, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = _plan(spark, name)
+        from userportrait.catalog import release_pins
+
+        release_pins()  # eager declares pin; don't accumulate 293 ops' blocks
+    return _PLAN_CACHE[name]
+
+
+def _audit_ops(extra_skip: tuple[str, ...] = ()) -> list[str]:
+    skip = extra_skip if SLOW_TIER else tuple(set(extra_skip) | set(_AUDIT_SIDE_EFFECT_PREFIXES))
+    return [n for n in OPS if not n.startswith(skip)]
+
 
 def test_no_accidental_cartesian_anywhere(spark):
     """Global regression net: no registered op may silently plan a
@@ -107,10 +133,10 @@ def test_no_accidental_cartesian_anywhere(spark):
     (the broadcast side is a scalar/centroid frame); CartesianProduct of
     two real tables is always a bug."""
     bad = []
-    for name in sorted(OPS):
-        if name in _CARTESIAN_OK or name.startswith(_PLAN_AUDIT_SKIP_PREFIXES):
+    for name in sorted(_audit_ops(_PLAN_AUDIT_SKIP_PREFIXES)):
+        if name in _CARTESIAN_OK:
             continue
-        plan = _plan(spark, name)
+        plan = _plan_cached(spark, name)
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"accidental cartesian in: {bad}"
@@ -403,8 +429,8 @@ def test_no_collect_limit_in_any_op_plan(spark):
     TakeOrderedAndProject (distributed partial top-k) and nothing else
     should limit at all. Streaming ops are exercised via their batch
     results like everywhere else."""
-    for name in OPS:
-        plan = _plan(spark, name)
+    for name in _audit_ops():
+        plan = _plan_cached(spark, name)
         assert "CollectLimit" not in plan, name
 
 
@@ -493,7 +519,6 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "agg_hll_partitioned_merge": "final sketch merge (one merged sketch row)",
         "tag_decay_score": "global max-date anchor scalar (1 row)",
         "events_ab_ttest": "arm-pivot aggregate over the 2-row arm frame",
-        "text_bm25_keywords": "N-docs + total-token scalar aggregates (1 row each)",
         "doc_split_drift": "per-split token-total scalar aggregate (1 row)",
         "dq_profile_columns": "whole-table profile aggregate (1 row, unpivoted to #columns)",
         "text_cooccur_lift": "N-docs scalar aggregate (1 row)",
@@ -515,12 +540,24 @@ def test_single_partition_exchanges_are_scalar_or_metadata_only(spark):
         "sink_pq_delete": "two 1-row provenance rollup aggregates (survivor + applied-manifest scalars) crossJoined",
         "sink_snapshot_versioned": "four 1-row per-version rollup aggregates (count+sum scalar per snapshot) unioned",
         "sink_snapshot_expire": "two 1-row surviving-version rollup aggregates (count+sum scalar per snapshot) unioned",
+        # r15: the text-family fan-out width is volume-derived
+        # (catalog.text_partitions — ceil(input_bytes/64KiB) capped at the
+        # fleet width), so at the 64 KiB test fixture it is 1 and the
+        # user-specified repartition plans as Exchange SinglePartition.
+        # That is the size-adaptive width working as designed, not a data
+        # cliff: the same plan at corpus scale is a fleet-wide
+        # hashpartitioning (test_text_partitions_scales_with_input_volume
+        # pins the derivation; the audit keeps flagging any NEW op so the
+        # justification stays per-op).
+        "text_lang_id": "volume-derived repartition width (1 at test scale only)",
+        "text_fingerprint": "volume-derived repartition width (1 at test scale only)",
+        "text_contamination": "volume-derived repartition width (1 at test scale only)",
+        "text_lm_score": "volume-derived repartition width (1 at test scale only)",
+        "text_bm25_keywords": "N-docs + total-token scalar aggregates (1 row each) + volume-derived repartition width (1 at test scale only)",
     }
     offenders = {}
-    for name in OPS:
-        if name.startswith("stream_"):
-            continue
-        plan = _plan(spark, name)
+    for name in _audit_ops(("stream_",)):
+        plan = _plan_cached(spark, name)
         n = sum(1 for l in plan.splitlines() if "Exchange SinglePartition" in l)
         if n and name not in allowed:
             offenders[name] = n

@@ -4,6 +4,8 @@ few examples per property — each example is a Spark job."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -24,6 +26,7 @@ pairs = st.lists(
 
 @given(left=keys, right=keys)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_semi_union_anti_is_identity(spark, left, right):
     l_df = spark.createDataFrame([(k,) for k in left] or [(None,)], "k int").where(F.col("k").isNotNull())
     r_df = spark.createDataFrame([(k,) for k in right] or [(None,)], "k int").where(F.col("k").isNotNull())
@@ -61,6 +64,7 @@ def test_rollup_margin_equals_reaggregation(spark, rows):
 
 @given(a=keys, b=keys)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_union_all_vs_distinct_counts(spark, a, b):
     a_df = spark.createDataFrame([(k,) for k in a] or [(None,)], "k int").where(F.col("k").isNotNull())
     b_df = spark.createDataFrame([(k,) for k in b] or [(None,)], "k int").where(F.col("k").isNotNull())
@@ -70,6 +74,7 @@ def test_union_all_vs_distinct_counts(spark, a, b):
 
 @given(rows=pairs, k=st.integers(min_value=2, max_value=7))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_exact_ntile_scores_matches_window_ntile(spark, rows, k):
     """The distributed exact-ntile decomposition (userportrait/ranking.py)
     must be bitwise-equal to ntile(k) OVER (ORDER BY v, uid) for ANY data —
@@ -203,6 +208,7 @@ texts = st.lists(
 
 @given(docs=texts)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_jaccard_kernel_matches_bruteforce(spark, docs):
     """The array_intersect Jaccard kernel (r8 rewrite of
     _jaccard_on_candidates) must equal a brute-force python computation of
@@ -280,6 +286,7 @@ edges_strategy = st.lists(
 
 @given(edges=edges_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_lpa_sweeps_match_khop_bfs(spark, edges):
     """graph_label_propagation's sweep loop must assign every node the min
     node id within its 3-hop neighborhood — checked against an independent
@@ -427,6 +434,7 @@ events_seq = st.lists(
 
 @given(seq=events_seq)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_funnel_stage_chain_matches_sequential_walk(spark, seq):
     """The batch min-view/min-later-click/min-later-purchase chain (the
     stream_funnel_stages oracle algebra) must equal a sequential
@@ -622,6 +630,7 @@ scd2_batch_rows = st.lists(
 
 @given(dim=scd2_dim_rows, batch=scd2_batch_rows)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_scd2_merge_is_null_safe_and_replay_idempotent(spark, dim, batch):
     """scd2_merge_frame's NULL-payload semantics (the r11 VERDICT #3 class):
     'changed' must be IS DISTINCT FROM — a NULL payload over a non-NULL
@@ -755,6 +764,7 @@ snap_cmds = st.lists(
 
 @given(cmds=snap_cmds, keep_cut=st.integers(min_value=1, max_value=6))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_snapshot_protocol_matches_model(spark, cmds, keep_cut):
     """Model-based check of the snapshot commit protocol: an arbitrary
     command sequence (append / full-COW value-drop / file-level rollback
