@@ -173,20 +173,83 @@ def _stream_events(spark: SparkSession, stage_dir: str, delay_s: int) -> DataFra
     )
 
 
-def _run_to_table(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+def _replay_width(spark: SparkSession, src_dir: str | None) -> int:
+    """State-store/shuffle width for a finite staged replay:
+    ``min(defaultParallelism, ceil(staged_bytes / 256 KiB))``, floor 1;
+    explicit ``spark.userportrait.stream.statePartitions`` pins it exactly;
+    an unstatable source falls back to the fleet width.
+
+    Why (r15, VERDICT r14 #4 + guide §2.2 "fewer, larger partitions"): a
+    stateful microbatch loads and commits ONE state store per shuffle
+    partition per stateful operator — at the default width every
+    1000-row test microbatch paid 32 state-store opens + delta-file
+    fsyncs per operator (profiled on stream_tumbling: addBatch
+    0.8-0.95 s of each ~1 s batch, all fixed cost, rows irrelevant). The
+    width a streaming query runs with is whatever
+    ``spark.sql.shuffle.partitions`` says at FIRST batch — baked into
+    the checkpoint thereafter — so deriving it from staged input volume
+    is the streaming twin of catalog.text_partitions: tiny replays get
+    tiny state fan-out, corpus-scale replays saturate the fleet."""
+    from ..catalog import positive_int_conf
+
+    explicit = positive_int_conf(spark, "spark.userportrait.stream.statePartitions")
+    if explicit is not None:
+        return explicit
+    cap = spark.sparkContext.defaultParallelism
+    if src_dir is None:
+        return cap
+    try:
+        total = sum(
+            e.stat().st_size for e in os.scandir(src_dir) if e.is_file()
+        )
+    except OSError:
+        return cap
+    if total <= 0:
+        return cap
+    return max(1, min(cap, -(-total // 262144)))
+
+
+class _replay_conf:
+    """Context manager: pin spark.sql.shuffle.partitions to the replay
+    width for the duration of one streaming run, restoring the caller's
+    value after. Recovery semantics are unaffected — a restarted query
+    reads its width from the checkpoint, not from this conf."""
+
+    def __init__(self, spark: SparkSession, src_dir: str | None):
+        self.spark = spark
+        self.src_dir = src_dir
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_replay_width(self.spark, self.src_dir))
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def _run_to_table(
+    spark: SparkSession, streaming_df: DataFrame, name: str, src_dir: str | None = None
+) -> DataFrame:
     """Run the streaming query to completion into a memory sink; return the
-    final table. AvailableNow + the staged sentinel => deterministic output."""
+    final table. AvailableNow + the staged sentinel => deterministic output.
+    ``src_dir`` (the staged stream dir) sizes the state fan-out — see
+    _replay_width; None keeps the session width."""
     global _query_seq
     _query_seq += 1
     qname = f"up_{name}_{os.getpid()}_{_query_seq}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_conf(spark, src_dir):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -199,7 +262,7 @@ def _windowed(spark: SparkSession, sf_dir: str, variant: str, name: str) -> Data
         F.count("*").cast("bigint").alias("cnt"),
         F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
-    out = _run_to_table(spark, agg, name)
+    out = _run_to_table(spark, agg, name, src_dir=stage_dir)
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "cnt", "sum_value"
     )
@@ -256,7 +319,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = src.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    out = _run_to_table(spark, agg, "sliding")
+    out = _run_to_table(spark, agg, "sliding", src_dir=stage_dir)
     return out.select(F.col("window.start").alias("window_start"), "cnt")
 
 
@@ -294,7 +357,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = src.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").cast("bigint").alias("n_events")
     )
-    out = _run_to_table(spark, agg, "session")
+    out = _run_to_table(spark, agg, "session", src_dir=stage_dir)
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -320,7 +383,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = src.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    out = _run_to_table(spark, dedup, "dedup")
+    out = _run_to_table(spark, dedup, "dedup", src_dir=stage_dir)
     return out.where(F.col("event_type") != _SENTINEL_TYPE)
 
 
@@ -377,7 +440,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _run_to_table(spark, out, "custom_state")
+    result = _run_to_table(spark, out, "custom_state", src_dir=stage_dir)
     return result.where(F.col("user_id") >= 0)
 
 
@@ -415,7 +478,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cnt"),
         F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
     )
-    out = _run_to_table(spark, agg, "static_join")
+    out = _run_to_table(spark, agg, "static_join", src_dir=stage_dir)
     return out.select(F.col("window.start").alias("window_start"), "n_name", "cnt", "sum_value")
 
 
@@ -465,7 +528,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     )
-    out = _run_to_table(spark, joined, "stream_stream")
+    out = _run_to_table(spark, joined, "stream_stream", src_dir=stage_dir)
     return out.select(
         "click_id",
         "purchase_id",
@@ -559,7 +622,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel file to run one batch under the advanced watermark."""
     stage_dir, delay_s = _stage(sf_dir, "flush2")
     joined = left_outer_click_join(spark, stage_dir, delay_s)
-    out = _run_to_table(spark, joined, "stream_left_outer")
+    out = _run_to_table(spark, joined, "stream_left_outer", src_dir=stage_dir)
     return out.where(F.col("click_id") != -1).select(
         "click_id",
         "purchase_id",
@@ -621,7 +684,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite replay's final table equals the batch FULL join (the oracle)."""
     stage_dir, delay_s = _stage(sf_dir, "flush2")
     joined = full_outer_click_join(spark, stage_dir, delay_s)
-    out = _run_to_table(spark, joined, "stream_full_outer")
+    out = _run_to_table(spark, joined, "stream_full_outer", src_dir=stage_dir)
     return out.where(
         ~F.col("click_id").eqNullSafe(-1) & ~F.col("purchase_id").eqNullSafe(-1)
     ).select(
@@ -671,7 +734,7 @@ def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch RIGHT join (the oracle)."""
     stage_dir, delay_s = _stage(sf_dir, "flush2")
     joined = _outer_click_join(spark, stage_dir, delay_s, "rightOuter")
-    out = _run_to_table(spark, joined, "stream_right_outer")
+    out = _run_to_table(spark, joined, "stream_right_outer", src_dir=stage_dir)
     return out.where(
         ~F.col("click_id").eqNullSafe(-1) & ~F.col("purchase_id").eqNullSafe(-1)
     ).select(
@@ -712,14 +775,15 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sink_dir)
         )
 
-    q = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_conf(spark, stage_dir):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", os.path.join(sink_dir, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink_dir)
 
 
@@ -751,14 +815,15 @@ def stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _query_seq
     _query_seq += 1
     qname = f"up_complete_{os.getpid()}_{_query_seq}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_conf(spark, stage_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -807,7 +872,8 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by audience size, not stream length; at 100 TB the state store
     holds it keyed by user and a TTL timeout would evict lapsed users
     (NoTimeout here: the finite replay needs every user's final row)."""
-    return _run_to_table(spark, _funnel_out(spark, sf_dir), "funnel_stages")
+    stage_dir, _ = _stage(sf_dir, "flush")  # cached; sizes the state fan-out
+    return _run_to_table(spark, _funnel_out(spark, sf_dir), "funnel_stages", src_dir=stage_dir)
 
 
 def _funnel_out(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,7 +959,8 @@ def stream_funnel_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(key, None)
     spark.conf.set(key, _ROCKSDB_PROVIDER)
     try:
-        return _run_to_table(spark, _funnel_out(spark, sf_dir), "funnel_rocksdb")
+        stage_dir, _ = _stage(sf_dir, "flush")  # cached; sizes the state fan-out
+        return _run_to_table(spark, _funnel_out(spark, sf_dir), "funnel_rocksdb", src_dir=stage_dir)
     finally:
         spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
 
@@ -1007,6 +1074,10 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stage_dir)
         )
         bands = minhash_sig_wide(src).select("doc_id", *band_cols)
+        # no src_dir: this query's per-batch cost is the CPU-bound md5
+        # signature/verify kernel (core-bound work, the llm_dedup width
+        # exception) — byte-derived narrowing serialized it (measured
+        # 8.6 -> 10.1 s at sf0.001); state here is a bounded doc-id set.
         return _run_to_table(spark, _band_verify_joins(bands, idx), "dedup_ingest")
     finally:
         idx.unpersist()
@@ -1150,7 +1221,7 @@ def stream_dedup_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(4)
             ],
         )
-        return _run_to_table(spark, _band_verify_joins(gated, idx), "dedup_ingest_bloom")
+        return _run_to_table(spark, _band_verify_joins(gated, idx), "dedup_ingest_bloom")  # same width exception as stream_dedup_ingest
     finally:
         idx.unpersist()
 
@@ -1403,14 +1474,15 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _query_seq
     _query_seq += 1
-    q = (
-        agg.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .queryName(f"up_update_{os.getpid()}_{_query_seq}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_conf(spark, stage_dir):
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .queryName(f"up_update_{os.getpid()}_{_query_seq}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.createDataFrame(
         [(d, t, c, s) for (d, t), (c, s) in serving.items()],
         "day string, event_type string, cnt bigint, sum_value double",
